@@ -1,0 +1,294 @@
+"""Public codec API: compress / decompress / read_header.
+
+The library-level entry points with capability parity to the reference's
+grk_compress_init/grk_compress and grk_decompress_init/read_header/
+decompress family (upstream opj_* surface verified in SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from grok_tpu.codestream import j2k, jp2
+from grok_tpu.codestream.j2k import (CodestreamError, CodingStyle,
+                                     CodingStyleComp, CompInfo, MainHeader,
+                                     QuantStyle, TileHeader)
+from grok_tpu.core.geometry import SizGrid
+from grok_tpu.core.image import ColorSpace, Image
+from grok_tpu.core.params import CompressParams, DecompressParams, MCTMode
+from grok_tpu.core.quant import make_quantizer
+from grok_tpu.pipeline import tile as tile_pipe
+from grok_tpu.transform.mct_np import mct_component_norms
+
+
+def _build_main_header(image: Image, params: CompressParams) -> MainHeader:
+    params.validate()
+    siz = SizGrid(xsiz=image.x1, ysiz=image.y1, xosiz=image.x0,
+                  yosiz=image.y0, xtsiz=params.tile_w, ytsiz=params.tile_h,
+                  xtosiz=params.tile_off_x, ytosiz=params.tile_off_y)
+    comps = [CompInfo(prec=c.prec, sgnd=c.sgnd, dx=c.dx, dy=c.dy)
+             for c in image.components]
+
+    mct_mode = params.mct
+    if mct_mode is None:
+        mct_mode = MCTMode.RCT_OR_ICT if len(comps) >= 3 else MCTMode.NONE
+    use_mct = 1 if (mct_mode == MCTMode.RCT_OR_ICT and len(comps) >= 3
+                    and len({(c.dx, c.dy) for c in comps[:3]}) == 1) else 0
+
+    prec_exps = None
+    if params.prec_w_exps:
+        prec_exps = list(zip(params.prec_w_exps, params.prec_h_exps))
+    cs = CodingStyleComp(num_resolutions=params.num_resolutions,
+                         cblk_w_exp=params.cblk_w_exp,
+                         cblk_h_exp=params.cblk_h_exp,
+                         cblk_style=params.cblk_style,
+                         irreversible=params.irreversible,
+                         prec_exps=prec_exps)
+    cod = CodingStyle(prog_order=params.prog_order,
+                      num_layers=params.num_layers, mct=use_mct,
+                      sop=params.sop, eph=params.eph, comp=cs)
+
+    hdr = MainHeader(siz=siz, rsiz=int(params.rsiz), comps=comps, cod=cod)
+    for c, ci in enumerate(comps):
+        q = make_quantizer(params.num_resolutions, ci.prec,
+                           params.irreversible, params.num_guard_bits,
+                           params.quant_step,
+                           derived=not params.quant_style_expounded
+                           and params.irreversible)
+        qs = QuantStyle(style=q.style, guard_bits=q.guard_bits,
+                        steps=q.steps if q.style != 1 else q.steps[:1])
+        if c == 0:
+            hdr.qcd = qs
+        elif qs != hdr.qcd:
+            hdr.qcc[c] = qs
+    if params.roi_shift > 0 and params.roi_comp >= 0:
+        hdr.rgn[params.roi_comp] = params.roi_shift
+    hdr.pocs = list(params.pocs)
+    return hdr
+
+
+def _main_header_bytes(hdr: MainHeader, params: CompressParams,
+                       tlm_entries: list[tuple[int, int]] | None) -> bytes:
+    out = bytearray(struct.pack(">H", j2k.SOC))
+    out += j2k.write_siz(hdr.siz, hdr.rsiz, hdr.comps)
+    out += j2k.write_cod(hdr.cod)
+    for c, cs in hdr.coc.items():
+        out += j2k.write_coc(c, len(hdr.comps), cs)
+    out += j2k.write_qcd(hdr.qcd)
+    for c, q in hdr.qcc.items():
+        out += j2k.write_qcc(c, len(hdr.comps), q)
+    for c, s in hdr.rgn.items():
+        out += j2k.write_rgn(c, len(hdr.comps), s)
+    if hdr.pocs:
+        out += j2k.write_poc(hdr.pocs, len(hdr.comps))
+    if tlm_entries is not None:
+        out += j2k.write_tlm(tlm_entries)
+    if params.comment:
+        out += j2k.write_com(params.comment)
+    return bytes(out)
+
+
+def compress(image_or_array, params: CompressParams | None = None) -> bytes:
+    """Encode an Image (or numpy array) to a J2K codestream / JP2 file."""
+    params = params or CompressParams()
+    image = (image_or_array if isinstance(image_or_array, Image)
+             else Image.from_array(np.asarray(image_or_array)))
+    hdr = _build_main_header(image, params)
+    siz = hdr.siz
+
+    raw_bytes = sum((siz.xsiz - siz.xosiz) * (siz.ysiz - siz.yosiz)
+                    * c.prec / 8.0
+                    / (c.dx * c.dy) for c in hdr.comps)
+    total_pixels = (siz.xsiz - siz.xosiz) * (siz.ysiz - siz.yosiz)
+
+    mct_norms = None
+    if hdr.cod.mct:
+        mct_norms = mct_component_norms(params.irreversible)
+
+    # provisional main header size (TLM slot added later if requested)
+    mh_probe = _main_header_bytes(hdr, params, None)
+    header_overhead = len(mh_probe) + siz.num_tiles * 14 + 2
+
+    tiles_out: list[bytes] = []
+    tlm_entries: list[tuple[int, int]] = []
+    for t in range(siz.num_tiles):
+        geo = tile_pipe.TileGeometry.build(hdr, t)
+        frac = (geo.rect.w * geo.rect.h) / max(total_pixels, 1)
+        targets: list[float | None] = []
+        for l in range(params.num_layers):
+            if params.rates and params.rates[l] > 0:
+                budget = raw_bytes / params.rates[l] - header_overhead
+                targets.append(max(budget, 100.0) * frac)
+            else:
+                targets.append(None)
+        res = tile_pipe.encode_tile(image, geo, targets, mct_norms)
+        plt_seg = j2k.write_plt(res.packet_lens) if params.write_plt else b""
+        psot = 12 + len(plt_seg) + 2 + len(res.body)
+        tp = j2k.write_sot(t, psot, 0, 1) + plt_seg + \
+            struct.pack(">H", j2k.SOD) + res.body
+        tiles_out.append(tp)
+        tlm_entries.append((t, len(tp)))
+
+    mh = _main_header_bytes(hdr, params,
+                            tlm_entries if params.write_tlm else None)
+    stream = mh + b"".join(tiles_out) + struct.pack(">H", j2k.EOC)
+    if params.jp2:
+        c0 = image.components[0]
+        per_comp = [(c.prec, c.sgnd) for c in image.components]
+        return jp2.wrap_jp2(
+            stream, width=image.w, height=image.h,
+            numcomps=len(image.components), prec=c0.prec, sgnd=c0.sgnd,
+            color_space=image.color_space, icc_profile=image.icc_profile,
+            capture_resolution=image.capture_resolution,
+            per_comp_prec=per_comp)
+    return stream
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+@dataclass
+class HeaderInfo:
+    """grk_header_info analog."""
+
+    width: int
+    height: int
+    x0: int
+    y0: int
+    numcomps: int
+    prec: list[int]
+    sgnd: list[bool]
+    subsampling: list[tuple[int, int]]
+    num_tiles: int
+    tile_size: tuple[int, int]
+    num_resolutions: int
+    num_layers: int
+    prog_order: int
+    irreversible: bool
+    mct: int
+    cblk_size: tuple[int, int]
+    color_space: ColorSpace = ColorSpace.UNSPECIFIED
+    comments: list[bytes] = field(default_factory=list)
+    is_jp2: bool = False
+    rsiz: int = 0
+
+
+def _locate_codestream(data: bytes):
+    if jp2.is_jp2(data):
+        s, e, meta = jp2.parse_jp2(data)
+        return data[s:e], meta
+    if jp2.is_j2k(data):
+        return data, None
+    raise CodestreamError("not a JPEG 2000 codestream or JP2 file")
+
+
+def read_header(data: bytes) -> HeaderInfo:
+    cs, meta = _locate_codestream(data)
+    hdr = j2k.read_main_header(cs)
+    g = hdr.siz.normalized()
+    color = ColorSpace.UNSPECIFIED
+    if meta is not None:
+        color = meta.color_space
+    elif hdr.numcomps == 1:
+        color = ColorSpace.GRAY
+    elif hdr.numcomps == 3 and hdr.cod.mct:
+        color = ColorSpace.SRGB
+    return HeaderInfo(
+        width=g.xsiz - g.xosiz, height=g.ysiz - g.yosiz,
+        x0=g.xosiz, y0=g.yosiz,
+        numcomps=hdr.numcomps,
+        prec=[c.prec for c in hdr.comps],
+        sgnd=[c.sgnd for c in hdr.comps],
+        subsampling=[(c.dx, c.dy) for c in hdr.comps],
+        num_tiles=hdr.siz.num_tiles,
+        tile_size=(g.xtsiz, g.ytsiz),
+        num_resolutions=hdr.cod.comp.num_resolutions,
+        num_layers=hdr.cod.num_layers,
+        prog_order=int(hdr.cod.prog_order),
+        irreversible=hdr.cod.comp.irreversible,
+        mct=hdr.cod.mct,
+        cblk_size=(1 << hdr.cod.comp.cblk_w_exp,
+                   1 << hdr.cod.comp.cblk_h_exp),
+        color_space=color,
+        comments=[c for (_r, c) in hdr.comments],
+        is_jp2=meta is not None,
+        rsiz=hdr.rsiz,
+    )
+
+
+def decompress(data: bytes,
+               dparams: DecompressParams | None = None) -> Image:
+    """Decode a J2K codestream or JP2 file to an Image."""
+    dp = dparams or DecompressParams()
+    cs, meta = _locate_codestream(data)
+    hdr = j2k.read_main_header(cs)
+    parts = j2k.read_tile_parts(cs, hdr, strict=dp.strict)
+
+    by_tile: dict[int, list] = {}
+    for p in parts:
+        by_tile.setdefault(p.tile_index, []).append(p)
+
+    g = hdr.siz.normalized()
+    scale = 1 << dp.reduce if dp.reduce else 1
+    comps_sel = dp.components if dp.components is not None \
+        else list(range(hdr.numcomps))
+
+    # allocate full-image component arrays at (possibly reduced) resolution
+    out_arrays: list[np.ndarray] = []
+    origins: list[tuple[int, int]] = []
+    for c, ci in enumerate(hdr.comps):
+        x0 = -(-g.xosiz // ci.dx)
+        y0 = -(-g.yosiz // ci.dy)
+        x1 = -(-g.xsiz // ci.dx)
+        y1 = -(-g.ysiz // ci.dy)
+        rx0, ry0 = -(-x0 // scale), -(-y0 // scale)
+        rx1, ry1 = -(-x1 // scale), -(-y1 // scale)
+        out_arrays.append(np.zeros((ry1 - ry0, rx1 - rx0), dtype=np.int32))
+        origins.append((rx0, ry0))
+
+    tiles = sorted(by_tile)
+    if dp.tile_index is not None:
+        if dp.tile_index not in by_tile:
+            raise CodestreamError(f"tile {dp.tile_index} not in codestream")
+        tiles = [dp.tile_index]
+
+    for t in tiles:
+        th = TileHeader()
+        chunks = []
+        for p in sorted(by_tile[t], key=lambda p: p.part_index):
+            j2k.read_tile_part_header(cs, p, hdr, th)
+            chunks.append(cs[p.data_start:p.data_end])
+        body = b"".join(chunks)
+        geo = tile_pipe.TileGeometry.build(hdr, t, th)
+        comp_arrays = tile_pipe.decode_tile(body, geo, hdr, th, dp)
+        for c in range(hdr.numcomps):
+            nl = geo.styles[c].num_resolutions - 1
+            eff_reduce = min(dp.reduce, nl) if dp.reduce else 0
+            rect = geo.comp_rects[c].ceil_scale(1 << eff_reduce,
+                                                1 << eff_reduce)
+            ox, oy = origins[c]
+            arr = comp_arrays[c]
+            out_arrays[c][rect.y0 - oy:rect.y1 - oy,
+                          rect.x0 - ox:rect.x1 - ox] = \
+                arr[:rect.h, :rect.w]
+
+    comps = []
+    from grok_tpu.core.image import Component
+    for c in comps_sel:
+        ci = hdr.comps[c]
+        comps.append(Component(data=out_arrays[c], dx=ci.dx * scale,
+                               dy=ci.dy * scale, prec=ci.prec, sgnd=ci.sgnd))
+    color = meta.color_space if meta is not None else (
+        ColorSpace.GRAY if len(comps) == 1 else ColorSpace.SRGB)
+    img = Image(components=comps,
+                x0=-(-g.xosiz // scale), y0=-(-g.yosiz // scale),
+                x1=-(-g.xsiz // scale), y1=-(-g.ysiz // scale),
+                color_space=color)
+    if meta is not None:
+        img.icc_profile = meta.icc_profile
+        img.capture_resolution = meta.capture_resolution
+    return img

@@ -60,7 +60,7 @@ class BitReader:
     def __init__(self, data: bytes, pos: int = 0, end: int | None = None):
         self.data = data
         self.pos = pos
-        self.end = len(data) if end is None else end
+        self.end = len(data) if end is None else min(end, len(data))
         self._cur = 0
         self._nbits = 0
         self._prev = 0

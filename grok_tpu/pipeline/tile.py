@@ -1,0 +1,387 @@
+"""Tile pipeline: per-tile encode/decode orchestration (scalar host path).
+
+Encode: DC shift -> MCT -> forward DWT -> quantize -> T1 block coding ->
+PCRD layer allocation -> T2 packet assembly.
+Decode: T2 packet parse -> T1 block decode -> dequantize -> inverse DWT ->
+inverse MCT -> DC unshift/clip.
+
+This is the behavioral reference; the device (JAX/Pallas) pipeline in
+grok_tpu/ops replaces the transform/T1 stages with batched kernels but goes
+through the same T2/codestream host stages.
+
+Reference parity: [grok: src/lib/core/tile/TileProcessor.cpp ::
+compressTile/decompressTile] — behavior normative per ISO 15444-1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from grok_tpu.codestream.bitio import BitReader
+from grok_tpu.codestream.j2k import (CodingStyle, CodingStyleComp, MainHeader,
+                                     QuantStyle, TileHeader)
+from grok_tpu.core.geometry import (BAND_LL, Rect, SizGrid, TileCompGeom,
+                                    build_tilecomp_geometry)
+from grok_tpu.core.image import Image
+from grok_tpu.core.params import DecompressParams
+from grok_tpu.core.quant import (QSTYLE_NONE, Quantizer, band_level,
+                                 band_norm, dequantize_band, quantize_band)
+from grok_tpu.t1.t1_scalar import decode_block, encode_block
+from grok_tpu.t2.packet import EPH_MARKER, SOP_MARKER, PrecinctCtx
+from grok_tpu.t2.progression import iter_packets
+from grok_tpu.t2.rate import Hull, allocate_layers, convex_hull
+from grok_tpu.transform import dwt_np, mct_np
+
+
+def quantizer_from_style(q: QuantStyle, cs: CodingStyleComp,
+                         prec: int) -> Quantizer:
+    return Quantizer(style=q.style, guard_bits=q.guard_bits, steps=q.steps,
+                     num_resolutions=cs.num_resolutions, prec=prec)
+
+
+@dataclass
+class TileGeometry:
+    """Geometry + coding state shared by encode and decode for one tile."""
+
+    t: int
+    rect: Rect
+    comp_rects: list[Rect]
+    tcgs: list[TileCompGeom]
+    styles: list[CodingStyleComp]
+    quants: list[Quantizer]
+    cod: CodingStyle
+    subsampling: list[tuple[int, int]]
+
+    @staticmethod
+    def build(hdr: MainHeader, t: int,
+              tile_hdr: TileHeader | None = None) -> "TileGeometry":
+        th = tile_hdr or TileHeader()
+        rect = hdr.siz.tile_rect(t)
+        cod = th.cod or hdr.cod
+        comp_rects, tcgs, styles, quants, subs = [], [], [], [], []
+        for c, ci in enumerate(hdr.comps):
+            cs = hdr.style_for(c, th.coc, th.cod)
+            q = hdr.quant_for(c, th.qcc, th.qcd)
+            cr = rect.ceil_scale(ci.dx, ci.dy)
+            tcg = build_tilecomp_geometry(
+                cr, cs.num_resolutions, cs.cblk_w_exp, cs.cblk_h_exp,
+                cs.prec_exps)
+            tcg.comp = c
+            comp_rects.append(cr)
+            tcgs.append(tcg)
+            styles.append(cs)
+            # RCT chroma expansion is absorbed by the guard bits (upstream
+            # convention): Rb stays prec + gain.
+            quants.append(quantizer_from_style(q, cs, ci.prec))
+            subs.append((ci.dx, ci.dy))
+        return TileGeometry(t=t, rect=rect, comp_rects=comp_rects, tcgs=tcgs,
+                            styles=styles, quants=quants, cod=cod,
+                            subsampling=subs)
+
+    def make_contexts(self) -> dict[tuple[int, int, int], PrecinctCtx]:
+        ctxs: dict[tuple[int, int, int], PrecinctCtx] = {}
+        for c, tcg in enumerate(self.tcgs):
+            style = self.styles[c].cblk_style
+            for rg in tcg.resolutions:
+                for p in range(rg.num_precincts):
+                    bands = [(bg.orient, bg.precincts[p]) for bg in rg.bands]
+                    ctxs[(c, rg.r, p)] = PrecinctCtx(bands, style)
+        return ctxs
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TileEncodeResult:
+    packets: list[bytes]             # in progression order
+    packet_lens: list[int]
+    body: bytes                      # concatenated packets
+    dist_total: float = 0.0
+
+
+def _forward_transform(image: Image, geo: TileGeometry) -> list[list]:
+    """DC shift + MCT + DWT for all components; returns bands per comp."""
+    samples = []
+    for c, comp in enumerate(image.components):
+        cr = geo.comp_rects[c]
+        gx0 = -(-image.x0 // comp.dx)      # component grid origin
+        gy0 = -(-image.y0 // comp.dy)
+        sl = comp.data[cr.y0 - gy0:cr.y1 - gy0, cr.x0 - gx0:cr.x1 - gx0]
+        samples.append(mct_np.dc_shift_fwd(sl, comp.prec, comp.sgnd))
+    irrev = geo.styles[0].irreversible
+    if geo.cod.mct and len(samples) >= 3:
+        if irrev:
+            s0, s1, s2 = mct_np.ict_fwd(samples[0], samples[1], samples[2])
+        else:
+            s0, s1, s2 = mct_np.rct_fwd(samples[0], samples[1], samples[2])
+        samples[0], samples[1], samples[2] = s0, s1, s2
+    out = []
+    for c, s in enumerate(samples):
+        irr = geo.styles[c].irreversible
+        if irr:
+            s = np.asarray(s, dtype=np.float64)
+        out.append(dwt_np.fwd_multilevel(
+            s, geo.comp_rects[c], geo.styles[c].num_resolutions, irr))
+    return out
+
+
+def _band_array(bands: list, r: int, orient: int) -> np.ndarray:
+    if r == 0:
+        return bands[0]
+    hl, lh, hh = bands[r]
+    return (hl, lh, hh)[orient - 1]
+
+
+def encode_tile(image: Image, geo: TileGeometry,
+                layer_targets: list[float | None],
+                mct_norms: np.ndarray | None = None) -> TileEncodeResult:
+    """Full scalar encode of one tile; layer_targets are cumulative byte
+    budgets per layer for this tile (None = all remaining passes)."""
+    all_bands = _forward_transform(image, geo)
+    ctxs = geo.make_contexts()
+    num_layers = geo.cod.num_layers
+
+    hulls: list[Hull] = []
+    entry_keys: list[tuple] = []     # (c, r, p, band_i, cblk_i)
+    for c, tcg in enumerate(geo.tcgs):
+        quant = geo.quants[c]
+        irrev = geo.styles[c].irreversible
+        style = geo.styles[c].cblk_style
+        wc = float(mct_norms[c]) if mct_norms is not None and \
+            c < len(mct_norms) else 1.0
+        for rg in tcg.resolutions:
+            for band_i, bg in enumerate(rg.bands):
+                orient = bg.orient
+                delta = quant.delta(rg.r, orient)
+                mb = quant.mb(rg.r, orient)
+                lvl = band_level(geo.styles[c].num_resolutions, rg.r) \
+                    if rg.r > 0 else geo.styles[c].num_resolutions - 1
+                bnorm = band_norm(irrev, max(lvl, 0), orient) if lvl > 0 \
+                    else 1.0
+                w = (delta * bnorm * wc) ** 2
+                arr = _band_array(all_bands[c], rg.r, orient)
+                mag, neg = quantize_band(arr, delta, not irrev)
+                for p in range(rg.num_precincts):
+                    bp = bg.precincts[p]
+                    ctx = ctxs[(c, rg.r, p)]
+                    for cblk_i, cb in enumerate(bp.cblks):
+                        r0 = cb.rect
+                        by0, bx0 = bg.rect.y0, bg.rect.x0
+                        m = mag[r0.y0 - by0:r0.y1 - by0,
+                                r0.x0 - bx0:r0.x1 - bx0]
+                        n = neg[r0.y0 - by0:r0.y1 - by0,
+                                r0.x0 - bx0:r0.x1 - bx0]
+                        enc = encode_block(m, n, orient, style)
+                        if enc.numbps > mb:
+                            raise ValueError(
+                                f"block overflows Mb: {enc.numbps} > {mb} "
+                                f"(band r={rg.r} o={orient}); raise guard bits")
+                        ctx.set_block(band_i, cblk_i, enc, mb)
+                        rates = np.array([pi.rate for pi in enc.passes],
+                                         dtype=np.float64)
+                        dists = np.array([pi.dist * w for pi in enc.passes],
+                                         dtype=np.float64)
+                        hulls.append(convex_hull(rates, dists))
+                        entry_keys.append((c, rg.r, p, band_i, cblk_i))
+
+    pkt_overhead = (6 if geo.cod.sop else 0) + (2 if geo.cod.eph else 0)
+
+    def apply_layer_cum(cs: dict, layer_cum: list[list[int]]):
+        for (key, cums) in zip(entry_keys, layer_cum):
+            c, r, p, band_i, cblk_i = key
+            st = cs[(c, r, p)].eblocks[band_i][cblk_i]
+            st.layer_cum = cums
+
+    def emit(cs: dict, nlayers: int) -> list[bytes]:
+        pkts = []
+        for pc in iter_packets(geo.tcgs, geo.subsampling, nlayers,
+                               geo.cod.prog_order, geo.rect.x0, geo.rect.y0,
+                               None):
+            ctx = cs[(pc.comp, pc.res, pc.prec)]
+            header, body = ctx.encode_packet(pc.layer)
+            pkt = bytearray()
+            if geo.cod.sop:
+                idx = len(pkts) & 0xFFFF
+                pkt += SOP_MARKER + bytes([0, 4, idx >> 8, idx & 0xFF])
+            pkt += header
+            if geo.cod.eph:
+                pkt += EPH_MARKER
+            pkt += body
+            pkts.append(bytes(pkt))
+        return pkts
+
+    def simulate(layer_cum: list[list[int]]) -> int:
+        nlayers = len(layer_cum[0]) if layer_cum else num_layers
+        cs = geo.make_contexts()
+        for i, key in enumerate(entry_keys):
+            c, r, p, band_i, cblk_i = key
+            src = ctxs[(c, r, p)].eblocks[band_i][cblk_i]
+            mbv = src.enc.numbps + src.zb
+            cs[(c, r, p)].set_block(band_i, cblk_i, src.enc, mbv)
+            cs[(c, r, p)].eblocks[band_i][cblk_i].layer_cum = layer_cum[i]
+        return sum(len(p) for p in emit(cs, nlayers))
+
+    if not hulls:
+        return TileEncodeResult(packets=[], packet_lens=[], body=b"")
+
+    totals = []
+    for key in entry_keys:
+        c, r, p, band_i, cblk_i = key
+        totals.append(ctxs[(c, r, p)].eblocks[band_i][cblk_i].enc.numpasses)
+    layer_cum = allocate_layers(hulls, num_layers, layer_targets, simulate,
+                                totals)
+
+    final_cs = geo.make_contexts()
+    for i, key in enumerate(entry_keys):
+        c, r, p, band_i, cblk_i = key
+        src = ctxs[(c, r, p)].eblocks[band_i][cblk_i]
+        mbv = src.enc.numbps + src.zb
+        final_cs[(c, r, p)].set_block(band_i, cblk_i, src.enc, mbv)
+        final_cs[(c, r, p)].eblocks[band_i][cblk_i].layer_cum = layer_cum[i]
+    packets = emit(final_cs, num_layers)
+    body = b"".join(packets)
+    return TileEncodeResult(packets=packets,
+                            packet_lens=[len(p) for p in packets], body=body)
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
+                tile_hdr: TileHeader | None = None,
+                dparams: DecompressParams | None = None) -> list[np.ndarray]:
+    """Decode one tile's packet body into per-component sample arrays.
+
+    body: concatenated tile-part data (past SOD).  Returns tile-component
+    arrays (full resolution, after inverse DWT/MCT/DC-shift, clipped).
+    """
+    dp = dparams or DecompressParams()
+    th = tile_hdr or TileHeader()
+    ctxs = geo.make_contexts()
+    num_layers = geo.cod.num_layers
+    if dp.max_layers:
+        num_layers = min(num_layers, dp.max_layers)
+
+    sop, eph = geo.cod.sop, geo.cod.eph
+    use_ppt = th.ppt is not None
+    hdr_buf = th.ppt if use_ppt else body
+    hdr_pos = 0
+    body_pos = 0
+
+    pocs = (th.pocs or hdr.pocs) or None
+    for pc in iter_packets(geo.tcgs, geo.subsampling, geo.cod.num_layers,
+                           geo.cod.prog_order, geo.rect.x0, geo.rect.y0,
+                           pocs):
+        ctx = ctxs[(pc.comp, pc.res, pc.prec)]
+        try:
+            if not use_ppt:
+                hdr_pos = body_pos
+            if sop and hdr_buf[hdr_pos:hdr_pos + 2] == SOP_MARKER:
+                hdr_pos += 6
+                if not use_ppt:
+                    body_pos += 6
+            br = BitReader(hdr_buf, hdr_pos)
+            nchunks0 = [len(st.chunks) for bl in ctx.dblocks for st in bl]
+            blen = ctx.decode_packet(br, pc.layer, 0)
+            hdr_end = br.pos
+            if eph:
+                if hdr_buf[hdr_end:hdr_end + 2] != EPH_MARKER:
+                    if dp.strict:
+                        raise ValueError("missing EPH marker")
+                else:
+                    hdr_end += 2
+            if use_ppt:
+                hdr_pos = hdr_end
+                base = body_pos
+            else:
+                base = hdr_end
+            # adjust chunk offsets recorded relative to 0
+            it = iter(nchunks0)
+            for bl in ctx.dblocks:
+                for st in bl:
+                    n0 = next(it)
+                    for chk in st.chunks[n0:]:
+                        chk.offset += base
+            body_pos = base + blen
+            if body_pos > len(body):
+                raise EOFError("packet body past end of tile data")
+        except (EOFError, IndexError, ValueError):
+            if dp.strict:
+                raise
+            break   # truncated stream: decode what we have
+
+    # -- T1 decode + dequantize + inverse DWT per component ------------------
+    out = []
+    max_res_all = max(s.num_resolutions for s in geo.styles)
+    for c, tcg in enumerate(geo.tcgs):
+        quant = geo.quants[c]
+        cs = geo.styles[c]
+        irrev = cs.irreversible
+        style = cs.cblk_style
+        numres = cs.num_resolutions
+        r_lim = max(numres - dp.reduce, 1) if dp.reduce else numres
+        bands_out: list = [None] * numres
+        for rg in tcg.resolutions:
+            if rg.r >= r_lim:
+                continue
+            per_orient = {}
+            for band_i, bg in enumerate(rg.bands):
+                orient = bg.orient
+                delta = quant.delta(rg.r, orient)
+                mb = quant.mb(rg.r, orient)
+                dt = np.float64 if irrev else np.int64
+                arr = np.zeros((bg.rect.h, bg.rect.w), dtype=dt)
+                for p in range(rg.num_precincts):
+                    ctx = ctxs[(c, rg.r, p)]
+                    bp = ctx.bands[band_i][1]
+                    for cblk_i, cb in enumerate(bp.cblks):
+                        st = ctx.dblocks[band_i][cblk_i]
+                        if not st.included:
+                            continue
+                        data, seg_lens, npass = st.assemble(
+                            body, dp.max_layers)
+                        if npass <= 0:
+                            continue
+                        numbps = mb - st.zb
+                        mag2, neg = decode_block(
+                            data, seg_lens, npass, numbps, orient,
+                            cb.rect.w, cb.rect.h, style, dp.strict)
+                        vals = dequantize_band(mag2, neg, delta, not irrev)
+                        r0 = cb.rect
+                        arr[r0.y0 - bg.rect.y0:r0.y1 - bg.rect.y0,
+                            r0.x0 - bg.rect.x0:r0.x1 - bg.rect.x0] = vals
+                per_orient[orient] = arr
+            if rg.r == 0:
+                bands_out[0] = per_orient[BAND_LL]
+            else:
+                bands_out[rg.r] = (per_orient[1], per_orient[2],
+                                   per_orient[3])
+        cur = bands_out[0]
+        nl = numres - 1
+        for r in range(1, r_lim):
+            rect = geo.comp_rects[c].ceil_scale(1 << (nl - r), 1 << (nl - r))
+            hl, lh, hh = bands_out[r]
+            cur = dwt_np.inv_2d_level(cur, hl, lh, hh, rect, irrev)
+        out.append(cur)
+
+    # -- inverse MCT + DC unshift -------------------------------------------
+    if geo.cod.mct and len(out) >= 3:
+        if geo.styles[0].irreversible:
+            y, cb_, cr_ = out[0], out[1], out[2]
+            r_, g_, b_ = mct_np.ict_inv(y, cb_, cr_)
+        else:
+            r_, g_, b_ = mct_np.rct_inv(out[0], out[1], out[2])
+        out[0], out[1], out[2] = r_, g_, b_
+    res = []
+    for c, arr in enumerate(out):
+        ci = hdr.comps[c]
+        if geo.styles[c].irreversible:
+            arr = np.rint(np.asarray(arr, dtype=np.float64))
+        arr = np.asarray(arr, dtype=np.int64)
+        res.append(mct_np.dc_shift_inv(arr, ci.prec, ci.sgnd).astype(np.int32))
+    return res

@@ -182,7 +182,7 @@ class MQDecoder:
 
     def __init__(self, data: bytes, start: int = 0, end: int | None = None):
         self.data = data
-        self.n = len(data) if end is None else end
+        self.n = len(data) if end is None else min(end, len(data))
         self._start = start
         self.bp = start
         b = data[start] if start < self.n else 0xFF

@@ -1,0 +1,130 @@
+"""PCRD rate allocation (post-compression rate-distortion optimization).
+
+Per code-block: convex-hull filtering of the (rate, weighted distortion)
+pass envelope.  Per layer: global lambda bisection over the hull slopes,
+with exact Tier-2 simulation of the packet bytes, to hit cumulative byte
+targets.  Distortion weights (band synthesis norm x quantizer step x MCT
+column norm, squared) are applied by the tile encoder before allocation.
+
+Reference parity: [grok: src/lib/core/tile/ rate allocation feeding
+T2Compress] — standard PCRD-opt per Taubman's EBCOT formulation (the
+algorithm ISO 15444-1 Annex J.10 describes informatively).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class Hull:
+    """Convex-hull truncation points for one code-block."""
+
+    pass_idx: np.ndarray     # (k,) pass indices (0-based, inclusive ends)
+    slopes: np.ndarray       # (k,) strictly decreasing R-D slopes
+
+
+def convex_hull(rates: np.ndarray, dists: np.ndarray) -> Hull:
+    """Feasible truncation points on the convex hull of the R-D envelope.
+
+    rates: cumulative bytes per pass; dists: cumulative weighted distortion
+    reduction per pass (both monotone nondecreasing).
+    """
+    idx: list[int] = []
+    slope: list[float] = []
+    r_prev, d_prev = 0.0, 0.0
+    for i in range(len(rates)):
+        dr = float(rates[i]) - r_prev
+        dd = float(dists[i]) - d_prev
+        if dr <= 0:
+            if dd > 0 and idx:
+                # free distortion: fold into previous point
+                d_prev = float(dists[i])
+                slope[-1] = np.inf if slope[-1] == np.inf else slope[-1]
+            continue
+        s = dd / dr
+        while idx and s >= slope[-1]:
+            # previous point is not on the hull: merge
+            idx.pop()
+            slope.pop()
+            if idx:
+                r0 = float(rates[idx[-1]])
+                d0 = float(dists[idx[-1]])
+            else:
+                r0, d0 = 0.0, 0.0
+            s = (float(dists[i]) - d0) / (float(rates[i]) - r0)
+        idx.append(i)
+        slope.append(s)
+        r_prev, d_prev = float(rates[i]), float(dists[i])
+    return Hull(pass_idx=np.array(idx, dtype=np.int64),
+                slopes=np.array(slope, dtype=np.float64))
+
+
+def passes_for_lambda(hull: Hull, lam: float, min_passes: int = 0) -> int:
+    """Number of passes (exclusive end) to include at slope threshold lam."""
+    n = 0
+    for i in range(len(hull.pass_idx)):
+        if hull.slopes[i] >= lam:
+            n = int(hull.pass_idx[i]) + 1
+    return max(n, min_passes)
+
+
+def allocate_layers(hulls: list[Hull], num_layers: int,
+                    targets: list[float | None], simulate,
+                    total_passes: list[int] | None = None) -> list[list[int]]:
+    """Assign cumulative pass counts per layer for every block.
+
+    targets: cumulative byte budget per layer (None = include everything
+    remaining — lossless final layer, which must carry ALL passes, not just
+    the hull vertices).
+    simulate(layer_cums: list[per-block cumulative passes per layer so far])
+      -> total bytes through the last simulated layer (headers included).
+
+    Returns layer_cum[block][layer].
+    """
+    nb = len(hulls)
+    if total_passes is None:
+        total_passes = [int(h.pass_idx[-1]) + 1 if len(h.pass_idx) else 0
+                        for h in hulls]
+    layer_cum: list[list[int]] = [[] for _ in range(nb)]
+    prev = [0] * nb
+
+    all_slopes = np.concatenate([h.slopes for h in hulls if len(h.slopes)]) \
+        if any(len(h.slopes) for h in hulls) else np.array([1.0])
+    smin = float(all_slopes.min()) * 0.5
+    smax = float(all_slopes.max()) * 2.0 + 1.0
+
+    for l in range(num_layers):
+        tgt = targets[l] if l < len(targets) else None
+        if tgt is None:
+            chosen = [max(total_passes[b], prev[b]) for b in range(nb)]
+        else:
+            def trial_size(lam: float) -> tuple[list[int], float]:
+                trial = [passes_for_lambda(hulls[b], lam, prev[b])
+                         for b in range(nb)]
+                for b in range(nb):
+                    layer_cum[b].append(trial[b])
+                size = simulate(layer_cum)
+                for b in range(nb):
+                    layer_cum[b].pop()
+                return trial, size
+
+            # bisect toward the smallest lambda whose size fits the target
+            lo, hi = smin, smax      # lo: too much data, hi: fits
+            chosen = prev[:]         # fallback: nothing new this layer
+            for _ in range(40):
+                mid = 0.5 * (lo + hi)
+                trial, size = trial_size(mid)
+                if size <= tgt:
+                    chosen = trial
+                    hi = mid
+                else:
+                    lo = mid
+                if (hi - lo) <= 1e-9 * max(hi, 1.0):
+                    break
+        for b in range(nb):
+            layer_cum[b].append(chosen[b])
+        prev = chosen
+    return layer_cum

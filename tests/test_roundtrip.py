@@ -1,0 +1,169 @@
+"""End-to-end codec tests: roundtrip exactness + OpenJPEG interop.
+
+The interop tests are the conformance gate (SURVEY.md §4): the locally
+installed OpenJPEG 2.5.0 (Grok's direct upstream) is the stand-in oracle.
+"""
+
+import numpy as np
+import pytest
+
+from grok_tpu import (CompressParams, DecompressParams, Image, ProgOrder,
+                      compress, decompress, read_header)
+from grok_tpu.util.oracle import (HAVE_ORACLE, oracle_decode, oracle_encode,
+                                  psnr, synthetic_image)
+
+needs_oracle = pytest.mark.skipif(not HAVE_ORACLE, reason="no OpenJPEG oracle")
+
+
+class TestLosslessRoundtrip:
+    def test_gray_exact(self):
+        img = synthetic_image(64, 64, 1, seed=1)
+        data = compress(img, CompressParams(num_resolutions=3))
+        assert np.array_equal(decompress(data).to_array(), img)
+
+    def test_rgb_rct_exact(self):
+        img = synthetic_image(48, 40, 3, seed=2)
+        data = compress(img, CompressParams(num_resolutions=3))
+        assert np.array_equal(decompress(data).to_array(), img)
+
+    def test_odd_sizes_exact(self):
+        img = synthetic_image(37, 53, 1, seed=4)
+        data = compress(img, CompressParams(num_resolutions=4))
+        assert np.array_equal(decompress(data).to_array(), img)
+
+    def test_tiny_image(self):
+        img = synthetic_image(5, 7, 1, seed=5)
+        data = compress(img, CompressParams(num_resolutions=2))
+        assert np.array_equal(decompress(data).to_array(), img)
+
+    def test_tiled_exact(self):
+        img = synthetic_image(96, 80, 1, seed=6)
+        data = compress(img, CompressParams(num_resolutions=3, tile_w=32,
+                                            tile_h=32))
+        assert np.array_equal(decompress(data).to_array(), img)
+
+    def test_jp2_container(self):
+        img = synthetic_image(32, 32, 3, seed=7)
+        data = compress(img, CompressParams(num_resolutions=3, jp2=True))
+        assert data[:4] == b"\x00\x00\x00\x0c"
+        assert np.array_equal(decompress(data).to_array(), img)
+
+    @pytest.mark.parametrize("order", list(ProgOrder))
+    def test_progression_orders(self, order):
+        img = synthetic_image(40, 40, 1, seed=8)
+        data = compress(img, CompressParams(num_resolutions=3,
+                                            prog_order=order))
+        assert np.array_equal(decompress(data).to_array(), img)
+
+    def test_multilayer_lossless(self):
+        img = synthetic_image(64, 64, 1, seed=9)
+        data = compress(img, CompressParams(num_resolutions=3, num_layers=3,
+                                            rates=[16.0, 4.0, 0.0]))
+        assert np.array_equal(decompress(data).to_array(), img)
+
+    def test_16bit(self):
+        rng = np.random.default_rng(0)
+        img = Image.from_array(
+            rng.integers(0, 4096, (33, 45)).astype(np.int32), prec=12)
+        data = compress(img, CompressParams(num_resolutions=3))
+        out = decompress(data)
+        assert np.array_equal(out.components[0].data,
+                              img.components[0].data)
+
+
+class TestLossy:
+    def test_97_quality(self):
+        img = synthetic_image(128, 128, 1, seed=3)
+        data = compress(img, CompressParams(num_resolutions=4,
+                                            irreversible=True))
+        out = decompress(data).to_array()
+        assert psnr(out, img) > 45.0
+
+    def test_97_rate_control(self):
+        img = synthetic_image(128, 128, 1, seed=3)
+        data = compress(img, CompressParams(num_resolutions=4,
+                                            irreversible=True, rates=[8.0]))
+        assert len(data) <= 128 * 128 // 8
+        assert psnr(decompress(data).to_array(), img) > 27.0
+
+    def test_layer_truncation(self):
+        img = synthetic_image(64, 64, 1, seed=11)
+        data = compress(img, CompressParams(num_resolutions=3, num_layers=2,
+                                            irreversible=True,
+                                            rates=[16.0, 4.0]))
+        full = decompress(data).to_array()
+        l1 = decompress(data, DecompressParams(max_layers=1)).to_array()
+        assert psnr(full, img) > psnr(l1, img)
+
+    def test_reduce(self):
+        img = synthetic_image(64, 64, 1, seed=12)
+        data = compress(img, CompressParams(num_resolutions=4))
+        half = decompress(data, DecompressParams(reduce=1)).to_array()
+        assert half.shape == (32, 32)
+        quarter = decompress(data, DecompressParams(reduce=2)).to_array()
+        assert quarter.shape == (16, 16)
+
+
+@needs_oracle
+class TestOracleInterop:
+    def test_openjpeg_decodes_our_lossless(self):
+        img = synthetic_image(48, 40, 3, seed=2)
+        data = compress(img, CompressParams(num_resolutions=3))
+        assert np.array_equal(oracle_decode(data), img)
+
+    def test_we_decode_openjpeg_lossless(self):
+        img = synthetic_image(64, 64, 1, seed=1)
+        data = oracle_encode(img, num_resolutions=3)
+        assert np.array_equal(decompress(data).to_array(), img)
+
+    def test_we_decode_openjpeg_lossless_rgb_jp2(self):
+        img = synthetic_image(40, 56, 3, seed=13)
+        data = oracle_encode(img, num_resolutions=3, jp2=True)
+        assert np.array_equal(decompress(data).to_array(), img)
+
+    def test_we_match_openjpeg_lossy_53_truncated_exactly(self):
+        img = synthetic_image(128, 128, 1, seed=3)
+        data = oracle_encode(img, irreversible=False, rate=8,
+                             num_resolutions=4)
+        theirs = oracle_decode(data)
+        ours = decompress(data).to_array()
+        assert np.array_equal(ours, theirs)
+
+    def test_we_match_openjpeg_lossy_97(self):
+        img = synthetic_image(128, 128, 1, seed=3)
+        data = oracle_encode(img, irreversible=True, rate=8,
+                             num_resolutions=4)
+        theirs = oracle_decode(data)
+        ours = decompress(data).to_array()
+        assert psnr(ours, theirs) > 60.0     # float rounding only
+
+    def test_openjpeg_decodes_our_lossy(self):
+        img = synthetic_image(128, 128, 1, seed=3)
+        data = compress(img, CompressParams(num_resolutions=4,
+                                            irreversible=True, rates=[8.0]))
+        assert psnr(oracle_decode(data), img) > 27.0
+
+    def test_we_decode_openjpeg_tiled(self):
+        img = synthetic_image(96, 80, 1, seed=6)
+        data = oracle_encode(img, num_resolutions=3, tile_size=(32, 32))
+        assert np.array_equal(decompress(data).to_array(), img)
+
+    def test_we_decode_openjpeg_precincts(self):
+        img = synthetic_image(96, 80, 1, seed=6)
+        data = oracle_encode(img, num_resolutions=3,
+                             precinct_size=(32, 32),
+                             codeblock_size=(16, 16))
+        assert np.array_equal(decompress(data).to_array(), img)
+
+
+class TestHeader:
+    def test_read_header(self):
+        img = synthetic_image(64, 48, 3, seed=1)
+        data = compress(img, CompressParams(num_resolutions=4, num_layers=2,
+                                            rates=[8.0, 0.0]))
+        hi = read_header(data)
+        assert (hi.width, hi.height) == (48, 64)
+        assert hi.numcomps == 3
+        assert hi.num_resolutions == 4
+        assert hi.num_layers == 2
+        assert not hi.irreversible

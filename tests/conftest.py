@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The sandbox's "axon" PJRT plugin ignores JAX_PLATFORMS; the config update
+# below is what actually pins the CPU backend (TPU-tunnel compiles hang).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

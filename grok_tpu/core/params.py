@@ -128,3 +128,6 @@ class DecompressParams:
     force_rgb: bool = False
     upsample: bool = False
     apply_icc: bool = False
+    backend: str = "scalar"         # "scalar" (host) or "jax" (batched device
+                                    # T1 + device DWT; falls back per-block
+                                    # for non-default coding styles)

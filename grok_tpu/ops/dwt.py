@@ -196,13 +196,20 @@ def inv_multilevel(bands: list, tc_rect: Rect, num_resolutions: int,
     return cur
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def inv_multilevel_flat(flat_bands: tuple, tc_rect_tuple: tuple,
-                        num_resolutions: int, irreversible: bool):
-    """jit-friendly wrapper: flat (LL, HL1, LH1, HH1, HL2, ...) band tuple."""
+                        num_resolutions: int, irreversible: bool,
+                        max_res: int | None = None):
+    """jit-friendly wrapper: flat (LL, HL1, LH1, HH1, HL2, ...) band tuple.
+
+    max_res < num_resolutions performs reduced-resolution synthesis (the
+    per-level rects still scale by the full decomposition count).
+    """
     rect = Rect(*tc_rect_tuple)
+    stop = num_resolutions if max_res is None else max_res
     bands: list = [flat_bands[0]]
-    for r in range(1, num_resolutions):
+    for r in range(1, stop):
         i = 1 + 3 * (r - 1)
         bands.append((flat_bands[i], flat_bands[i + 1], flat_bands[i + 2]))
-    return inv_multilevel(bands, rect, num_resolutions, irreversible)
+    return inv_multilevel(bands, rect, num_resolutions, irreversible,
+                          max_res=stop)

@@ -1,0 +1,426 @@
+"""Batched Tier-1 (EBCOT/MQ) block DECODER for the device — JAX.
+
+One lane per code-block: B blocks decode in lockstep.  Every MQ decision is
+a branch-free vector step (selects instead of branches); divergence between
+blocks (different sizes, bitplane counts, truncation points) is handled with
+per-lane masks.  The scan loops (stripe-column positions) are lax.fori_loop
+nests so the HLO stays compact; flag reads/writes are dynamic slices at the
+shared scan position.
+
+Supported here: default code-block style (no BYPASS/RESET/VSC/TERMALL/
+SEGSYM — those route to the scalar host coder via pipeline fallback) and
+single codeword segment per block, which is exactly what default streams use.
+
+This is the TPU replacement for the reference's per-block thread-pool T1
+[grok: src/lib/core/t1/t1_part1/, plugin batch API] — the batch axis plays
+the role of the thread pool, the VPU lanes the role of the cores.
+Bit-exactness vs grok_tpu/t1/t1_scalar.py is enforced by
+tests/test_t1_vec.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grok_tpu.t1.luts import build_sc_lut, build_zc_lut
+from grok_tpu.t1.mq import MQ_NLPS, MQ_NMPS, MQ_QE, MQ_SWITCH
+
+N_CTX = 19
+CTX_RL = 17
+CTX_UNI = 18
+
+_QE = jnp.asarray(MQ_QE, dtype=jnp.uint32)
+_NMPS = jnp.asarray(MQ_NMPS, dtype=jnp.int32)
+_NLPS = jnp.asarray(MQ_NLPS, dtype=jnp.int32)
+_SWITCH = jnp.asarray(MQ_SWITCH, dtype=jnp.int32)
+
+_ZC_LUT = jnp.asarray(build_zc_lut().reshape(-1), dtype=jnp.int32)  # [o,h,v,d]
+_SC_CTX, _SC_XOR = (jnp.asarray(t.reshape(-1), dtype=jnp.int32)
+                    for t in build_sc_lut())                        # [hs+1,vs+1]
+
+
+def _initial_ctx(b: int):
+    st = np.zeros((b, N_CTX), dtype=np.int32)
+    st[:, CTX_UNI] = 46
+    st[:, CTX_RL] = 3
+    st[:, 0] = 4
+    return jnp.asarray(st)
+
+
+# ---------------------------------------------------------------------------
+# Vector MQ decoder
+# ---------------------------------------------------------------------------
+
+def _byte(data, dlen, i):
+    """data[lane, i] with 0xFF beyond each lane's length (C.3.4 rule)."""
+    idx = jnp.clip(i, 0, data.shape[1] - 1)
+    b = jnp.take_along_axis(data, idx[:, None].astype(jnp.int32),
+                            axis=1)[:, 0]
+    return jnp.where(i < dlen, b, jnp.uint8(0xFF)).astype(jnp.uint32)
+
+
+def _bytein(mq, m):
+    """Masked BYTEIN on lanes m."""
+    a, c, ct, bp, data, dlen = mq
+    cur = _byte(data, dlen, bp)
+    nxt = _byte(data, dlen, bp + 1)
+    is_ff = cur == 0xFF
+    stop = is_ff & (nxt > 0x8F)
+    c_new = jnp.where(stop, c + 0xFF00,
+                      jnp.where(is_ff, c + (nxt << 9), c + (nxt << 8)))
+    ct_new = jnp.where(is_ff & ~stop, 7, 8)
+    bp_new = jnp.where(stop, bp, bp + 1)
+    return (jnp.where(m, a, a),
+            jnp.where(m, c_new, c),   # uint32 wraps mod 2^32
+            jnp.where(m, ct_new, ct),
+            jnp.where(m, bp_new, bp), data, dlen)
+
+
+def mq_init(data, dlen):
+    b = data.shape[0]
+    a = jnp.full((b,), 0x8000, dtype=jnp.uint32)
+    bp = jnp.zeros((b,), dtype=jnp.int32)
+    c = _byte(data, dlen, bp) << 16
+    ct = jnp.zeros((b,), dtype=jnp.int32)
+    mq = (a, c, ct, bp, data, dlen)
+    mq = _bytein(mq, jnp.ones((b,), dtype=bool))
+    a, c, ct, bp, data, dlen = mq
+    c = c << 7
+    ct = ct - 7
+    return (a, c, ct, bp, data, dlen)
+
+
+def _renorm(mq, need):
+    def cond(s):
+        a, c, ct, bp, m = s
+        return jnp.any(m)
+
+    def body(s):
+        a, c, ct, bp, m = s
+        feed = m & (ct == 0)
+        a2, c2, ct2, bp2, _, _ = _bytein((a, c, ct, bp, data, dlen), feed)
+        a3 = jnp.where(m, (a2 << 1) & 0xFFFF, a2)
+        c3 = jnp.where(m, c2 << 1, c2)
+        ct3 = jnp.where(m, ct2 - 1, ct2)
+        m2 = m & ((a3 & 0x8000) == 0)
+        return a3, c3, ct3, bp2, m2
+
+    a, c, ct, bp, data, dlen = mq
+    # do-while: every needing lane shifts at least once (C.3.3 RENORMD)
+    a, c, ct, bp, _ = jax.lax.while_loop(cond, body, (a, c, ct, bp, need))
+    return (a, c, ct, bp, data, dlen)
+
+
+def mq_decode(state, cx, active):
+    """One masked MQ decision per lane.  cx: (B,) context ids.
+
+    state = (mq, ctx_state, ctx_mps); returns (state, bit(B,) int32).
+    """
+    mq, ctx_state, ctx_mps = state
+    a, c, ct, bp, data, dlen = mq
+
+    onehot = (jnp.arange(N_CTX)[None, :] == cx[:, None])
+    i = jnp.sum(jnp.where(onehot, ctx_state, 0), axis=1)
+    mps = jnp.sum(jnp.where(onehot, ctx_mps, 0), axis=1)
+
+    qe = jnp.take(_QE, i)
+    a1 = a - qe
+    lps = (c >> 16) < qe
+    small = a1 < qe
+    msb = (a1 & 0x8000) != 0
+
+    renorm_needed = lps | ~msb
+    is_mps = jnp.where(lps, small, msb | ~small)
+    bit = jnp.where(is_mps, mps, 1 - mps)
+    use_nmps = jnp.where(lps, small, ~small)
+    new_i = jnp.where(use_nmps, jnp.take(_NMPS, i), jnp.take(_NLPS, i))
+    flip = ~use_nmps & (jnp.take(_SWITCH, i) == 1)
+    new_mps = jnp.where(flip, 1 - mps, mps)
+
+    upd = active & renorm_needed
+    a = jnp.where(active, jnp.where(lps, qe, a1), a)
+    c = jnp.where(active & ~lps, c - (qe << 16), c)
+
+    ctx_state = jnp.where(onehot & upd[:, None], new_i[:, None], ctx_state)
+    ctx_mps = jnp.where(onehot & upd[:, None], new_mps[:, None], ctx_mps)
+
+    mq = _renorm((a, c, ct, bp, data, dlen), upd)
+    bit = jnp.where(active, bit, 0).astype(jnp.int32)
+    return (mq, ctx_state, ctx_mps), bit
+
+
+# ---------------------------------------------------------------------------
+# Flag helpers (shared scan position across lanes)
+# ---------------------------------------------------------------------------
+
+def _nbhd(arr, y, x):
+    """(B,3,3) neighborhood of center (y, x); arr has a 1-cell border."""
+    return jax.lax.dynamic_slice(
+        arr, (0, y, x), (arr.shape[0], 3, 3))
+
+
+def _counts(sig, y, x):
+    n = _nbhd(sig, y, x)
+    h = n[:, 1, 0] + n[:, 1, 2]
+    v = n[:, 0, 1] + n[:, 2, 1]
+    d = n[:, 0, 0] + n[:, 0, 2] + n[:, 2, 0] + n[:, 2, 2]
+    return h, v, d
+
+
+def _zc_ctx(sig, y, x, orient):
+    h, v, d = _counts(sig, y, x)
+    idx = ((orient * 3 + h) * 3 + v) * 5 + d
+    return jnp.take(_ZC_LUT, idx)
+
+
+def _sc_ctx(sgn, y, x):
+    n = _nbhd(sgn, y, x)
+    hs = jnp.clip(n[:, 1, 0] + n[:, 1, 2], -1, 1)
+    vs = jnp.clip(n[:, 0, 1] + n[:, 2, 1], -1, 1)
+    idx = (hs + 1) * 3 + (vs + 1)
+    return jnp.take(_SC_CTX, idx), jnp.take(_SC_XOR, idx)
+
+
+def _set_center(arr, y, x, vals, m):
+    """Masked write of (B,) vals at border-offset center (y+1, x+1)."""
+    cur = jax.lax.dynamic_slice(arr, (0, y + 1, x + 1), (arr.shape[0], 1, 1))
+    new = jnp.where(m[:, None, None], vals[:, None, None], cur)
+    return jax.lax.dynamic_update_slice(arr, new.astype(arr.dtype),
+                                        (0, y + 1, x + 1))
+
+
+def _get2d(arr, y, x):
+    return jax.lax.dynamic_slice(arr, (0, y, x),
+                                 (arr.shape[0], 1, 1))[:, 0, 0]
+
+
+def _set2d(arr, y, x, vals, m):
+    cur = _get2d(arr, y, x)
+    new = jnp.where(m, vals, cur)
+    return jax.lax.dynamic_update_slice(
+        arr, new[:, None, None].astype(arr.dtype), (0, y, x))
+
+
+# ---------------------------------------------------------------------------
+# Decode passes
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def t1_decode_batch(data, dlen, numpasses, numbps, orient, wh,
+                    W: int, H: int, maxbp: int):
+    """Decode B code-blocks in lockstep.
+
+    data: (B, L) uint8 padded codewords (single segment per block)
+    dlen/numpasses/numbps/orient: (B,) int32; wh: (B, 2) int32 (w, h valid)
+    Returns (mag2 (B,H,W) int32, neg (B,H,W) bool).
+    """
+    B = data.shape[0]
+    wv = wh[:, 0]
+    hv = wh[:, 1]
+
+    mqs = (mq_init(data, dlen), _initial_ctx(B),
+           jnp.zeros((B, N_CTX), dtype=jnp.int32))
+
+    sig = jnp.zeros((B, H + 2, W + 2), dtype=jnp.int32)
+    sgn = jnp.zeros((B, H + 2, W + 2), dtype=jnp.int32)
+    visited = jnp.zeros((B, H, W), dtype=jnp.int32)
+    refined = jnp.zeros((B, H, W), dtype=jnp.int32)
+    vknown = jnp.zeros((B, H, W), dtype=jnp.int32)
+    lastp = jnp.full((B, H, W), -1, dtype=jnp.int32)
+
+    n_stripes = (H + 3) // 4
+
+    def pos_valid(y, x):
+        return (jnp.int32(x) < wv) & (jnp.int32(y) < hv)
+
+    # -- one scan position of the significance-propagation pass -------------
+    def spp_pos(carry, y, x, bp, act):
+        mqs, sig, sgn, visited, vknown, lastp = carry
+        ok = act & pos_valid(y, x)
+        cur_sig = _get2d(sig, y + 1, x + 1) != 0
+        vis = _get2d(visited, y, x) != 0
+        zc = _zc_ctx(sig, y, x, orient)
+        coded = ok & ~cur_sig & ~vis & (zc != 0)
+        mqs, bit = mq_decode(mqs, zc, coded)
+        became = coded & (bit == 1)
+        sc, xr = _sc_ctx(sgn, y, x)
+        mqs, sbit = mq_decode(mqs, sc, became)
+        neg = jnp.where(became, sbit ^ xr, 0)
+        sig = _set_center(sig, y, x, jnp.ones((B,), jnp.int32), became)
+        sgn = _set_center(sgn, y, x, jnp.where(neg == 1, -1, 1), became)
+        vknown = _set2d(vknown, y, x, jnp.int32(1) << bp, became)
+        lastp = _set2d(lastp, y, x, jnp.full((B,), bp, jnp.int32), became)
+        visited = _set2d(visited, y, x, jnp.ones((B,), jnp.int32), coded)
+        return (mqs, sig, sgn, visited, vknown, lastp)
+
+    def mrp_pos(carry, y, x, bp, act):
+        mqs, sig, visited, refined, vknown, lastp = carry
+        ok = act & pos_valid(y, x)
+        cur_sig = _get2d(sig, y + 1, x + 1) != 0
+        vis = _get2d(visited, y, x) != 0
+        ref = _get2d(refined, y, x) != 0
+        h, v, d = _counts(sig, y, x)
+        mr = jnp.where(ref, 16, jnp.where(h + v + d > 0, 15, 14))
+        coded = ok & cur_sig & ~vis
+        mqs, bit = mq_decode(mqs, mr, coded)
+        refined = _set2d(refined, y, x, jnp.ones((B,), jnp.int32), coded)
+        vknown = _set2d(vknown, y, x,
+                        _get2d(vknown, y, x) | (bit << bp), coded)
+        lastp = _set2d(lastp, y, x, jnp.full((B,), bp, jnp.int32), coded)
+        return (mqs, sig, visited, refined, vknown, lastp)
+
+    def cln_col(carry, k, x, bp, act):
+        mqs, sig, sgn, visited, vknown, lastp = carry
+        y0 = k * 4
+        # run-length mode: full stripe, nothing significant/visited, all zc==0
+        full = (jnp.int32(y0) + 4 <= hv) & (jnp.int32(x) < wv)
+        allzero = jnp.ones((B,), dtype=bool)
+        for dy in range(4):
+            allzero &= (_zc_ctx(sig, y0 + dy, x, orient) == 0)
+            allzero &= (_get2d(sig, y0 + dy + 1, x + 1) == 0)
+            allzero &= (_get2d(visited, y0 + dy, x) == 0)
+        rl_mode = act & full & allzero
+        mqs, rl = mq_decode(mqs, jnp.full((B,), CTX_RL, jnp.int32), rl_mode)
+        has = rl_mode & (rl == 1)
+        mqs, r1 = mq_decode(mqs, jnp.full((B,), CTX_UNI, jnp.int32), has)
+        mqs, r0 = mq_decode(mqs, jnp.full((B,), CTX_UNI, jnp.int32), has)
+        r = (r1 << 1) | r0
+        for dy in range(4):
+            y = y0 + dy
+            ok = act & pos_valid(y, x)
+            first = has & (r == dy)           # RL first-significant position
+            skip_rl = rl_mode & ((rl == 0) | (has & (r > dy)))
+            cur_sig = _get2d(sig, y + 1, x + 1) != 0
+            vis = _get2d(visited, y, x) != 0
+            normal = ok & ~cur_sig & ~vis & ~rl_mode | (has & (r < dy) &
+                                                        ok & ~cur_sig & ~vis)
+            zc = _zc_ctx(sig, y, x, orient)
+            mqs, bit = mq_decode(mqs, zc, normal)
+            became = (normal & (bit == 1)) | first
+            sc, xr = _sc_ctx(sgn, y, x)
+            mqs, sbit = mq_decode(mqs, sc, became)
+            neg = jnp.where(became, sbit ^ xr, 0)
+            sig = _set_center(sig, y, x, jnp.ones((B,), jnp.int32), became)
+            sgn = _set_center(sgn, y, x, jnp.where(neg == 1, -1, 1), became)
+            vknown = _set2d(vknown, y, x, jnp.int32(1) << bp, became)
+            lastp = _set2d(lastp, y, x, jnp.full((B,), bp, jnp.int32),
+                           became)
+        return (mqs, sig, sgn, visited, vknown, lastp)
+
+    # -- plane loop ----------------------------------------------------------
+    def plane_body(pi, state):
+        mqs, sig, sgn, visited, refined, vknown, lastp = state
+        bp = maxbp - 1 - pi
+        k_lane = numbps - 1 - bp          # (B,) pass-triplet index
+        act_spp = (k_lane >= 1) & (3 * k_lane - 2 < numpasses)
+        act_mrp = (k_lane >= 1) & (3 * k_lane - 1 < numpasses)
+        act_cln = (k_lane >= 0) & (3 * k_lane < numpasses)
+
+        def spp_step(s, carry):
+            stripe = s // W
+            x = s % W
+            c2 = carry
+            for dy in range(4):
+                c2 = spp_pos(c2, stripe * 4 + dy, x, bp, act_spp)
+            return c2
+
+        def mrp_step(s, carry):
+            stripe = s // W
+            x = s % W
+            c2 = carry
+            for dy in range(4):
+                c2 = mrp_pos(c2, stripe * 4 + dy, x, bp, act_mrp)
+            return c2
+
+        def cln_step(s, carry):
+            stripe = s // W
+            x = s % W
+            return cln_col(carry, stripe, x, bp, act_cln)
+
+        carry = (mqs, sig, sgn, visited, vknown, lastp)
+        carry = jax.lax.fori_loop(0, n_stripes * W, spp_step, carry)
+        mqs, sig, sgn, visited, vknown, lastp = carry
+        carry = (mqs, sig, visited, refined, vknown, lastp)
+        carry = jax.lax.fori_loop(0, n_stripes * W, mrp_step, carry)
+        mqs, sig, visited, refined, vknown, lastp = carry
+        carry = (mqs, sig, sgn, visited, vknown, lastp)
+        carry = jax.lax.fori_loop(0, n_stripes * W, cln_step, carry)
+        mqs, sig, sgn, visited, vknown, lastp = carry
+        visited = jnp.zeros_like(visited)
+        return (mqs, sig, sgn, visited, refined, vknown, lastp)
+
+    state = (mqs, sig, sgn, visited, refined, vknown, lastp)
+    state = jax.lax.fori_loop(0, maxbp, plane_body, state)
+    _, sig, sgn, _, _, vknown, lastp = state
+
+    sig_mask = lastp >= 0
+    mag2 = jnp.where(sig_mask, vknown * 2 + (jnp.int32(1) << jnp.maximum(
+        lastp, 0)), 0)
+    neg = sgn[:, 1:H + 1, 1:W + 1] < 0
+    return mag2, neg
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+def _pow2_at_least(v: int, lo: int = 4, hi: int = 64) -> int:
+    p = lo
+    while p < v and p < hi:
+        p *= 2
+    return p
+
+
+def decode_blocks(blocks: list[dict], interpret: bool = False):
+    """Decode a list of block descriptors on the device, bucketed by shape.
+
+    Each descriptor: {data: bytes, numpasses, numbps, orient, w, h}.
+    Returns per-block (mag2, neg) numpy arrays of shape (h, w).
+    """
+    results: list = [None] * len(blocks)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, b in enumerate(blocks):
+        if b["numpasses"] <= 0 or b["numbps"] <= 0:
+            results[i] = (np.zeros((b["h"], b["w"]), np.int64),
+                          np.zeros((b["h"], b["w"]), bool))
+            continue
+        key = (_pow2_at_least(b["w"]), _pow2_at_least(b["h"]))
+        buckets.setdefault(key, []).append(i)
+
+    for (W, H), idxs in buckets.items():
+        B = len(idxs)
+        maxlen = max(len(blocks[i]["data"]) for i in idxs)
+        L = max(8, -(-maxlen // 64) * 64)
+        data = np.zeros((B, L), dtype=np.uint8)
+        dlen = np.zeros((B,), dtype=np.int32)
+        npass = np.zeros((B,), dtype=np.int32)
+        nbps = np.zeros((B,), dtype=np.int32)
+        ori = np.zeros((B,), dtype=np.int32)
+        wh = np.zeros((B, 2), dtype=np.int32)
+        for j, i in enumerate(idxs):
+            b = blocks[i]
+            d = b["data"]
+            data[j, :len(d)] = np.frombuffer(d, dtype=np.uint8)
+            dlen[j] = len(d)
+            npass[j] = b["numpasses"]
+            nbps[j] = b["numbps"]
+            ori[j] = b["orient"]
+            wh[j] = (b["w"], b["h"])
+        maxbp = -(-int(nbps.max()) // 4) * 4   # round up: stable jit cache
+        fn = t1_decode_batch
+        if interpret:
+            fn = fn.__wrapped__          # un-jitted for debugging
+        mag2, neg = fn(jnp.asarray(data), jnp.asarray(dlen),
+                       jnp.asarray(npass), jnp.asarray(nbps),
+                       jnp.asarray(ori), jnp.asarray(wh), W, H, maxbp)
+        mag2 = np.asarray(mag2)
+        neg = np.asarray(neg)
+        for j, i in enumerate(idxs):
+            b = blocks[i]
+            results[i] = (mag2[j, :b["h"], :b["w"]].astype(np.int64),
+                          neg[j, :b["h"], :b["w"]])
+    return results

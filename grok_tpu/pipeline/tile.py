@@ -315,27 +315,20 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                 raise
             break   # truncated stream: decode what we have
 
-    # -- T1 decode + dequantize + inverse DWT per component ------------------
-    out = []
-    max_res_all = max(s.num_resolutions for s in geo.styles)
+    # -- T1 decode (batched on device or scalar) -----------------------------
+    use_jax = dp.backend == "jax"
+    jobs: list[dict] = []       # block descriptors + placement info
     for c, tcg in enumerate(geo.tcgs):
         quant = geo.quants[c]
         cs = geo.styles[c]
-        irrev = cs.irreversible
-        style = cs.cblk_style
         numres = cs.num_resolutions
         r_lim = max(numres - dp.reduce, 1) if dp.reduce else numres
-        bands_out: list = [None] * numres
         for rg in tcg.resolutions:
             if rg.r >= r_lim:
                 continue
-            per_orient = {}
             for band_i, bg in enumerate(rg.bands):
                 orient = bg.orient
-                delta = quant.delta(rg.r, orient)
                 mb = quant.mb(rg.r, orient)
-                dt = np.float64 if irrev else np.int64
-                arr = np.zeros((bg.rect.h, bg.rect.w), dtype=dt)
                 for p in range(rg.num_precincts):
                     ctx = ctxs[(c, rg.r, p)]
                     bp = ctx.bands[band_i][1]
@@ -347,26 +340,79 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                             body, dp.max_layers)
                         if npass <= 0:
                             continue
-                        numbps = mb - st.zb
-                        mag2, neg = decode_block(
-                            data, seg_lens, npass, numbps, orient,
-                            cb.rect.w, cb.rect.h, style, dp.strict)
-                        vals = dequantize_band(mag2, neg, delta, not irrev)
-                        r0 = cb.rect
-                        arr[r0.y0 - bg.rect.y0:r0.y1 - bg.rect.y0,
-                            r0.x0 - bg.rect.x0:r0.x1 - bg.rect.x0] = vals
+                        jobs.append(dict(
+                            data=data, seg_lens=seg_lens, numpasses=npass,
+                            numbps=mb - st.zb, orient=orient,
+                            w=cb.rect.w, h=cb.rect.h,
+                            style=cs.cblk_style, comp=c, res=rg.r,
+                            band_i=band_i, rect=cb.rect))
+
+    results: list = [None] * len(jobs)
+    if use_jax:
+        from grok_tpu.ops.t1_dec import decode_blocks as _dev_decode
+        dev_idx = [i for i, j in enumerate(jobs)
+                   if j["style"] == 0 and len(j["seg_lens"]) <= 1]
+        if dev_idx:
+            dev_res = _dev_decode([jobs[i] for i in dev_idx])
+            for i, r_ in zip(dev_idx, dev_res):
+                results[i] = r_
+    for i, j in enumerate(jobs):
+        if results[i] is None:
+            results[i] = decode_block(
+                j["data"], j["seg_lens"], j["numpasses"], j["numbps"],
+                j["orient"], j["w"], j["h"], j["style"], dp.strict)
+
+    # -- dequantize into band arrays + inverse DWT per component -------------
+    out = []
+    for c, tcg in enumerate(geo.tcgs):
+        quant = geo.quants[c]
+        cs = geo.styles[c]
+        irrev = cs.irreversible
+        numres = cs.num_resolutions
+        r_lim = max(numres - dp.reduce, 1) if dp.reduce else numres
+        bands_out: list = [None] * numres
+        for rg in tcg.resolutions:
+            if rg.r >= r_lim:
+                continue
+            per_orient = {}
+            for band_i, bg in enumerate(rg.bands):
+                orient = bg.orient
+                delta = quant.delta(rg.r, orient)
+                dt = np.float64 if irrev else np.int64
+                arr = np.zeros((bg.rect.h, bg.rect.w), dtype=dt)
+                for j, res_ in zip(jobs, results):
+                    if (j["comp"] != c or j["res"] != rg.r
+                            or j["band_i"] != band_i):
+                        continue
+                    mag2, neg = res_
+                    vals = dequantize_band(mag2, neg, delta, not irrev)
+                    r0 = j["rect"]
+                    arr[r0.y0 - bg.rect.y0:r0.y1 - bg.rect.y0,
+                        r0.x0 - bg.rect.x0:r0.x1 - bg.rect.x0] = vals
                 per_orient[orient] = arr
             if rg.r == 0:
                 bands_out[0] = per_orient[BAND_LL]
             else:
                 bands_out[rg.r] = (per_orient[1], per_orient[2],
                                    per_orient[3])
-        cur = bands_out[0]
         nl = numres - 1
-        for r in range(1, r_lim):
-            rect = geo.comp_rects[c].ceil_scale(1 << (nl - r), 1 << (nl - r))
-            hl, lh, hh = bands_out[r]
-            cur = dwt_np.inv_2d_level(cur, hl, lh, hh, rect, irrev)
+        if use_jax:
+            from grok_tpu.ops import dwt as dwt_dev
+            dt = "float32" if irrev else "int32"
+            flat = [np.asarray(bands_out[0], dtype=dt)]
+            for r in range(1, r_lim):
+                flat += [np.asarray(b, dtype=dt) for b in bands_out[r]]
+            rect = geo.comp_rects[c]
+            cur = np.asarray(dwt_dev.inv_multilevel_flat(
+                tuple(flat), (rect.x0, rect.y0, rect.x1, rect.y1),
+                numres, irrev, r_lim))
+        else:
+            cur = bands_out[0]
+            for r in range(1, r_lim):
+                rect = geo.comp_rects[c].ceil_scale(1 << (nl - r),
+                                                    1 << (nl - r))
+                hl, lh, hh = bands_out[r]
+                cur = dwt_np.inv_2d_level(cur, hl, lh, hh, rect, irrev)
         out.append(cur)
 
     # -- inverse MCT + DC unshift -------------------------------------------

@@ -16,9 +16,17 @@ import numpy as np
 
 
 def main():
+    import jax
     if os.environ.get("GROK_BENCH_PLATFORM"):
-        import jax
         jax.config.update("jax_platforms", os.environ["GROK_BENCH_PLATFORM"])
+    try:  # persistent compile cache: slow TPU compiles happen once, ever
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
 
     from grok_tpu import CompressParams, DecompressParams, compress, decompress
     from grok_tpu.util.oracle import (HAVE_ORACLE, oracle_decode,

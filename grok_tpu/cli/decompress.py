@@ -1,0 +1,90 @@
+"""grk_decompress-parity CLI: decode J2K/JP2 to raster images.
+
+[grok: src/bin/jp2/GrkDecompress.cpp]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from grok_tpu.api import decompress
+from grok_tpu.core.params import DecompressParams
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="grk_decompress",
+        description="TPU-native JPEG 2000 decoder (grok_tpu)")
+    p.add_argument("-i", "--in-file")
+    p.add_argument("-o", "--out-file", required=True)
+    p.add_argument("-batch", "--in-dir")
+    p.add_argument("-out_dir")
+    p.add_argument("-r", "--reduce", type=int, default=0,
+                   help="discard this many resolution levels")
+    p.add_argument("-l", "--layers", type=int, default=0,
+                   help="decode only the first N layers")
+    p.add_argument("-T", "--tile", type=int, default=None,
+                   help="decode a single tile")
+    p.add_argument("-d", "--region", help="decode region x0,y0,x1,y1")
+    p.add_argument("-c", "--components", help="component subset, e.g. 0,1")
+    p.add_argument("-f", "--force", dest="permissive", action="store_true",
+                   help="permissive mode: decode truncated/corrupt streams")
+    p.add_argument("-B", "--backend", choices=["scalar", "jax"],
+                   default="jax")
+    p.add_argument("-e", "--repetitions", type=int, default=1,
+                   help="repeat decode (performance measurement)")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def decode_one(in_path: str, out_path: str, dp: DecompressParams,
+               reps: int, verbose: bool) -> int:
+    from grok_tpu.util.imageio import write_image
+    with open(in_path, "rb") as f:
+        data = f.read()
+    t_best = float("inf")
+    img = None
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        img = decompress(data, dp)
+        t_best = min(t_best, time.perf_counter() - t0)
+    write_image(out_path, img)
+    if verbose:
+        mp = img.w * img.h / 1e6
+        print(f"[grk_decompress] {in_path} -> {out_path}: "
+              f"{mp / t_best:.2f} MP/s", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    a = build_parser().parse_args(argv)
+    dp = DecompressParams(reduce=a.reduce, max_layers=a.layers,
+                          tile_index=a.tile, strict=not a.permissive,
+                          backend=a.backend)
+    if a.region:
+        dp.window = tuple(int(v) for v in a.region.split(","))
+    if a.components:
+        dp.components = [int(v) for v in a.components.split(",")]
+    if a.in_dir:
+        out_dir = a.out_dir or a.in_dir
+        os.makedirs(out_dir, exist_ok=True)
+        rc = 0
+        for name in sorted(os.listdir(a.in_dir)):
+            base, ext = os.path.splitext(name)
+            if ext.lower() not in (".j2k", ".jp2", ".j2c", ".jpc", ".jph"):
+                continue
+            rc |= decode_one(os.path.join(a.in_dir, name),
+                             os.path.join(out_dir, base + ".png"),
+                             dp, a.repetitions, a.verbose)
+        return rc
+    if not a.in_file:
+        print("error: -i or -batch required", file=sys.stderr)
+        return 2
+    return decode_one(a.in_file, a.out_file, dp, a.repetitions, a.verbose)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

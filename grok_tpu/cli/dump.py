@@ -1,0 +1,117 @@
+"""grk_dump-parity CLI: print codestream structure.
+
+[grok: src/bin/jp2/GrkDump; upstream opj_dump_codec verified in SURVEY §1.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from grok_tpu.codestream import j2k, jp2
+from grok_tpu.core.params import ProgOrder
+from grok_tpu.core.quant import QSTYLE_DERIVED, QSTYLE_EXPOUNDED, QSTYLE_NONE
+
+
+def dump_codestream(data: bytes, out=sys.stdout, verbose: bool = False):
+    w = out.write
+    if jp2.is_jp2(data):
+        s, e, meta = jp2.parse_jp2(data)
+        w("JP2 container:\n")
+        w(f"  image {meta.width}x{meta.height}, {meta.numcomps} components\n")
+        w(f"  color space: {meta.color_space.name}\n")
+        if meta.icc_profile:
+            w(f"  ICC profile: {len(meta.icc_profile)} bytes\n")
+        if meta.palette:
+            w(f"  palette: {len(meta.palette.entries)} entries x "
+              f"{len(meta.palette.bit_depths)} channels\n")
+        if meta.cdef:
+            w(f"  channel definitions: {len(meta.cdef)}\n")
+        if meta.capture_resolution:
+            w(f"  capture resolution: {meta.capture_resolution}\n")
+        cs = data[s:e]
+    elif jp2.is_j2k(data):
+        cs = data
+    else:
+        raise ValueError("not a JPEG 2000 stream")
+
+    hdr = j2k.read_main_header(cs)
+    g = hdr.siz.normalized()
+    w("Main header:\n")
+    w(f"  SIZ: image [{g.xosiz},{g.yosiz}]..[{g.xsiz},{g.ysiz}] "
+      f"tiles {g.xtsiz}x{g.ytsiz} origin [{g.xtosiz},{g.ytosiz}] "
+      f"({hdr.siz.num_tiles_x}x{hdr.siz.num_tiles_y} = "
+      f"{hdr.siz.num_tiles} tiles)\n")
+    w(f"  Rsiz: 0x{hdr.rsiz:04X}\n")
+    for i, c in enumerate(hdr.comps):
+        w(f"  comp[{i}]: prec={c.prec} sgnd={int(c.sgnd)} "
+          f"dx={c.dx} dy={c.dy}\n")
+    cod = hdr.cod
+    w(f"  COD: prog={ProgOrder(cod.prog_order).name} layers={cod.num_layers}"
+      f" mct={cod.mct} sop={int(cod.sop)} eph={int(cod.eph)}\n")
+    cs_ = cod.comp
+    w(f"       resolutions={cs_.num_resolutions} "
+      f"cblk={1 << cs_.cblk_w_exp}x{1 << cs_.cblk_h_exp} "
+      f"style=0x{cs_.cblk_style:02X} "
+      f"transform={'9/7' if cs_.irreversible else '5/3'}\n")
+    if cs_.prec_exps:
+        w(f"       precincts={['%dx%d' % (1 << px, 1 << py) for (px, py) in cs_.prec_exps]}\n")
+    for c, cc in sorted(hdr.coc.items()):
+        w(f"  COC[{c}]: resolutions={cc.num_resolutions} "
+          f"cblk={1 << cc.cblk_w_exp}x{1 << cc.cblk_h_exp}\n")
+    qn = {QSTYLE_NONE: "reversible(none)", QSTYLE_DERIVED: "derived",
+          QSTYLE_EXPOUNDED: "expounded"}
+    w(f"  QCD: style={qn.get(hdr.qcd.style)} guard={hdr.qcd.guard_bits}\n")
+    if verbose:
+        for bi, s_ in enumerate(hdr.qcd.steps):
+            w(f"       band[{bi}]: expn={s_.expn} mant={s_.mant}\n")
+    for c, q in sorted(hdr.qcc.items()):
+        w(f"  QCC[{c}]: style={qn.get(q.style)} guard={q.guard_bits}\n")
+    for c, s_ in sorted(hdr.rgn.items()):
+        w(f"  RGN[{c}]: shift={s_}\n")
+    for p in hdr.pocs:
+        w(f"  POC: r[{p.rs},{p.re}) c[{p.cs},{p.ce}) layers<{p.layer_end}"
+          f" order={ProgOrder(p.order).name}\n")
+    if hdr.cap:
+        w(f"  CAP: Pcap=0x{hdr.cap[0]:08X} Scap={hdr.cap[1]}\n")
+    for reg, com in hdr.comments:
+        try:
+            txt = com.decode("latin-1")
+        except Exception:
+            txt = repr(com)
+        w(f"  COM ({'text' if reg == 1 else 'binary'}): {txt}\n")
+    if hdr.tlm:
+        w(f"  TLM: {len(hdr.tlm)} entries\n")
+        if verbose:
+            for (t, ln) in hdr.tlm:
+                w(f"       tile {t}: {ln} bytes\n")
+
+    parts = j2k.read_tile_parts(cs, hdr, strict=False)
+    w(f"Tile parts: {len(parts)}\n")
+    for p in parts:
+        w(f"  tile {p.tile_index} part {p.part_index}/{p.num_parts}: "
+          f"header@{p.header_start} data [{p.data_start},{p.data_end}) "
+          f"({p.data_end - p.data_start} bytes)\n")
+        if verbose:
+            th = j2k.TileHeader()
+            j2k.read_tile_part_header(cs, p, hdr, th)
+            if th.plt:
+                w(f"    PLT: {len(th.plt)} packet lengths "
+                  f"(sum {sum(th.plt)})\n")
+            if th.ppt is not None:
+                w(f"    PPT: {len(th.ppt)} header bytes\n")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="grk_dump")
+    p.add_argument("-i", "--in-file", required=True)
+    p.add_argument("-v", "--verbose", action="store_true")
+    a = p.parse_args(argv)
+    with open(a.in_file, "rb") as f:
+        data = f.read()
+    dump_codestream(data, verbose=a.verbose)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

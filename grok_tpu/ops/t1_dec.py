@@ -94,24 +94,36 @@ def mq_init(data, dlen):
     return (a, c, ct, bp, data, dlen)
 
 
+def _nbits_to_msb(a):
+    """Shifts needed to bring bit 15 up: 16 - bit_length(a), a in [1,0xFFFF].
+
+    f32 log2 is exact for 16-bit integers.
+    """
+    bl = (jnp.floor(jnp.log2(jnp.maximum(a, 1).astype(jnp.float32)))
+          .astype(jnp.int32) + 1)
+    return 16 - bl
+
+
 def _renorm(mq, need):
-    def cond(s):
-        a, c, ct, bp, m = s
-        return jnp.any(m)
+    """C.3.3 RENORMD as a bounded 3-step unroll (no while_loop: the TPU
+    compiler chokes on data-dependent loops inside the scan nest).
 
-    def body(s):
-        a, c, ct, bp, m = s
-        feed = m & (ct == 0)
-        a2, c2, ct2, bp2, _, _ = _bytein((a, c, ct, bp, data, dlen), feed)
-        a3 = jnp.where(m, (a2 << 1) & 0xFFFF, a2)
-        c3 = jnp.where(m, c2 << 1, c2)
-        ct3 = jnp.where(m, ct2 - 1, ct2)
-        m2 = m & ((a3 & 0x8000) == 0)
-        return a3, c3, ct3, bp2, m2
-
+    The shift count n = 16 - bit_length(a) is computed directly; shifts are
+    applied in chunks bounded by CT, feeding bytes when CT reaches 0.  After
+    the first chunk every BYTEIN restores CT >= 7, and n <= 15, so three
+    chunks always suffice.
+    """
     a, c, ct, bp, data, dlen = mq
-    # do-while: every needing lane shifts at least once (C.3.3 RENORMD)
-    a, c, ct, bp, _ = jax.lax.while_loop(cond, body, (a, c, ct, bp, need))
+    n = jnp.where(need, _nbits_to_msb(a), 0)
+    for _ in range(3):
+        m = n > 0
+        feed = m & (ct == 0)
+        a, c, ct, bp, _, _ = _bytein((a, c, ct, bp, data, dlen), feed)
+        s = jnp.minimum(n, jnp.where(ct > 0, ct, 0)).astype(jnp.uint32)
+        a = jnp.where(m, (a << s) & 0xFFFF, a)
+        c = jnp.where(m, c << s, c)
+        ct = jnp.where(m, ct - s.astype(jnp.int32), ct)
+        n = n - s.astype(jnp.int32)
     return (a, c, ct, bp, data, dlen)
 
 

@@ -1,0 +1,446 @@
+"""Batched Tier-1 (EBCOT/MQ) block ENCODER for the device — JAX.
+
+Mirror of ops/t1_dec.py: B code-blocks encode in lockstep, one lane per
+block, branch-free MQ coder with masked lanes.  Default code-block style,
+single codeword segment (the host scalar coder handles special styles).
+
+Device outputs: codeword bytes, per-pass byte watermarks (the PCRD rate
+points), and a significance-type map (SPP vs CLN, at the magnitude MSB
+plane) from which the host reconstructs the exact per-pass distortion that
+the scalar encoder logs — so PCRD sees identical (R, D) envelopes.
+
+[grok: src/lib/core/t1/t1_part1/ encoder; ISO 15444-1 C.2/D.4]
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grok_tpu.ops.t1_dec import (_SC_CTX, _SC_XOR, _counts, _get2d, _nbhd,
+                                 _sc_ctx, _set2d, _set_center, _zc_ctx)
+from grok_tpu.t1.mq import MQ_NLPS, MQ_NMPS, MQ_QE, MQ_SWITCH
+from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo, pass_schedule
+
+N_CTX = 19
+CTX_RL = 17
+CTX_UNI = 18
+
+_QE = jnp.asarray(MQ_QE, dtype=jnp.uint32)
+_NMPS = jnp.asarray(MQ_NMPS, dtype=jnp.int32)
+_NLPS = jnp.asarray(MQ_NLPS, dtype=jnp.int32)
+_SWITCH = jnp.asarray(MQ_SWITCH, dtype=jnp.int32)
+
+SIG_NONE, SIG_SPP, SIG_CLN = 0, 1, 2
+
+
+def _initial_ctx(b: int):
+    st = np.zeros((b, N_CTX), dtype=np.int32)
+    st[:, CTX_UNI] = 46
+    st[:, CTX_RL] = 3
+    st[:, 0] = 4
+    return jnp.asarray(st)
+
+
+# ---------------------------------------------------------------------------
+# Vector MQ encoder
+# ---------------------------------------------------------------------------
+# enc state: (a, c, ct, bp, out) — out (B, L) uint8 with carry sentinel at
+# index 0; bp indexes the last written byte ("B" of C.2.6).
+
+def _out_get(out, bp):
+    idx = jnp.clip(bp, 0, out.shape[1] - 1)
+    return jnp.take_along_axis(out, idx[:, None].astype(jnp.int32),
+                               axis=1)[:, 0].astype(jnp.uint32)
+
+
+def _out_set(out, bp, val, m):
+    idx = jnp.clip(bp, 0, out.shape[1] - 1)
+    cur = _out_get(out, bp)
+    new = jnp.where(m, val & 0xFF, cur).astype(jnp.uint8)
+    return jnp.put_along_axis(out, idx[:, None].astype(jnp.int32),
+                              new[:, None], axis=1, inplace=False)
+
+
+def _byteout(st, m):
+    """Masked BYTEOUT (C.2.6)."""
+    a, c, ct, bp, out = st
+    cur = _out_get(out, bp)
+    is_ff = cur == 0xFF
+    nocarry = c < 0x8000000
+    # carry branch: out[bp] += 1 (may become 0xFF)
+    carry = m & ~is_ff & ~nocarry
+    out = _out_set(out, bp, cur + 1, carry)
+    cur2 = jnp.where(carry, cur + 1, cur)
+    now_ff = cur2 == 0xFF
+    # emit-7 (after 0xFF): write c>>20, keep low 20 bits, ct=7
+    emit7 = m & (is_ff | (~nocarry & now_ff))
+    # emit-8: write c>>19, keep low 19 bits, ct=8
+    emit8 = m & ~emit7
+    c_pre = jnp.where(m & ~is_ff & ~nocarry & now_ff, c & 0x7FFFFFF, c)
+    bp2 = jnp.where(m, bp + 1, bp)
+    val = jnp.where(emit7, c_pre >> 20, c_pre >> 19)
+    out = _out_set(out, bp2, val, m)
+    c2 = jnp.where(emit7, c_pre & 0xFFFFF, c_pre & 0x7FFFF)
+    c3 = jnp.where(m, c2, c)
+    ct2 = jnp.where(emit7, 7, 8)
+    ct3 = jnp.where(m, ct2, ct)
+    return (a, c3, ct3, bp2, out)
+
+
+def _enc_renorm(st, need):
+    """C.2.8 RENORME as a bounded 3-chunk unroll (see t1_dec._renorm: the
+    TPU compiler cannot handle while_loops inside the scan nest).
+
+    Shift-first do-while: shift in chunks bounded by CT, firing BYTEOUT
+    when CT reaches 0 (BYTEOUT restores CT >= 7; n <= 15, encoder CT <= 13,
+    so three chunks suffice).
+    """
+    a, c, ct, bp, out = st
+    bl = (jnp.floor(jnp.log2(jnp.maximum(a, 1).astype(jnp.float32)))
+          .astype(jnp.int32) + 1)
+    n = jnp.where(need, 16 - bl, 0)
+    for _ in range(3):
+        m = n > 0
+        s = jnp.minimum(n, ct).astype(jnp.uint32)
+        a = jnp.where(m, (a << s) & 0xFFFF, a)
+        c = jnp.where(m, (c << s) & 0xFFFFFFF, c)
+        ct = jnp.where(m, ct - s.astype(jnp.int32), ct)
+        n = n - s.astype(jnp.int32)
+        fire = m & (ct == 0)
+        a, c, ct, bp, out = _byteout((a, c, ct, bp, out), fire)
+    return (a, c, ct, bp, out)
+
+
+def mq_encode(state, d, cx, active):
+    """Masked MQ ENCODE (C.2.5).  d: (B,) bit, cx: (B,) context ids."""
+    enc, ctx_state, ctx_mps = state
+    a, c, ct, bp, out = enc
+
+    onehot = (jnp.arange(N_CTX)[None, :] == cx[:, None])
+    i = jnp.sum(jnp.where(onehot, ctx_state, 0), axis=1)
+    mps = jnp.sum(jnp.where(onehot, ctx_mps, 0), axis=1)
+
+    qe = jnp.take(_QE, i)
+    a1 = a - qe
+    msb = (a1 & 0x8000) != 0
+    small = a1 < qe
+    is_mps = d == mps
+
+    # c and a updates
+    add_c = jnp.where(is_mps, msb | ~small, small)
+    c2 = jnp.where(active & add_c, c + qe, c)
+    set_a_qe = jnp.where(is_mps, ~msb & small, ~small)
+    a2 = jnp.where(active, jnp.where(set_a_qe, qe, a1), a)
+    a2 = jnp.where(active & is_mps & msb, a1, a2)
+
+    renorm_needed = jnp.where(is_mps, ~msb, jnp.ones_like(msb))
+    upd = active & renorm_needed
+    new_i = jnp.where(is_mps, jnp.take(_NMPS, i), jnp.take(_NLPS, i))
+    flip = ~is_mps & (jnp.take(_SWITCH, i) == 1)
+    new_mps = jnp.where(flip, 1 - mps, mps)
+    ctx_state = jnp.where(onehot & upd[:, None], new_i[:, None], ctx_state)
+    ctx_mps = jnp.where(onehot & upd[:, None], new_mps[:, None], ctx_mps)
+
+    enc = _enc_renorm((a2, c2, ct, bp, out), upd)
+    return (enc, ctx_state, ctx_mps)
+
+
+def mq_flush(enc, active):
+    """C.2.9 FLUSH.  Returns (enc, final_len (B,)) — sentinel excluded."""
+    a, c, ct, bp, out = enc
+    tempc = c + a
+    c1 = c | 0xFFFF
+    c1 = jnp.where(c1 >= tempc, c1 - 0x8000, c1)
+    c1 = jnp.where(active, c1, c)
+    enc = (a, (c1 << ct) & 0xFFFFFFF, ct, bp, out)
+    enc = _byteout(enc, active)
+    a, c2, ct2, bp2, out = enc
+    enc = (a, (c2 << ct2) & 0xFFFFFFF, ct2, bp2, out)
+    enc = _byteout(enc, active)
+    a, c3, ct3, bp3, out = enc
+    last = _out_get(out, bp3)
+    bp4 = jnp.where(active & (last != 0xFF), bp3 + 1, bp3)
+    return (a, c3, ct3, bp4, out), jnp.maximum(bp4 - 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Encode passes
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def t1_encode_batch(mag, neg, orient, numbps, msbmap,
+                    W: int, H: int, maxbp: int, L: int):
+    """Encode B code-blocks in lockstep.
+
+    mag: (B, H, W) int32 magnitudes; neg: (B, H, W) bool; orient: (B,);
+    numbps: (B,) per-lane magnitude bitplane counts (host-exact);
+    msbmap: (B, H, W) int32 per-position MSB plane (-1 where mag == 0).
+    Blocks are bucketed by their EXACT (w, h) — no padding, because padded
+    positions would be entropy-coded as insignificant samples.
+    Returns (out (B,L) uint8 [sentinel at 0], lengths (B,),
+             rates (B, 3*maxbp) int32 conservative per-pass watermarks,
+             sigtype (B, H, W) int8).
+    """
+    B = mag.shape[0]
+
+    enc0 = (jnp.full((B,), 0x8000, jnp.uint32),
+            jnp.zeros((B,), jnp.uint32),
+            jnp.full((B,), 12, jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B, L), jnp.uint8))
+    mqs = (enc0, _initial_ctx(B), jnp.zeros((B, N_CTX), jnp.int32))
+
+    sig = jnp.zeros((B, H + 2, W + 2), dtype=jnp.int32)
+    sgn = jnp.zeros((B, H + 2, W + 2), dtype=jnp.int32)
+    visited = jnp.zeros((B, H, W), dtype=jnp.int32)
+    sigtype = jnp.zeros((B, H, W), dtype=jnp.int8)
+    rates = jnp.zeros((B, 3 * maxbp), dtype=jnp.int32)
+
+    n_stripes = (H + 3) // 4
+    npass_max = 3 * maxbp
+
+    def magbit(y, x, bp):
+        v = jax.lax.dynamic_slice(mag, (0, y, x), (B, 1, 1))[:, 0, 0]
+        return ((v >> bp) & 1).astype(jnp.int32)
+
+    def negbit(y, x):
+        v = jax.lax.dynamic_slice(neg, (0, y, x), (B, 1, 1))[:, 0, 0]
+        return v.astype(jnp.int32)
+
+    def spp_pos(carry, y, x, bp, act):
+        mqs, sig, sgn, visited, sigtype = carry
+        cur_sig = _get2d(sig, y + 1, x + 1) != 0
+        vis = _get2d(visited, y, x) != 0
+        zc = _zc_ctx(sig, y, x, orient)
+        coded = act & ~cur_sig & ~vis & (zc != 0)
+        bit = magbit(y, x, bp)
+        mqs = mq_encode(mqs, bit, zc, coded)
+        became = coded & (bit == 1)
+        sc, xr = _sc_ctx(sgn, y, x)
+        nb = negbit(y, x)
+        mqs = mq_encode(mqs, nb ^ xr, sc, became)
+        sig = _set_center(sig, y, x, jnp.ones((B,), jnp.int32), became)
+        sgn = _set_center(sgn, y, x, jnp.where(nb == 1, -1, 1), became)
+        sigtype = _set2d(sigtype, y, x,
+                         jnp.full((B,), SIG_SPP, jnp.int8), became)
+        visited = _set2d(visited, y, x, jnp.ones((B,), jnp.int32), coded)
+        return (mqs, sig, sgn, visited, sigtype)
+
+    def cln_col(carry, k, x, bp, act):
+        mqs, sig, sgn, visited, sigtype = carry
+        y0 = k * 4
+        full = jnp.full((B,), y0 + 4 <= H, dtype=bool)
+        allzero = jnp.ones((B,), dtype=bool)
+        bits4 = []
+        for dy in range(4):
+            allzero &= (_zc_ctx(sig, y0 + dy, x, orient) == 0)
+            allzero &= (_get2d(sig, y0 + dy + 1, x + 1) == 0)
+            allzero &= (_get2d(visited, y0 + dy, x) == 0)
+            bits4.append(magbit(y0 + dy, x, bp))
+        rl_mode = act & full & allzero
+        any1 = (bits4[0] | bits4[1] | bits4[2] | bits4[3]) == 1
+        rlbit = jnp.where(any1, 1, 0)
+        mqs = mq_encode(mqs, rlbit, jnp.full((B,), CTX_RL, jnp.int32),
+                        rl_mode)
+        has = rl_mode & any1
+        # r = index of first 1 bit
+        r = jnp.where(bits4[0] == 1, 0,
+                      jnp.where(bits4[1] == 1, 1,
+                                jnp.where(bits4[2] == 1, 2, 3)))
+        mqs = mq_encode(mqs, (r >> 1) & 1,
+                        jnp.full((B,), CTX_UNI, jnp.int32), has)
+        mqs = mq_encode(mqs, r & 1,
+                        jnp.full((B,), CTX_UNI, jnp.int32), has)
+        for dy in range(4):
+            y = y0 + dy
+            first = has & (r == dy)
+            cur_sig = _get2d(sig, y + 1, x + 1) != 0
+            vis = _get2d(visited, y, x) != 0
+            normal = (act & ~cur_sig & ~vis & ~rl_mode) | (has & (r < dy)
+                                                           & ~cur_sig & ~vis)
+            zc = _zc_ctx(sig, y, x, orient)
+            bit = magbit(y, x, bp)
+            mqs = mq_encode(mqs, bit, zc, normal)
+            became = (normal & (bit == 1)) | first
+            sc, xr = _sc_ctx(sgn, y, x)
+            nb = negbit(y, x)
+            mqs = mq_encode(mqs, nb ^ xr, sc, became)
+            sig = _set_center(sig, y, x, jnp.ones((B,), jnp.int32), became)
+            sgn = _set_center(sgn, y, x, jnp.where(nb == 1, -1, 1), became)
+            sigtype = _set2d(sigtype, y, x,
+                             jnp.full((B,), SIG_CLN, jnp.int8), became)
+        return (mqs, sig, sgn, visited, sigtype)
+
+    def plane_body(pi, state):
+        mqs, sig, sgn, visited, sigtype, rates = state
+        bp = maxbp - 1 - pi
+        k_lane = numbps - 1 - bp
+        act_spp = k_lane >= 1
+        act_mrp = k_lane >= 1
+        act_cln = k_lane >= 0
+
+        def record(rates, passno_lane, mqs, act):
+            # conservative per-pass rate watermark: bytes so far + 5 slack
+            bp_bytes = mqs[0][3]            # enc bp index == numbytes
+            val = bp_bytes + 5
+            oh = (jnp.arange(npass_max)[None, :] == passno_lane[:, None])
+            return jnp.where(oh & act[:, None], val[:, None], rates)
+
+        def spp_step(s, carry):
+            stripe = s // W
+            x = s % W
+            for dy in range(4):
+                carry = spp_pos(carry, stripe * 4 + dy, x, bp, act_spp)
+            return carry
+
+        def mrp_step(s, carry):
+            mqs, sig, visited, sigtype = carry
+            stripe = s // W
+            x = s % W
+            for dy in range(4):
+                y = stripe * 4 + dy
+                cur_sig = _get2d(sig, y + 1, x + 1) != 0
+                vis = _get2d(visited, y, x) != 0
+                coded = act_mrp & cur_sig & ~vis
+                # refined-before: first MRP for a sample happens one plane
+                # below its MSB, so at plane bp it was refined before iff
+                # msb > bp + 1
+                msb = _get2d(msbmap, y, x)
+                ref_before = msb > bp + 1
+                h, vv, d = _counts(sig, y, x)
+                mr = jnp.where(ref_before, 16,
+                               jnp.where(h + vv + d > 0, 15, 14))
+                bit = magbit(y, x, bp)
+                mqs = mq_encode(mqs, bit, mr, coded)
+            return (mqs, sig, visited, sigtype)
+
+        def cln_step(s, carry):
+            stripe = s // W
+            x = s % W
+            return cln_col(carry, stripe, x, bp, act_cln)
+
+        carry = (mqs, sig, sgn, visited, sigtype)
+        carry = jax.lax.fori_loop(0, n_stripes * W, spp_step, carry)
+        mqs, sig, sgn, visited, sigtype = carry
+        rates = record(rates, 3 * k_lane - 2, mqs, act_spp)
+        carry = (mqs, sig, visited, sigtype)
+        carry = jax.lax.fori_loop(0, n_stripes * W, mrp_step, carry)
+        mqs, sig, visited, sigtype = carry
+        rates = record(rates, 3 * k_lane - 1, mqs, act_mrp)
+        carry = (mqs, sig, sgn, visited, sigtype)
+        carry = jax.lax.fori_loop(0, n_stripes * W, cln_step, carry)
+        mqs, sig, sgn, visited, sigtype = carry
+        rates = record(rates, 3 * k_lane, mqs, act_cln)
+        visited = jnp.zeros_like(visited)
+        return (mqs, sig, sgn, visited, sigtype, rates)
+
+    state = (mqs, sig, sgn, visited, sigtype, rates)
+    state = jax.lax.fori_loop(0, maxbp, plane_body, state)
+    mqs, sig, sgn, visited, sigtype, rates = state
+    enc, _, _ = mqs
+    enc, final_len = mq_flush(enc, numbps > 0)
+    return enc[4], final_len, rates, sigtype
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper: exact distortion reconstruction + EncodedBlock assembly
+# ---------------------------------------------------------------------------
+
+def _pass_distortions(mag: np.ndarray, sigtype: np.ndarray,
+                      numbps: int) -> np.ndarray:
+    """Exact per-pass distortion deltas, matching t1_scalar's upd_dist."""
+    npasses = len(pass_schedule(numbps))
+    dist = np.zeros(npasses, dtype=np.float64)
+    m = mag.astype(np.float64)
+    pos = mag > 0
+    msb = np.zeros_like(mag)
+    msb[pos] = np.floor(np.log2(mag[pos])).astype(mag.dtype)
+    rec = np.zeros_like(m)
+    for passno, (ptype, bp) in enumerate(pass_schedule(numbps)):
+        if ptype == 0:      # SPP
+            sel = pos & (msb == bp) & (sigtype == SIG_SPP)
+        elif ptype == 2:    # CLN
+            sel = pos & (msb == bp) & (sigtype == SIG_CLN)
+        else:               # MRP: refine positions significant at a higher bp
+            sel = pos & (msb > bp)
+        if not sel.any():
+            continue
+        if ptype == 1:
+            new = (np.floor_divide(mag[sel], 1 << bp) * (1 << bp)
+                   + 0.5 * (1 << bp))
+        else:
+            new = 1.5 * (1 << bp)
+        old = rec[sel]
+        dist[passno] = np.sum((m[sel] - old) ** 2 - (m[sel] - new) ** 2)
+        rec[sel] = new
+    return np.cumsum(dist)
+
+
+def encode_blocks(blocks: list[dict]) -> list[EncodedBlock]:
+    """Encode block descriptors {mag, neg, orient, w, h} on the device.
+
+    Groups by exact (w, h) — blocks are NOT padded into larger buckets
+    because insignificant padding would be entropy-coded.
+    """
+    results: list = [None] * len(blocks)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, b in enumerate(blocks):
+        if int(np.max(b["mag"])) == 0:
+            results[i] = EncodedBlock()
+            continue
+        buckets.setdefault((b["w"], b["h"]), []).append(i)
+
+    for (w, h), idxs in buckets.items():
+        B = len(idxs)
+        mag = np.zeros((B, h, w), dtype=np.int32)
+        neg = np.zeros((B, h, w), dtype=bool)
+        ori = np.zeros((B,), dtype=np.int32)
+        for j, i in enumerate(idxs):
+            b = blocks[i]
+            mag[j] = b["mag"]
+            neg[j] = b["neg"]
+            ori[j] = b["orient"]
+        nbps = np.array([int(m).bit_length()
+                         for m in mag.reshape(B, -1).max(axis=1)],
+                        dtype=np.int32)
+        msbmap = np.full((B, h, w), -1, dtype=np.int32)
+        pos = mag > 0
+        msbmap[pos] = np.floor(np.log2(mag[pos])).astype(np.int32)
+        maxbp = -(-int(nbps.max()) // 4) * 4
+        L = 2 * w * h + 128
+        out, lens, rates, sigtype = t1_encode_batch(
+            jnp.asarray(mag), jnp.asarray(neg), jnp.asarray(ori),
+            jnp.asarray(nbps), jnp.asarray(msbmap), w, h, maxbp, L)
+        out = np.asarray(out)
+        lens = np.asarray(lens)
+        rates = np.asarray(rates)
+        sigtype = np.asarray(sigtype)
+        for j, i in enumerate(idxs):
+            numbps = int(nbps[j])
+            total = int(lens[j])
+            data = bytes(out[j, 1:1 + total])
+            sched = pass_schedule(numbps)
+            npasses = len(sched)
+            dists = _pass_distortions(mag[j], sigtype[j], numbps)
+            # per-pass rates: recorded watermarks for this lane's passes are
+            # at indices offset by (maxbp - numbps) planes
+            lane_rates = []
+            for passno, (ptype, bp) in enumerate(sched):
+                k = numbps - 1 - bp
+                idx = 3 * k + (ptype - 2 if ptype != 2 else 0)
+                lane_rates.append(int(rates[j, idx]))
+            lane_rates = [min(rr, total) for rr in lane_rates]
+            for t in range(1, npasses):
+                lane_rates[t] = max(lane_rates[t], lane_rates[t - 1])
+            lane_rates[-1] = total
+            passes = [PassInfo(rate=lane_rates[t], dist=float(dists[t]),
+                               term=(t == npasses - 1))
+                      for t in range(npasses)]
+            results[i] = EncodedBlock(data=data, numbps=numbps,
+                                      passes=passes, seg_lens=[total],
+                                      seg_passes=[npasses])
+    return results

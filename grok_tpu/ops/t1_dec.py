@@ -3,13 +3,23 @@
 One lane per code-block: B blocks decode in lockstep.  Every MQ decision is
 a branch-free vector step (selects instead of branches); divergence between
 blocks (different sizes, bitplane counts, truncation points) is handled with
-per-lane masks.  The scan loops (stripe-column positions) are lax.fori_loop
-nests so the HLO stays compact; flag reads/writes are dynamic slices at the
-shared scan position.
+per-lane masks.
+
+Shape discipline, tuned for the TPU compiler (measured on the axon backend):
+- NO while_loops anywhere (the TPU compiler hangs on them inside scan
+  nests): MQ renormalization is a bounded 3-chunk unroll with computed
+  shift counts.
+- Small fori_loop bodies (compile time grows superlinearly with body size):
+  the significance and refinement passes run one scan position per
+  iteration; the cleanup pass runs as an 11-slot-per-column "slot machine"
+  with exactly one MQ decision per iteration.
+- Single gather per BYTEIN: codeword bytes are packed host-side into
+  (byte, next_byte) uint16 pairs.
 
 Supported here: default code-block style (no BYPASS/RESET/VSC/TERMALL/
 SEGSYM — those route to the scalar host coder via pipeline fallback) and
-single codeword segment per block, which is exactly what default streams use.
+single codeword segment per block, which is exactly what default streams
+use.
 
 This is the TPU replacement for the reference's per-block thread-pool T1
 [grok: src/lib/core/t1/t1_part1/, plugin batch API] — the batch axis plays
@@ -51,89 +61,90 @@ def _initial_ctx(b: int):
     return jnp.asarray(st)
 
 
+def pack_pairs(data: np.ndarray) -> np.ndarray:
+    """(B, L) uint8 -> (B, L) int32 of (byte << 8) | next_byte."""
+    nxt = np.zeros_like(data)
+    nxt[:, :-1] = data[:, 1:]
+    return (data.astype(np.int32) << 8) | nxt.astype(np.int32)
+
+
 # ---------------------------------------------------------------------------
 # Vector MQ decoder
+# mq state: (a, c, ct, bp, data16, dlen)
 # ---------------------------------------------------------------------------
 
-def _byte(data, dlen, i):
-    """data[lane, i] with 0xFF beyond each lane's length (C.3.4 rule)."""
-    idx = jnp.clip(i, 0, data.shape[1] - 1)
-    b = jnp.take_along_axis(data, idx[:, None].astype(jnp.int32),
+def _byte_pair(data16, dlen, i):
+    """One gather -> (data[i], data[i+1]) with 0xFF beyond dlen (C.3.4)."""
+    idx = jnp.clip(i, 0, data16.shape[1] - 1)
+    v = jnp.take_along_axis(data16, idx[:, None].astype(jnp.int32),
                             axis=1)[:, 0]
-    return jnp.where(i < dlen, b, jnp.uint8(0xFF)).astype(jnp.uint32)
+    cur = jnp.where(i < dlen, (v >> 8) & 0xFF, 0xFF).astype(jnp.uint32)
+    nxt = jnp.where(i + 1 < dlen, v & 0xFF, 0xFF).astype(jnp.uint32)
+    return cur, nxt
 
 
 def _bytein(mq, m):
     """Masked BYTEIN on lanes m."""
-    a, c, ct, bp, data, dlen = mq
-    cur = _byte(data, dlen, bp)
-    nxt = _byte(data, dlen, bp + 1)
+    a, c, ct, bp, data16, dlen = mq
+    cur, nxt = _byte_pair(data16, dlen, bp)
     is_ff = cur == 0xFF
     stop = is_ff & (nxt > 0x8F)
     c_new = jnp.where(stop, c + 0xFF00,
                       jnp.where(is_ff, c + (nxt << 9), c + (nxt << 8)))
     ct_new = jnp.where(is_ff & ~stop, 7, 8)
     bp_new = jnp.where(stop, bp, bp + 1)
-    return (jnp.where(m, a, a),
+    return (a,
             jnp.where(m, c_new, c),   # uint32 wraps mod 2^32
             jnp.where(m, ct_new, ct),
-            jnp.where(m, bp_new, bp), data, dlen)
+            jnp.where(m, bp_new, bp), data16, dlen)
 
 
-def mq_init(data, dlen):
-    b = data.shape[0]
+def mq_init(data16, dlen):
+    b = data16.shape[0]
     a = jnp.full((b,), 0x8000, dtype=jnp.uint32)
     bp = jnp.zeros((b,), dtype=jnp.int32)
-    c = _byte(data, dlen, bp) << 16
+    cur, _ = _byte_pair(data16, dlen, bp)
+    c = cur << 16
     ct = jnp.zeros((b,), dtype=jnp.int32)
-    mq = (a, c, ct, bp, data, dlen)
+    mq = (a, c, ct, bp, data16, dlen)
     mq = _bytein(mq, jnp.ones((b,), dtype=bool))
-    a, c, ct, bp, data, dlen = mq
+    a, c, ct, bp, data16, dlen = mq
     c = c << 7
     ct = ct - 7
-    return (a, c, ct, bp, data, dlen)
+    return (a, c, ct, bp, data16, dlen)
 
 
 def _nbits_to_msb(a):
-    """Shifts needed to bring bit 15 up: 16 - bit_length(a), a in [1,0xFFFF].
-
-    f32 log2 is exact for 16-bit integers.
-    """
+    """Shifts to bring bit 15 up: 16 - bit_length(a), a in [1, 0xFFFF].
+    f32 log2 is exact for 16-bit integers."""
     bl = (jnp.floor(jnp.log2(jnp.maximum(a, 1).astype(jnp.float32)))
           .astype(jnp.int32) + 1)
     return 16 - bl
 
 
 def _renorm(mq, need):
-    """C.3.3 RENORMD as a bounded 3-step unroll (no while_loop: the TPU
-    compiler chokes on data-dependent loops inside the scan nest).
-
-    The shift count n = 16 - bit_length(a) is computed directly; shifts are
-    applied in chunks bounded by CT, feeding bytes when CT reaches 0.  After
-    the first chunk every BYTEIN restores CT >= 7, and n <= 15, so three
-    chunks always suffice.
-    """
-    a, c, ct, bp, data, dlen = mq
+    """C.3.3 RENORMD as a bounded 3-chunk unroll (no while_loop)."""
+    a, c, ct, bp, data16, dlen = mq
     n = jnp.where(need, _nbits_to_msb(a), 0)
     for _ in range(3):
         m = n > 0
         feed = m & (ct == 0)
-        a, c, ct, bp, _, _ = _bytein((a, c, ct, bp, data, dlen), feed)
+        a, c, ct, bp, _, _ = _bytein((a, c, ct, bp, data16, dlen), feed)
         s = jnp.minimum(n, jnp.where(ct > 0, ct, 0)).astype(jnp.uint32)
         a = jnp.where(m, (a << s) & 0xFFFF, a)
         c = jnp.where(m, c << s, c)
         ct = jnp.where(m, ct - s.astype(jnp.int32), ct)
         n = n - s.astype(jnp.int32)
-    return (a, c, ct, bp, data, dlen)
+    return (a, c, ct, bp, data16, dlen)
 
 
 def mq_decode(state, cx, active):
     """One masked MQ decision per lane.  cx: (B,) context ids.
 
-    state = (mq, ctx_state, ctx_mps); returns (state, bit(B,) int32).
+    state = (mq, ctx_state, ctx_mps); returns (state, bit (B,) int32).
     """
     mq, ctx_state, ctx_mps = state
-    a, c, ct, bp, data, dlen = mq
+    a, c, ct, bp, data16, dlen = mq
 
     onehot = (jnp.arange(N_CTX)[None, :] == cx[:, None])
     i = jnp.sum(jnp.where(onehot, ctx_state, 0), axis=1)
@@ -160,7 +171,7 @@ def mq_decode(state, cx, active):
     ctx_state = jnp.where(onehot & upd[:, None], new_i[:, None], ctx_state)
     ctx_mps = jnp.where(onehot & upd[:, None], new_mps[:, None], ctx_mps)
 
-    mq = _renorm((a, c, ct, bp, data, dlen), upd)
+    mq = _renorm((a, c, ct, bp, data16, dlen), upd)
     bit = jnp.where(active, bit, 0).astype(jnp.int32)
     return (mq, ctx_state, ctx_mps), bit
 
@@ -171,8 +182,7 @@ def mq_decode(state, cx, active):
 
 def _nbhd(arr, y, x):
     """(B,3,3) neighborhood of center (y, x); arr has a 1-cell border."""
-    return jax.lax.dynamic_slice(
-        arr, (0, y, x), (arr.shape[0], 3, 3))
+    return jax.lax.dynamic_slice(arr, (0, y, x), (arr.shape[0], 3, 3))
 
 
 def _counts(sig, y, x):
@@ -222,156 +232,172 @@ def _set2d(arr, y, x, vals, m):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnums=(6, 7, 8))
-def t1_decode_batch(data, dlen, numpasses, numbps, orient, wh,
+def t1_decode_batch(data16, dlen, numpasses, numbps, orient, wh,
                     W: int, H: int, maxbp: int):
     """Decode B code-blocks in lockstep.
 
-    data: (B, L) uint8 padded codewords (single segment per block)
-    dlen/numpasses/numbps/orient: (B,) int32; wh: (B, 2) int32 (w, h valid)
+    data16: (B, L) int32 packed byte pairs (pack_pairs); single codeword
+    segment per block.  dlen/numpasses/numbps/orient: (B,) int32;
+    wh: (B, 2) int32 valid (w, h).
     Returns (mag2 (B,H,W) int32, neg (B,H,W) bool).
     """
-    B = data.shape[0]
+    B = data16.shape[0]
     wv = wh[:, 0]
     hv = wh[:, 1]
 
-    mqs = (mq_init(data, dlen), _initial_ctx(B),
+    mqs = (mq_init(data16, dlen), _initial_ctx(B),
            jnp.zeros((B, N_CTX), dtype=jnp.int32))
 
     sig = jnp.zeros((B, H + 2, W + 2), dtype=jnp.int32)
     sgn = jnp.zeros((B, H + 2, W + 2), dtype=jnp.int32)
     visited = jnp.zeros((B, H, W), dtype=jnp.int32)
-    refined = jnp.zeros((B, H, W), dtype=jnp.int32)
     vknown = jnp.zeros((B, H, W), dtype=jnp.int32)
     lastp = jnp.full((B, H, W), -1, dtype=jnp.int32)
 
     n_stripes = (H + 3) // 4
+    ones = jnp.ones((B,), jnp.int32)
 
     def pos_valid(y, x):
         return (jnp.int32(x) < wv) & (jnp.int32(y) < hv)
 
-    # -- one scan position of the significance-propagation pass -------------
-    def spp_pos(carry, y, x, bp, act):
-        mqs, sig, sgn, visited, vknown, lastp = carry
-        ok = act & pos_valid(y, x)
-        cur_sig = _get2d(sig, y + 1, x + 1) != 0
-        vis = _get2d(visited, y, x) != 0
-        zc = _zc_ctx(sig, y, x, orient)
-        coded = ok & ~cur_sig & ~vis & (zc != 0)
-        mqs, bit = mq_decode(mqs, zc, coded)
-        became = coded & (bit == 1)
-        sc, xr = _sc_ctx(sgn, y, x)
-        mqs, sbit = mq_decode(mqs, sc, became)
-        neg = jnp.where(became, sbit ^ xr, 0)
-        sig = _set_center(sig, y, x, jnp.ones((B,), jnp.int32), became)
-        sgn = _set_center(sgn, y, x, jnp.where(neg == 1, -1, 1), became)
-        vknown = _set2d(vknown, y, x, jnp.int32(1) << bp, became)
-        lastp = _set2d(lastp, y, x, jnp.full((B,), bp, jnp.int32), became)
-        visited = _set2d(visited, y, x, jnp.ones((B,), jnp.int32), coded)
-        return (mqs, sig, sgn, visited, vknown, lastp)
+    def mark_sig(sig, sgn, vknown, lastp, y, x, neg_bit, bp, m):
+        sig = _set_center(sig, y, x, ones, m)
+        sgn = _set_center(sgn, y, x, jnp.where(neg_bit == 1, -1, 1), m)
+        vknown = _set2d(vknown, y, x, jnp.int32(1) << bp, m)
+        lastp = _set2d(lastp, y, x, jnp.full((B,), bp, jnp.int32), m)
+        return sig, sgn, vknown, lastp
 
-    def mrp_pos(carry, y, x, bp, act):
-        mqs, sig, visited, refined, vknown, lastp = carry
-        ok = act & pos_valid(y, x)
-        cur_sig = _get2d(sig, y + 1, x + 1) != 0
-        vis = _get2d(visited, y, x) != 0
-        ref = _get2d(refined, y, x) != 0
-        h, v, d = _counts(sig, y, x)
-        mr = jnp.where(ref, 16, jnp.where(h + v + d > 0, 15, 14))
-        coded = ok & cur_sig & ~vis
-        mqs, bit = mq_decode(mqs, mr, coded)
-        refined = _set2d(refined, y, x, jnp.ones((B,), jnp.int32), coded)
-        vknown = _set2d(vknown, y, x,
-                        _get2d(vknown, y, x) | (bit << bp), coded)
-        lastp = _set2d(lastp, y, x, jnp.full((B,), bp, jnp.int32), coded)
-        return (mqs, sig, visited, refined, vknown, lastp)
-
-    def cln_col(carry, k, x, bp, act):
-        mqs, sig, sgn, visited, vknown, lastp = carry
-        y0 = k * 4
-        # run-length mode: full stripe, nothing significant/visited, all zc==0
-        full = (jnp.int32(y0) + 4 <= hv) & (jnp.int32(x) < wv)
-        allzero = jnp.ones((B,), dtype=bool)
-        for dy in range(4):
-            allzero &= (_zc_ctx(sig, y0 + dy, x, orient) == 0)
-            allzero &= (_get2d(sig, y0 + dy + 1, x + 1) == 0)
-            allzero &= (_get2d(visited, y0 + dy, x) == 0)
-        rl_mode = act & full & allzero
-        mqs, rl = mq_decode(mqs, jnp.full((B,), CTX_RL, jnp.int32), rl_mode)
-        has = rl_mode & (rl == 1)
-        mqs, r1 = mq_decode(mqs, jnp.full((B,), CTX_UNI, jnp.int32), has)
-        mqs, r0 = mq_decode(mqs, jnp.full((B,), CTX_UNI, jnp.int32), has)
-        r = (r1 << 1) | r0
-        for dy in range(4):
-            y = y0 + dy
-            ok = act & pos_valid(y, x)
-            first = has & (r == dy)           # RL first-significant position
-            skip_rl = rl_mode & ((rl == 0) | (has & (r > dy)))
-            cur_sig = _get2d(sig, y + 1, x + 1) != 0
-            vis = _get2d(visited, y, x) != 0
-            normal = ok & ~cur_sig & ~vis & ~rl_mode | (has & (r < dy) &
-                                                        ok & ~cur_sig & ~vis)
-            zc = _zc_ctx(sig, y, x, orient)
-            mqs, bit = mq_decode(mqs, zc, normal)
-            became = (normal & (bit == 1)) | first
-            sc, xr = _sc_ctx(sgn, y, x)
-            mqs, sbit = mq_decode(mqs, sc, became)
-            neg = jnp.where(became, sbit ^ xr, 0)
-            sig = _set_center(sig, y, x, jnp.ones((B,), jnp.int32), became)
-            sgn = _set_center(sgn, y, x, jnp.where(neg == 1, -1, 1), became)
-            vknown = _set2d(vknown, y, x, jnp.int32(1) << bp, became)
-            lastp = _set2d(lastp, y, x, jnp.full((B,), bp, jnp.int32),
-                           became)
-        return (mqs, sig, sgn, visited, vknown, lastp)
-
-    # -- plane loop ----------------------------------------------------------
     def plane_body(pi, state):
-        mqs, sig, sgn, visited, refined, vknown, lastp = state
+        mqs, sig, sgn, visited, vknown, lastp = state
         bp = maxbp - 1 - pi
-        k_lane = numbps - 1 - bp          # (B,) pass-triplet index
+        k_lane = numbps - 1 - bp
         act_spp = (k_lane >= 1) & (3 * k_lane - 2 < numpasses)
         act_mrp = (k_lane >= 1) & (3 * k_lane - 1 < numpasses)
         act_cln = (k_lane >= 0) & (3 * k_lane < numpasses)
 
-        def spp_step(s, carry):
-            stripe = s // W
-            x = s % W
-            c2 = carry
-            for dy in range(4):
-                c2 = spp_pos(c2, stripe * 4 + dy, x, bp, act_spp)
-            return c2
+        # -- significance propagation: one position per iteration ----------
+        def spp_step(i, carry):
+            mqs, sig, sgn, visited, vknown, lastp = carry
+            dy = i % 4
+            col = i // 4
+            x = col % W
+            y = (col // W) * 4 + dy
+            ok = act_spp & pos_valid(y, x)
+            cur_sig = _get2d(sig, y + 1, x + 1) != 0
+            vis = _get2d(visited, y, x) != 0
+            zc = _zc_ctx(sig, y, x, orient)
+            coded = ok & ~cur_sig & ~vis & (zc != 0)
+            mqs, bit = mq_decode(mqs, zc, coded)
+            became = coded & (bit == 1)
+            sc, xr = _sc_ctx(sgn, y, x)
+            mqs, sbit = mq_decode(mqs, sc, became)
+            sig, sgn, vknown, lastp = mark_sig(
+                sig, sgn, vknown, lastp, y, x, sbit ^ xr, bp, became)
+            visited = _set2d(visited, y, x, ones, coded)
+            return (mqs, sig, sgn, visited, vknown, lastp)
 
-        def mrp_step(s, carry):
-            stripe = s // W
-            x = s % W
-            c2 = carry
-            for dy in range(4):
-                c2 = mrp_pos(c2, stripe * 4 + dy, x, bp, act_mrp)
-            return c2
+        # -- magnitude refinement: one position per iteration --------------
+        def mrp_step(i, carry):
+            mqs, sig, visited, vknown, lastp = carry
+            dy = i % 4
+            col = i // 4
+            x = col % W
+            y = (col // W) * 4 + dy
+            ok = act_mrp & pos_valid(y, x)
+            cur_sig = _get2d(sig, y + 1, x + 1) != 0
+            vis = _get2d(visited, y, x) != 0
+            coded = ok & cur_sig & ~vis
+            # refined before iff the significance plane (top bit of vknown)
+            # is above bp+1: first refinement happens one plane below it
+            was_ref = _get2d(vknown, y, x) >= (jnp.int32(4) << bp)
+            h, v, d = _counts(sig, y, x)
+            mr = jnp.where(was_ref, 16, jnp.where(h + v + d > 0, 15, 14))
+            mqs, bit = mq_decode(mqs, mr, coded)
+            vknown = _set2d(vknown, y, x,
+                            _get2d(vknown, y, x) | (bit << bp), coded)
+            lastp = _set2d(lastp, y, x, jnp.full((B,), bp, jnp.int32), coded)
+            return (mqs, sig, visited, vknown, lastp)
 
-        def cln_step(s, carry):
-            stripe = s // W
-            x = s % W
-            return cln_col(carry, stripe, x, bp, act_cln)
+        # -- cleanup: 11 slots per stripe-column, one decision each --------
+        # slot 0: run-length; 1,2: UNIFORM r bits; 3+2t: zc at row t;
+        # 4+2t: sign at row t (also the run-length first position's sign)
+        def cln_step(i, carry):
+            mqs, sig, sgn, visited, vknown, lastp, regs = carry
+            rl_mode, has, r, became = regs
+            j = i % 11
+            col = i // 11
+            x = col % W
+            y0 = (col // W) * 4
+            dy = jnp.clip((j - 3) // 2, 0, 3)
+            y = y0 + dy
+            is_rl = j == 0
+            is_uni = (j == 1) | (j == 2)
+            is_zc = (j >= 3) & ((j - 3) % 2 == 0)
+            is_sc = (j >= 3) & ((j - 3) % 2 == 1)
+
+            # run-length eligibility: 6x3 sig neighborhood of the stripe
+            # column all insignificant (equivalent to zc==0 for all 4 rows)
+            # and nothing visited
+            seg = jax.lax.dynamic_slice(sig, (0, y0, x), (B, 6, 3))
+            nosig = jnp.sum(seg, axis=(1, 2)) == 0
+            visc = jax.lax.dynamic_slice(visited, (0, y0, x), (B, 4, 1))
+            novis = jnp.sum(visc, axis=(1, 2)) == 0
+            full = (jnp.int32(y0) + 4 <= hv) & (jnp.int32(x) < wv)
+            rl_now = act_cln & full & nosig & novis
+
+            cur_sig = _get2d(sig, y + 1, x + 1) != 0
+            vis = _get2d(visited, y, x) != 0
+            ok = act_cln & pos_valid(y, x)
+            in_rl_skip = rl_mode & (~has | (has & (r >= dy)))
+            normal = is_zc & ok & ~cur_sig & ~vis & ~in_rl_skip
+            first = is_sc & has & (r == dy)
+
+            zc = _zc_ctx(sig, y, x, orient)
+            sc, xr = _sc_ctx(sgn, y, x)
+            cx = jnp.where(is_rl, CTX_RL,
+                           jnp.where(is_uni, CTX_UNI,
+                                     jnp.where(is_zc, zc, sc)))
+            active = jnp.where(is_rl, rl_now,
+                               jnp.where(is_uni, has,
+                                         jnp.where(is_zc, normal,
+                                                   became | first)))
+            mqs, bit = mq_decode(mqs, cx, active)
+
+            # register updates
+            rl_mode = jnp.where(is_rl, rl_now, rl_mode)
+            has = jnp.where(is_rl, rl_now & (bit == 1), has)
+            r = jnp.where(j == 1, bit << 1, jnp.where(j == 2, r | bit, r))
+            new_became = normal & (bit == 1)
+
+            # significance updates on sign slots
+            setm = is_sc & (became | first)
+            sig, sgn, vknown, lastp = mark_sig(
+                sig, sgn, vknown, lastp, y, x, bit ^ xr, bp, setm)
+            became = jnp.where(is_sc, jnp.zeros_like(became), new_became)
+            return (mqs, sig, sgn, visited, vknown, lastp,
+                    (rl_mode, has, r, became))
 
         carry = (mqs, sig, sgn, visited, vknown, lastp)
-        carry = jax.lax.fori_loop(0, n_stripes * W, spp_step, carry)
+        carry = jax.lax.fori_loop(0, n_stripes * W * 4, spp_step, carry)
         mqs, sig, sgn, visited, vknown, lastp = carry
-        carry = (mqs, sig, visited, refined, vknown, lastp)
-        carry = jax.lax.fori_loop(0, n_stripes * W, mrp_step, carry)
-        mqs, sig, visited, refined, vknown, lastp = carry
-        carry = (mqs, sig, sgn, visited, vknown, lastp)
-        carry = jax.lax.fori_loop(0, n_stripes * W, cln_step, carry)
-        mqs, sig, sgn, visited, vknown, lastp = carry
+        carry = (mqs, sig, visited, vknown, lastp)
+        carry = jax.lax.fori_loop(0, n_stripes * W * 4, mrp_step, carry)
+        mqs, sig, visited, vknown, lastp = carry
+        zerosb = jnp.zeros((B,), dtype=bool)
+        regs = (zerosb, zerosb, jnp.zeros((B,), jnp.int32), zerosb)
+        carry = (mqs, sig, sgn, visited, vknown, lastp, regs)
+        carry = jax.lax.fori_loop(0, n_stripes * W * 11, cln_step, carry)
+        mqs, sig, sgn, visited, vknown, lastp, _ = carry
         visited = jnp.zeros_like(visited)
-        return (mqs, sig, sgn, visited, refined, vknown, lastp)
+        return (mqs, sig, sgn, visited, vknown, lastp)
 
-    state = (mqs, sig, sgn, visited, refined, vknown, lastp)
+    state = (mqs, sig, sgn, visited, vknown, lastp)
     state = jax.lax.fori_loop(0, maxbp, plane_body, state)
-    _, sig, sgn, _, _, vknown, lastp = state
+    _, sig, sgn, _, vknown, lastp = state
 
     sig_mask = lastp >= 0
-    mag2 = jnp.where(sig_mask, vknown * 2 + (jnp.int32(1) << jnp.maximum(
-        lastp, 0)), 0)
+    mag2 = jnp.where(sig_mask,
+                     vknown * 2 + (jnp.int32(1) << jnp.maximum(lastp, 0)), 0)
     neg = sgn[:, 1:H + 1, 1:W + 1] < 0
     return mag2, neg
 
@@ -426,7 +452,7 @@ def decode_blocks(blocks: list[dict], interpret: bool = False):
         fn = t1_decode_batch
         if interpret:
             fn = fn.__wrapped__          # un-jitted for debugging
-        mag2, neg = fn(jnp.asarray(data), jnp.asarray(dlen),
+        mag2, neg = fn(jnp.asarray(pack_pairs(data)), jnp.asarray(dlen),
                        jnp.asarray(npass), jnp.asarray(nbps),
                        jnp.asarray(ori), jnp.asarray(wh), W, H, maxbp)
         mag2 = np.asarray(mag2)

@@ -211,69 +211,12 @@ def t1_encode_batch(mag, neg, orient, numbps, msbmap,
         v = jax.lax.dynamic_slice(neg, (0, y, x), (B, 1, 1))[:, 0, 0]
         return v.astype(jnp.int32)
 
-    def spp_pos(carry, y, x, bp, act):
-        mqs, sig, sgn, visited, sigtype = carry
-        cur_sig = _get2d(sig, y + 1, x + 1) != 0
-        vis = _get2d(visited, y, x) != 0
-        zc = _zc_ctx(sig, y, x, orient)
-        coded = act & ~cur_sig & ~vis & (zc != 0)
-        bit = magbit(y, x, bp)
-        mqs = mq_encode(mqs, bit, zc, coded)
-        became = coded & (bit == 1)
-        sc, xr = _sc_ctx(sgn, y, x)
-        nb = negbit(y, x)
-        mqs = mq_encode(mqs, nb ^ xr, sc, became)
-        sig = _set_center(sig, y, x, jnp.ones((B,), jnp.int32), became)
-        sgn = _set_center(sgn, y, x, jnp.where(nb == 1, -1, 1), became)
+    def mark_sig(sig, sgn, sigtype, y, x, nb, stype, m):
+        sig = _set_center(sig, y, x, jnp.ones((B,), jnp.int32), m)
+        sgn = _set_center(sgn, y, x, jnp.where(nb == 1, -1, 1), m)
         sigtype = _set2d(sigtype, y, x,
-                         jnp.full((B,), SIG_SPP, jnp.int8), became)
-        visited = _set2d(visited, y, x, jnp.ones((B,), jnp.int32), coded)
-        return (mqs, sig, sgn, visited, sigtype)
-
-    def cln_col(carry, k, x, bp, act):
-        mqs, sig, sgn, visited, sigtype = carry
-        y0 = k * 4
-        full = jnp.full((B,), y0 + 4 <= H, dtype=bool)
-        allzero = jnp.ones((B,), dtype=bool)
-        bits4 = []
-        for dy in range(4):
-            allzero &= (_zc_ctx(sig, y0 + dy, x, orient) == 0)
-            allzero &= (_get2d(sig, y0 + dy + 1, x + 1) == 0)
-            allzero &= (_get2d(visited, y0 + dy, x) == 0)
-            bits4.append(magbit(y0 + dy, x, bp))
-        rl_mode = act & full & allzero
-        any1 = (bits4[0] | bits4[1] | bits4[2] | bits4[3]) == 1
-        rlbit = jnp.where(any1, 1, 0)
-        mqs = mq_encode(mqs, rlbit, jnp.full((B,), CTX_RL, jnp.int32),
-                        rl_mode)
-        has = rl_mode & any1
-        # r = index of first 1 bit
-        r = jnp.where(bits4[0] == 1, 0,
-                      jnp.where(bits4[1] == 1, 1,
-                                jnp.where(bits4[2] == 1, 2, 3)))
-        mqs = mq_encode(mqs, (r >> 1) & 1,
-                        jnp.full((B,), CTX_UNI, jnp.int32), has)
-        mqs = mq_encode(mqs, r & 1,
-                        jnp.full((B,), CTX_UNI, jnp.int32), has)
-        for dy in range(4):
-            y = y0 + dy
-            first = has & (r == dy)
-            cur_sig = _get2d(sig, y + 1, x + 1) != 0
-            vis = _get2d(visited, y, x) != 0
-            normal = (act & ~cur_sig & ~vis & ~rl_mode) | (has & (r < dy)
-                                                           & ~cur_sig & ~vis)
-            zc = _zc_ctx(sig, y, x, orient)
-            bit = magbit(y, x, bp)
-            mqs = mq_encode(mqs, bit, zc, normal)
-            became = (normal & (bit == 1)) | first
-            sc, xr = _sc_ctx(sgn, y, x)
-            nb = negbit(y, x)
-            mqs = mq_encode(mqs, nb ^ xr, sc, became)
-            sig = _set_center(sig, y, x, jnp.ones((B,), jnp.int32), became)
-            sgn = _set_center(sgn, y, x, jnp.where(nb == 1, -1, 1), became)
-            sigtype = _set2d(sigtype, y, x,
-                             jnp.full((B,), SIG_CLN, jnp.int8), became)
-        return (mqs, sig, sgn, visited, sigtype)
+                         jnp.full((B,), stype, jnp.int8), m)
+        return sig, sgn, sigtype
 
     def plane_body(pi, state):
         mqs, sig, sgn, visited, sigtype, rates = state
@@ -290,50 +233,129 @@ def t1_encode_batch(mag, neg, orient, numbps, msbmap,
             oh = (jnp.arange(npass_max)[None, :] == passno_lane[:, None])
             return jnp.where(oh & act[:, None], val[:, None], rates)
 
-        def spp_step(s, carry):
-            stripe = s // W
-            x = s % W
-            for dy in range(4):
-                carry = spp_pos(carry, stripe * 4 + dy, x, bp, act_spp)
-            return carry
+        # -- significance propagation: one position per iteration ----------
+        def spp_step(i, carry):
+            mqs, sig, sgn, visited, sigtype = carry
+            dy = i % 4
+            col = i // 4
+            x = col % W
+            y = (col // W) * 4 + dy
+            cur_sig = _get2d(sig, y + 1, x + 1) != 0
+            vis = _get2d(visited, y, x) != 0
+            zc = _zc_ctx(sig, y, x, orient)
+            coded = act_spp & ~cur_sig & ~vis & (zc != 0)
+            bit = magbit(y, x, bp)
+            mqs = mq_encode(mqs, bit, zc, coded)
+            became = coded & (bit == 1)
+            sc, xr = _sc_ctx(sgn, y, x)
+            nb = negbit(y, x)
+            mqs = mq_encode(mqs, nb ^ xr, sc, became)
+            sig, sgn, sigtype = mark_sig(sig, sgn, sigtype, y, x, nb,
+                                         SIG_SPP, became)
+            visited = _set2d(visited, y, x, jnp.ones((B,), jnp.int32),
+                             coded)
+            return (mqs, sig, sgn, visited, sigtype)
 
-        def mrp_step(s, carry):
+        # -- magnitude refinement: one position per iteration --------------
+        def mrp_step(i, carry):
             mqs, sig, visited, sigtype = carry
-            stripe = s // W
-            x = s % W
-            for dy in range(4):
-                y = stripe * 4 + dy
-                cur_sig = _get2d(sig, y + 1, x + 1) != 0
-                vis = _get2d(visited, y, x) != 0
-                coded = act_mrp & cur_sig & ~vis
-                # refined-before: first MRP for a sample happens one plane
-                # below its MSB, so at plane bp it was refined before iff
-                # msb > bp + 1
-                msb = _get2d(msbmap, y, x)
-                ref_before = msb > bp + 1
-                h, vv, d = _counts(sig, y, x)
-                mr = jnp.where(ref_before, 16,
-                               jnp.where(h + vv + d > 0, 15, 14))
-                bit = magbit(y, x, bp)
-                mqs = mq_encode(mqs, bit, mr, coded)
+            dy = i % 4
+            col = i // 4
+            x = col % W
+            y = (col // W) * 4 + dy
+            cur_sig = _get2d(sig, y + 1, x + 1) != 0
+            vis = _get2d(visited, y, x) != 0
+            coded = act_mrp & cur_sig & ~vis
+            # refined-before: first MRP happens one plane below the MSB
+            msb = _get2d(msbmap, y, x)
+            ref_before = msb > bp + 1
+            h, vv, d = _counts(sig, y, x)
+            mr = jnp.where(ref_before, 16,
+                           jnp.where(h + vv + d > 0, 15, 14))
+            bit = magbit(y, x, bp)
+            mqs = mq_encode(mqs, bit, mr, coded)
             return (mqs, sig, visited, sigtype)
 
-        def cln_step(s, carry):
-            stripe = s // W
-            x = s % W
-            return cln_col(carry, stripe, x, bp, act_cln)
+        # -- cleanup: 11 slots per stripe-column, one decision each --------
+        def cln_step(i, carry):
+            mqs, sig, sgn, visited, sigtype, regs = carry
+            rl_mode, has, r, became = regs
+            j = i % 11
+            col = i // 11
+            x = col % W
+            y0 = (col // W) * 4
+            dy = jnp.clip((j - 3) // 2, 0, 3)
+            y = y0 + dy
+            is_rl = j == 0
+            is_uni = (j == 1) | (j == 2)
+            is_zc = (j >= 3) & ((j - 3) % 2 == 0)
+            is_sc = (j >= 3) & ((j - 3) % 2 == 1)
+
+            # run-length eligibility (see t1_dec.cln_step)
+            seg = jax.lax.dynamic_slice(sig, (0, y0, x), (B, 6, 3))
+            nosig = jnp.sum(seg, axis=(1, 2)) == 0
+            visc = jax.lax.dynamic_slice(visited, (0, y0, x), (B, 4, 1))
+            novis = jnp.sum(visc, axis=(1, 2)) == 0
+            full = jnp.full((B,), True) if H % 4 == 0 else \
+                jnp.full((B,), y0 + 4 <= H)
+            rl_now = act_cln & full & nosig & novis
+
+            # the column's 4 magnitude bits (for rl decision and r)
+            mcol = jax.lax.dynamic_slice(mag, (0, y0, x), (B, 4, 1))[:, :, 0]
+            bits4 = (mcol >> bp) & 1
+            any1 = jnp.sum(bits4, axis=1) > 0
+            rfirst = jnp.argmax(bits4, axis=1).astype(jnp.int32)
+
+            cur_sig = _get2d(sig, y + 1, x + 1) != 0
+            vis = _get2d(visited, y, x) != 0
+            in_rl_skip = rl_mode & (~has | (has & (r >= dy)))
+            normal = is_zc & act_cln & ~cur_sig & ~vis & ~in_rl_skip
+            first = is_sc & has & (r == dy)
+
+            zc = _zc_ctx(sig, y, x, orient)
+            sc, xr = _sc_ctx(sgn, y, x)
+            bit_zc = magbit(y, x, bp)
+            nb = negbit(y, x)
+
+            cx = jnp.where(is_rl, CTX_RL,
+                           jnp.where(is_uni, CTX_UNI,
+                                     jnp.where(is_zc, zc, sc)))
+            setm = is_sc & (became | first)
+            d_bit = jnp.where(is_rl, jnp.where(any1, 1, 0),
+                              jnp.where(j == 1, (r >> 1) & 1,
+                                        jnp.where(j == 2, r & 1,
+                                                  jnp.where(is_zc, bit_zc,
+                                                            nb ^ xr))))
+            active = jnp.where(is_rl, rl_now,
+                               jnp.where(is_uni, has,
+                                         jnp.where(is_zc, normal, setm)))
+            mqs = mq_encode(mqs, d_bit, cx, active)
+
+            # register updates
+            rl_mode = jnp.where(is_rl, rl_now, rl_mode)
+            has = jnp.where(is_rl, rl_now & any1, has)
+            r = jnp.where(is_rl, rfirst, r)
+            new_became = normal & (bit_zc == 1)
+
+            sig, sgn, sigtype = mark_sig(sig, sgn, sigtype, y, x, nb,
+                                         SIG_CLN, setm)
+            became = jnp.where(is_sc, jnp.zeros_like(became), new_became)
+            return (mqs, sig, sgn, visited, sigtype,
+                    (rl_mode, has, r, became))
 
         carry = (mqs, sig, sgn, visited, sigtype)
-        carry = jax.lax.fori_loop(0, n_stripes * W, spp_step, carry)
+        carry = jax.lax.fori_loop(0, n_stripes * W * 4, spp_step, carry)
         mqs, sig, sgn, visited, sigtype = carry
         rates = record(rates, 3 * k_lane - 2, mqs, act_spp)
         carry = (mqs, sig, visited, sigtype)
-        carry = jax.lax.fori_loop(0, n_stripes * W, mrp_step, carry)
+        carry = jax.lax.fori_loop(0, n_stripes * W * 4, mrp_step, carry)
         mqs, sig, visited, sigtype = carry
         rates = record(rates, 3 * k_lane - 1, mqs, act_mrp)
-        carry = (mqs, sig, sgn, visited, sigtype)
-        carry = jax.lax.fori_loop(0, n_stripes * W, cln_step, carry)
-        mqs, sig, sgn, visited, sigtype = carry
+        zerosb = jnp.zeros((B,), dtype=bool)
+        regs = (zerosb, zerosb, jnp.zeros((B,), jnp.int32), zerosb)
+        carry = (mqs, sig, sgn, visited, sigtype, regs)
+        carry = jax.lax.fori_loop(0, n_stripes * W * 11, cln_step, carry)
+        mqs, sig, sgn, visited, sigtype, _ = carry
         rates = record(rates, 3 * k_lane, mqs, act_cln)
         visited = jnp.zeros_like(visited)
         return (mqs, sig, sgn, visited, sigtype, rates)

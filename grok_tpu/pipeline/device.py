@@ -1,0 +1,222 @@
+"""Fused on-device tile decode: one upload, one download.
+
+Host T2 parses packets and assembles per-block codewords; the device then
+runs, in a single jitted program per tile geometry: batched T1 block decode
+-> dequantization -> band assembly -> multi-level inverse DWT -> inverse
+MCT -> DC unshift/clip.  Only the codeword buffers go up and only the final
+pixels come down — critical on hosts where the device link is slow, and the
+right shape everywhere (north star: "device does the bitplane math, host
+does the bytes").
+
+The jitted program is cached per geometry signature (image/tile dims,
+resolutions, block layout, deltas, reduce, MCT) — geometry is
+compile-time-ish state (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from grok_tpu.core.geometry import BAND_LL, Rect
+
+
+def _pow2_at_least(v: int, lo: int = 4, hi: int = 64) -> int:
+    p = lo
+    while p < v and p < hi:
+        p *= 2
+    return p
+
+
+@lru_cache(maxsize=64)
+def _build_decode_fn(sig):
+    """Compile the fused decode program for one geometry signature.
+
+    sig is a nested tuple:
+      (ncomps, mct_mode(0/1/2: none/rct/ict), reduce_r_lim..., per-comp:
+        (rect, numres, r_lim, prec, sgnd, irrev,
+         bands: ((r, orient, brect, delta), ...)),
+       buckets: ((W, H, maxbp, count,
+                  blocks: ((lane, comp, r, orient, y0off, x0off, bh, bw,
+                            delta, irrev), ...)), ...))
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from grok_tpu.ops import dwt as jdwt
+    from grok_tpu.ops import mct as jmct
+    from grok_tpu.ops.t1_dec import t1_decode_batch
+
+    (ncomps, mct_mode, comps_sig, buckets_sig) = sig
+
+    @jax.jit
+    def run(bucket_arrays):
+        # 1. batched T1 per bucket
+        bucket_out = []
+        for (bs, arrs) in zip(buckets_sig, bucket_arrays):
+            (W, H, maxbp, _count, _blocks) = bs
+            data16, dlen, npass, nbps, ori, wh = arrs
+            mag2, neg = t1_decode_batch(data16, dlen, npass, nbps, ori, wh,
+                                        W, H, maxbp)
+            bucket_out.append((mag2, neg))
+
+        # 2. dequantize + scatter into band arrays (static placements)
+        band_arrays = {}
+        for ci, comp_sig in enumerate(comps_sig):
+            (_rect, numres, r_lim, _prec, _sgnd, irrev, bands) = comp_sig
+            for (r, orient, brect, _delta) in bands:
+                bh = brect[3] - brect[1]
+                bw = brect[2] - brect[0]
+                dt = jnp.float32 if irrev else jnp.int32
+                band_arrays[(ci, r, orient)] = jnp.zeros((bh, bw), dtype=dt)
+        for (bs, (mag2, neg)) in zip(buckets_sig, bucket_out):
+            (_W, _H, _maxbp, _count, blocks) = bs
+            for (lane, ci, r, orient, yoff, xoff, bh, bw, delta,
+                 irrev) in blocks:
+                m2 = mag2[lane, :bh, :bw]
+                ng = neg[lane, :bh, :bw]
+                if irrev:
+                    sign = jnp.where(ng, -1.0, 1.0)
+                    vals = (sign * m2.astype(jnp.float32)
+                            * jnp.float32(delta * 0.5))
+                else:
+                    vals = jnp.where(ng, -(m2 >> 1), m2 >> 1)
+                key = (ci, r, orient)
+                band_arrays[key] = jax.lax.dynamic_update_slice(
+                    band_arrays[key], vals.astype(band_arrays[key].dtype),
+                    (yoff, xoff))
+
+        # 3. inverse DWT per component
+        outs = []
+        for ci, comp_sig in enumerate(comps_sig):
+            (rect_t, numres, r_lim, prec, sgnd, irrev, bands) = comp_sig
+            rect = Rect(*rect_t)
+            bands_list = [band_arrays[(ci, 0, BAND_LL)]]
+            for r in range(1, r_lim):
+                bands_list.append((band_arrays[(ci, r, 1)],
+                                   band_arrays[(ci, r, 2)],
+                                   band_arrays[(ci, r, 3)]))
+            cur = bands_list[0]
+            nl = numres - 1
+            for r in range(1, r_lim):
+                s = 1 << (nl - r)
+                rrect = rect.ceil_scale(s, s)
+                hl, lh, hh = bands_list[r]
+                cur = jdwt.inv_2d_level(cur, hl, lh, hh, rrect, irrev)
+            outs.append(cur)
+
+        # 4. inverse MCT + DC unshift/clip
+        if mct_mode and ncomps >= 3:
+            if mct_mode == 2:    # ICT
+                r_, g_, b_ = jmct.ict_inv(outs[0], outs[1], outs[2])
+            else:                # RCT
+                r_, g_, b_ = jmct.rct_inv(outs[0], outs[1], outs[2])
+            outs[0], outs[1], outs[2] = r_, g_, b_
+        final = []
+        for ci, comp_sig in enumerate(comps_sig):
+            (_rect, _numres, _r_lim, prec, sgnd, irrev, _bands) = comp_sig
+            arr = outs[ci]
+            if irrev or (mct_mode == 2 and ci < 3):
+                arr = jnp.rint(arr).astype(jnp.int32)
+            final.append(jmct.dc_shift_inv(arr.astype(jnp.int32), prec,
+                                           sgnd))
+        return tuple(final)
+
+    return run
+
+
+def decode_tile_device(jobs, geo, dp) -> list[np.ndarray]:
+    """Run the fused device decode for one tile.
+
+    jobs: block descriptors from pipeline.tile (data/seg_lens/numpasses/
+    numbps/orient/w/h/comp/res/band_i/rect); all must be default-style,
+    single-segment.  Returns per-component pixel arrays (int32).
+    """
+    import jax.numpy as jnp
+
+    from grok_tpu.ops.t1_dec import pack_pairs
+
+    # bucket blocks by padded shape
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, j in enumerate(jobs):
+        key = (_pow2_at_least(j["w"]), _pow2_at_least(j["h"]))
+        buckets.setdefault(key, []).append(i)
+
+    bucket_sigs = []
+    bucket_arrays = []
+    for (W, H), idxs in sorted(buckets.items()):
+        B = len(idxs)
+        maxlen = max(len(jobs[i]["data"]) for i in idxs)
+        L = max(8, -(-maxlen // 64) * 64)
+        data = np.zeros((B, L), dtype=np.uint8)
+        dlen = np.zeros((B,), dtype=np.int32)
+        npass = np.zeros((B,), dtype=np.int32)
+        nbps = np.zeros((B,), dtype=np.int32)
+        ori = np.zeros((B,), dtype=np.int32)
+        wh = np.zeros((B, 2), dtype=np.int32)
+        blocks_sig = []
+        for lane, i in enumerate(idxs):
+            j = jobs[i]
+            d = j["data"]
+            data[lane, :len(d)] = np.frombuffer(d, dtype=np.uint8)
+            dlen[lane] = len(d)
+            npass[lane] = j["numpasses"]
+            nbps[lane] = j["numbps"]
+            ori[lane] = j["orient"]
+            wh[lane] = (j["w"], j["h"])
+            c = j["comp"]
+            r = j["res"]
+            bg_rect = geo.tcgs[c].resolutions[r].bands[j["band_i"]].rect
+            blocks_sig.append((
+                lane, c, r, j["orient"] if r > 0 else BAND_LL,
+                j["rect"].y0 - bg_rect.y0, j["rect"].x0 - bg_rect.x0,
+                j["rect"].h, j["rect"].w,
+                float(geo.quants[c].delta(r, j["orient"])),
+                bool(geo.styles[c].irreversible)))
+        maxbp = -(-int(nbps.max()) // 4) * 4 if B else 4
+        bucket_sigs.append((W, H, maxbp, B, tuple(blocks_sig)))
+        bucket_arrays.append((jnp.asarray(pack_pairs(data)),
+                              jnp.asarray(dlen), jnp.asarray(npass),
+                              jnp.asarray(nbps), jnp.asarray(ori),
+                              jnp.asarray(wh)))
+
+    comps_sig = []
+    for c, tcg in enumerate(geo.tcgs):
+        cs = geo.styles[c]
+        numres = cs.num_resolutions
+        r_lim = max(numres - dp.reduce, 1) if dp.reduce else numres
+        bands = []
+        for rg in tcg.resolutions:
+            if rg.r >= r_lim:
+                continue
+            for bg in rg.bands:
+                bands.append((rg.r, bg.orient,
+                              (bg.rect.x0, bg.rect.y0, bg.rect.x1,
+                               bg.rect.y1),
+                              float(geo.quants[c].delta(rg.r, bg.orient))))
+        rect = geo.comp_rects[c]
+        # prec for DC shift comes from the image component
+        comps_sig.append((
+            (rect.x0, rect.y0, rect.x1, rect.y1), numres, r_lim,
+            None, None, bool(cs.irreversible), tuple(bands)))
+
+    return comps_sig, bucket_sigs, bucket_arrays
+
+
+def run_device_decode(jobs, geo, hdr, dp) -> list[np.ndarray]:
+    import jax
+
+    comps_sig, bucket_sigs, bucket_arrays = decode_tile_device(jobs, geo, dp)
+    # fill in prec/sgnd from the main header
+    comps_sig = [
+        (cs[0], cs[1], cs[2], hdr.comps[ci].prec, hdr.comps[ci].sgnd,
+         cs[5], cs[6])
+        for ci, cs in enumerate(comps_sig)]
+    mct_mode = 0
+    if geo.cod.mct and len(comps_sig) >= 3:
+        mct_mode = 2 if geo.styles[0].irreversible else 1
+    sig = (len(comps_sig), mct_mode, tuple(comps_sig), tuple(bucket_sigs))
+    fn = _build_decode_fn(sig)
+    out = fn(tuple(bucket_arrays))
+    return [np.asarray(a) for a in out]

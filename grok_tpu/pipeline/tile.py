@@ -347,6 +347,14 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                             style=cs.cblk_style, comp=c, res=rg.r,
                             band_i=band_i, rect=cb.rect))
 
+    all_eligible = all(j["style"] == 0 and len(j["seg_lens"]) <= 1
+                       for j in jobs)
+    if use_jax and jobs and all_eligible and not hdr.rgn:
+        # fused device path: T1 + dequant + band assembly + inverse DWT +
+        # inverse MCT in one device program; single upload / download
+        from grok_tpu.pipeline.device import run_device_decode
+        return run_device_decode(jobs, geo, hdr, dp)
+
     results: list = [None] * len(jobs)
     if use_jax:
         from grok_tpu.ops.t1_dec import decode_blocks as _dev_decode

@@ -58,8 +58,16 @@ def _build_main_header(image: Image, params: CompressParams) -> MainHeader:
                            params.quant_step,
                            derived=not params.quant_style_expounded
                            and params.irreversible)
-        qs = QuantStyle(style=q.style, guard_bits=q.guard_bits,
-                        steps=q.steps if q.style != 1 else q.steps[:1])
+        steps = q.steps if q.style != 1 else q.steps[:1]
+        if (c == params.roi_comp and params.roi_shift > 0
+                and not params.irreversible):
+            # Maxshift headroom: raise the signalled exponents so
+            # Mb = guard + eps - 1 covers the upshifted ROI planes
+            # (reversible eps carries no step size, only dynamic range)
+            from grok_tpu.core.quant import StepSize
+            steps = [StepSize(expn=s.expn + params.roi_shift, mant=s.mant)
+                     for s in steps]
+        qs = QuantStyle(style=q.style, guard_bits=q.guard_bits, steps=steps)
         if c == 0:
             hdr.qcd = qs
         elif qs != hdr.qcd:
@@ -124,7 +132,10 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
                 targets.append(max(budget, 100.0) * frac)
             else:
                 targets.append(None)
-        res = tile_pipe.encode_tile(image, geo, targets, mct_norms)
+        res = tile_pipe.encode_tile(image, geo, targets, mct_norms,
+                                    backend=params.backend,
+                                    roi_rect=params.roi_rect,
+                                    pocs=hdr.pocs)
         plt_seg = j2k.write_plt(res.packet_lens) if params.write_plt else b""
         psot = 12 + len(plt_seg) + 2 + len(res.body)
         tp = j2k.write_sot(t, psot, 0, 1) + plt_seg + \
@@ -255,6 +266,11 @@ def decompress(data: bytes,
         if dp.tile_index not in by_tile:
             raise CodestreamError(f"tile {dp.tile_index} not in codestream")
         tiles = [dp.tile_index]
+    if dp.window is not None:
+        from grok_tpu.core.geometry import Rect
+        win = Rect(*dp.window)
+        tiles = [t for t in tiles
+                 if not hdr.siz.tile_rect(t).intersect(win).empty]
 
     for t in tiles:
         th = TileHeader()
@@ -276,17 +292,33 @@ def decompress(data: bytes,
                           rect.x0 - ox:rect.x1 - ox] = \
                 arr[:rect.h, :rect.w]
 
+    img_x0, img_y0 = -(-g.xosiz // scale), -(-g.yosiz // scale)
+    img_x1, img_y1 = -(-g.xsiz // scale), -(-g.ysiz // scale)
+    if dp.window is not None:
+        wx0, wy0, wx1, wy1 = dp.window
+        img_x0 = max(img_x0, wx0 // scale)
+        img_y0 = max(img_y0, wy0 // scale)
+        img_x1 = min(img_x1, -(-wx1 // scale))
+        img_y1 = min(img_y1, -(-wy1 // scale))
+
     comps = []
     from grok_tpu.core.image import Component
     for c in comps_sel:
         ci = hdr.comps[c]
-        comps.append(Component(data=out_arrays[c], dx=ci.dx * scale,
+        arr = out_arrays[c]
+        if dp.window is not None:
+            ox, oy = origins[c]
+            cx0 = -(-img_x0 // ci.dx)
+            cy0 = -(-img_y0 // ci.dy)
+            cx1 = -(-img_x1 // ci.dx)
+            cy1 = -(-img_y1 // ci.dy)
+            arr = arr[cy0 - oy:cy1 - oy, cx0 - ox:cx1 - ox]
+        comps.append(Component(data=arr, dx=ci.dx * scale,
                                dy=ci.dy * scale, prec=ci.prec, sgnd=ci.sgnd))
     color = meta.color_space if meta is not None else (
         ColorSpace.GRAY if len(comps) == 1 else ColorSpace.SRGB)
     img = Image(components=comps,
-                x0=-(-g.xosiz // scale), y0=-(-g.yosiz // scale),
-                x1=-(-g.xsiz // scale), y1=-(-g.ysiz // scale),
+                x0=img_x0, y0=img_y0, x1=img_x1, y1=img_y1,
                 color_space=color)
     if meta is not None:
         img.icc_profile = meta.icc_profile

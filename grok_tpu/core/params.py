@@ -82,9 +82,11 @@ class CompressParams:
     num_guard_bits: int = 2
     quant_step: float = 0.0     # 0 -> default derived steps
     quant_style_expounded: bool = True
-    # ROI
+    # ROI (Maxshift, RGN marker): roi_rect in canvas coords; None with
+    # roi_shift > 0 upshifts the whole component (upstream-compatible)
     roi_comp: int = -1
     roi_shift: int = 0
+    roi_rect: tuple[int, int, int, int] | None = None
     # markers / framing
     sop: bool = False
     eph: bool = False
@@ -97,6 +99,9 @@ class CompressParams:
     ht: bool = False
     # container
     jp2: bool = False           # wrap codestream in JP2 boxes
+    # execution backend for the block coder: "scalar" (host) or "jax"
+    # (batched device T1; falls back per-block for special styles)
+    backend: str = "scalar"
 
     def validate(self):
         if not (1 <= self.num_resolutions <= 33):

@@ -231,14 +231,18 @@ def _set2d(arr, y, x, vals, m):
 # Decode passes
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def t1_decode_batch(data16, dlen, numpasses, numbps, orient, wh,
-                    W: int, H: int, maxbp: int):
+                    W: int, H: int, maxbp: int, fold: int = 1):
     """Decode B code-blocks in lockstep.
 
     data16: (B, L) int32 packed byte pairs (pack_pairs); single codeword
     segment per block.  dlen/numpasses/numbps/orient: (B,) int32;
     wh: (B, 2) int32 valid (w, h).
+    fold: slot-steps unrolled per loop iteration.  The axon TPU runtime has
+    a ~12us floor per fori_loop iteration regardless of body size, so the
+    TPU path folds 8-16 steps per iteration; CPU (tests) keeps fold=1
+    because XLA:CPU compile time grows superlinearly with body size.
     Returns (mag2 (B,H,W) int32, neg (B,H,W) bool).
     """
     B = data16.shape[0]
@@ -377,16 +381,27 @@ def t1_decode_batch(data16, dlen, numpasses, numbps, orient, wh,
             return (mqs, sig, sgn, visited, vknown, lastp,
                     (rl_mode, has, r, became))
 
+        def folded(step):
+            def body(i, carry):
+                for k in range(fold):
+                    carry = step(i * fold + k, carry)
+                return carry
+            return body
+
+        def run_loop(step, total, carry):
+            return jax.lax.fori_loop(0, -(-total // fold), folded(step),
+                                     carry)
+
         carry = (mqs, sig, sgn, visited, vknown, lastp)
-        carry = jax.lax.fori_loop(0, n_stripes * W * 4, spp_step, carry)
+        carry = run_loop(spp_step, n_stripes * W * 4, carry)
         mqs, sig, sgn, visited, vknown, lastp = carry
         carry = (mqs, sig, visited, vknown, lastp)
-        carry = jax.lax.fori_loop(0, n_stripes * W * 4, mrp_step, carry)
+        carry = run_loop(mrp_step, n_stripes * W * 4, carry)
         mqs, sig, visited, vknown, lastp = carry
         zerosb = jnp.zeros((B,), dtype=bool)
         regs = (zerosb, zerosb, jnp.zeros((B,), jnp.int32), zerosb)
         carry = (mqs, sig, sgn, visited, vknown, lastp, regs)
-        carry = jax.lax.fori_loop(0, n_stripes * W * 11, cln_step, carry)
+        carry = run_loop(cln_step, n_stripes * W * 11, carry)
         mqs, sig, sgn, visited, vknown, lastp, _ = carry
         visited = jnp.zeros_like(visited)
         return (mqs, sig, sgn, visited, vknown, lastp)
@@ -411,6 +426,17 @@ def _pow2_at_least(v: int, lo: int = 4, hi: int = 64) -> int:
     while p < v and p < hi:
         p *= 2
     return p
+
+
+def default_fold() -> int:
+    """Loop fold factor: 1 on CPU (compile cost), 16 on TPU (the axon
+    runtime's ~12us/iteration floor dominates otherwise).  Override with
+    GROK_T1_FOLD."""
+    import os
+    v = os.environ.get("GROK_T1_FOLD")
+    if v:
+        return int(v)
+    return 1 if jax.default_backend() == "cpu" else 16
 
 
 def decode_blocks(blocks: list[dict], interpret: bool = False):
@@ -454,7 +480,8 @@ def decode_blocks(blocks: list[dict], interpret: bool = False):
             fn = fn.__wrapped__          # un-jitted for debugging
         mag2, neg = fn(jnp.asarray(pack_pairs(data)), jnp.asarray(dlen),
                        jnp.asarray(npass), jnp.asarray(nbps),
-                       jnp.asarray(ori), jnp.asarray(wh), W, H, maxbp)
+                       jnp.asarray(ori), jnp.asarray(wh), W, H, maxbp,
+                       default_fold())
         mag2 = np.asarray(mag2)
         neg = np.asarray(neg)
         for j, i in enumerate(idxs):

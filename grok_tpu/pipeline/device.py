@@ -48,7 +48,7 @@ def _build_decode_fn(sig):
     from grok_tpu.ops import mct as jmct
     from grok_tpu.ops.t1_dec import t1_decode_batch
 
-    (ncomps, mct_mode, comps_sig, buckets_sig) = sig
+    (ncomps, mct_mode, fold, comps_sig, buckets_sig) = sig
 
     @jax.jit
     def run(bucket_arrays):
@@ -58,7 +58,7 @@ def _build_decode_fn(sig):
             (W, H, maxbp, _count, _blocks) = bs
             data16, dlen, npass, nbps, ori, wh = arrs
             mag2, neg = t1_decode_batch(data16, dlen, npass, nbps, ori, wh,
-                                        W, H, maxbp)
+                                        W, H, maxbp, fold)
             bucket_out.append((mag2, neg))
 
         # 2. dequantize + scatter into band arrays (static placements)
@@ -213,10 +213,12 @@ def run_device_decode(jobs, geo, hdr, dp) -> list[np.ndarray]:
         (cs[0], cs[1], cs[2], hdr.comps[ci].prec, hdr.comps[ci].sgnd,
          cs[5], cs[6])
         for ci, cs in enumerate(comps_sig)]
+    from grok_tpu.ops.t1_dec import default_fold
     mct_mode = 0
     if geo.cod.mct and len(comps_sig) >= 3:
         mct_mode = 2 if geo.styles[0].irreversible else 1
-    sig = (len(comps_sig), mct_mode, tuple(comps_sig), tuple(bucket_sigs))
+    sig = (len(comps_sig), mct_mode, default_fold(), tuple(comps_sig),
+           tuple(bucket_sigs))
     fn = _build_decode_fn(sig)
     out = fn(tuple(bucket_arrays))
     return [np.asarray(a) for a in out]

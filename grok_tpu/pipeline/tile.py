@@ -53,6 +53,7 @@ class TileGeometry:
     quants: list[Quantizer]
     cod: CodingStyle
     subsampling: list[tuple[int, int]]
+    rgn: dict = field(default_factory=dict)      # comp -> ROI Maxshift
 
     @staticmethod
     def build(hdr: MainHeader, t: int,
@@ -60,6 +61,8 @@ class TileGeometry:
         th = tile_hdr or TileHeader()
         rect = hdr.siz.tile_rect(t)
         cod = th.cod or hdr.cod
+        rgn = dict(hdr.rgn)
+        rgn.update(th.rgn)
         comp_rects, tcgs, styles, quants, subs = [], [], [], [], []
         for c, ci in enumerate(hdr.comps):
             cs = hdr.style_for(c, th.coc, th.cod)
@@ -78,7 +81,7 @@ class TileGeometry:
             subs.append((ci.dx, ci.dy))
         return TileGeometry(t=t, rect=rect, comp_rects=comp_rects, tcgs=tcgs,
                             styles=styles, quants=quants, cod=cod,
-                            subsampling=subs)
+                            subsampling=subs, rgn=rgn)
 
     def make_contexts(self) -> dict[tuple[int, int, int], PrecinctCtx]:
         ctxs: dict[tuple[int, int, int], PrecinctCtx] = {}
@@ -136,17 +139,53 @@ def _band_array(bands: list, r: int, orient: int) -> np.ndarray:
     return (hl, lh, hh)[orient - 1]
 
 
+def band_window(sub: Rect, nl: int, r: int, orient: int,
+                dilate: int = 4) -> Rect:
+    """Map a tile-component-coordinate rect into band coordinates, dilated
+    by the synthesis filter support (used for ROI masks and region-decode
+    block selection; a conservative (larger) window is always safe)."""
+    s = 1 << (nl - r)
+    rr = Rect(sub.x0 // s - dilate, sub.y0 // s - dilate,
+              -(-sub.x1 // s) + dilate, -(-sub.y1 // s) + dilate)
+    if r == 0 or orient == BAND_LL:
+        return rr
+    from grok_tpu.core.geometry import map_interval_to_band
+    xob = 1 if orient in (1, 3) else 0
+    yob = 1 if orient in (2, 3) else 0
+    x0, x1 = map_interval_to_band(rr.x0, rr.x1, xob)
+    y0, y1 = map_interval_to_band(rr.y0, rr.y1, yob)
+    return Rect(x0, y0, x1, y1)
+
+
+def apply_roi_shift_decode(mag2: np.ndarray, shift: int) -> np.ndarray:
+    """Maxshift restore (ISO 15444-1 G.1): magnitudes at or above 2^shift
+    are ROI samples scaled up by the encoder; shift them back down.
+
+    The threshold applies to the half-bit-scaled reconstruction (2q + h),
+    matching the upstream decoder exactly; proper Maxshift encoding uses
+    shift >= the background's magnitude bitplane count."""
+    if shift <= 0:
+        return mag2
+    is_roi = mag2 >= (1 << shift)
+    return np.where(is_roi, mag2 >> shift, mag2)
+
+
 def encode_tile(image: Image, geo: TileGeometry,
                 layer_targets: list[float | None],
-                mct_norms: np.ndarray | None = None) -> TileEncodeResult:
-    """Full scalar encode of one tile; layer_targets are cumulative byte
-    budgets per layer for this tile (None = all remaining passes)."""
+                mct_norms: np.ndarray | None = None,
+                backend: str = "scalar",
+                roi_rect: tuple | None = None,
+                pocs: list | None = None) -> TileEncodeResult:
+    """Full encode of one tile; layer_targets are cumulative byte budgets
+    per layer for this tile (None = all remaining passes).  backend="jax"
+    runs default-style blocks through the batched device encoder.
+    roi_rect: canvas-coordinate Maxshift ROI (geo.rgn holds the shifts)."""
     all_bands = _forward_transform(image, geo)
     ctxs = geo.make_contexts()
     num_layers = geo.cod.num_layers
 
-    hulls: list[Hull] = []
-    entry_keys: list[tuple] = []     # (c, r, p, band_i, cblk_i)
+    # collect per-block encode jobs
+    ejobs: list[dict] = []
     for c, tcg in enumerate(geo.tcgs):
         quant = geo.quants[c]
         irrev = geo.styles[c].irreversible
@@ -165,9 +204,24 @@ def encode_tile(image: Image, geo: TileGeometry,
                 w = (delta * bnorm * wc) ** 2
                 arr = _band_array(all_bands[c], rg.r, orient)
                 mag, neg = quantize_band(arr, delta, not irrev)
+                roi_shift = geo.rgn.get(c, 0)
+                if roi_shift > 0:
+                    nl = geo.styles[c].num_resolutions - 1
+                    if roi_rect is not None:
+                        dx, dy = geo.subsampling[c]
+                        sub = Rect(*roi_rect).intersect(geo.rect) \
+                            .ceil_scale(dx, dy)
+                        bw = band_window(sub, nl, rg.r, orient) \
+                            .intersect(bg.rect)
+                    else:
+                        bw = bg.rect            # whole-component ROI
+                    if not bw.empty:
+                        sl = (slice(bw.y0 - bg.rect.y0, bw.y1 - bg.rect.y0),
+                              slice(bw.x0 - bg.rect.x0, bw.x1 - bg.rect.x0))
+                        mag = mag.copy()
+                        mag[sl] = mag[sl] << roi_shift
                 for p in range(rg.num_precincts):
                     bp = bg.precincts[p]
-                    ctx = ctxs[(c, rg.r, p)]
                     for cblk_i, cb in enumerate(bp.cblks):
                         r0 = cb.rect
                         by0, bx0 = bg.rect.y0, bg.rect.x0
@@ -175,18 +229,40 @@ def encode_tile(image: Image, geo: TileGeometry,
                                 r0.x0 - bx0:r0.x1 - bx0]
                         n = neg[r0.y0 - by0:r0.y1 - by0,
                                 r0.x0 - bx0:r0.x1 - bx0]
-                        enc = encode_block(m, n, orient, style)
-                        if enc.numbps > mb:
-                            raise ValueError(
-                                f"block overflows Mb: {enc.numbps} > {mb} "
-                                f"(band r={rg.r} o={orient}); raise guard bits")
-                        ctx.set_block(band_i, cblk_i, enc, mb)
-                        rates = np.array([pi.rate for pi in enc.passes],
-                                         dtype=np.float64)
-                        dists = np.array([pi.dist * w for pi in enc.passes],
-                                         dtype=np.float64)
-                        hulls.append(convex_hull(rates, dists))
-                        entry_keys.append((c, rg.r, p, band_i, cblk_i))
+                        ejobs.append(dict(
+                            mag=m, neg=n, orient=orient, w=r0.w, h=r0.h,
+                            style=style, weight=w, mb=mb,
+                            key=(c, rg.r, p, band_i, cblk_i)))
+
+    # run the block coder
+    encs: list = [None] * len(ejobs)
+    if backend == "jax" and ejobs:
+        from grok_tpu.ops.t1_enc import encode_blocks as _dev_encode
+        dev_idx = [i for i, j in enumerate(ejobs) if j["style"] == 0]
+        if dev_idx:
+            for i, e in zip(dev_idx, _dev_encode([ejobs[i]
+                                                  for i in dev_idx])):
+                encs[i] = e
+    for i, j in enumerate(ejobs):
+        if encs[i] is None:
+            encs[i] = encode_block(j["mag"], j["neg"], j["orient"],
+                                   j["style"])
+
+    hulls: list[Hull] = []
+    entry_keys: list[tuple] = []     # (c, r, p, band_i, cblk_i)
+    for j, enc in zip(ejobs, encs):
+        c, r, p, band_i, cblk_i = j["key"]
+        mb = j["mb"]
+        if enc.numbps > mb:
+            raise ValueError(
+                f"block overflows Mb: {enc.numbps} > {mb} "
+                f"(band r={r}); raise guard bits")
+        ctxs[(c, r, p)].set_block(band_i, cblk_i, enc, mb)
+        rates = np.array([pi.rate for pi in enc.passes], dtype=np.float64)
+        dists = np.array([pi.dist * j["weight"] for pi in enc.passes],
+                         dtype=np.float64)
+        hulls.append(convex_hull(rates, dists))
+        entry_keys.append(j["key"])
 
     pkt_overhead = (6 if geo.cod.sop else 0) + (2 if geo.cod.eph else 0)
 
@@ -200,7 +276,7 @@ def encode_tile(image: Image, geo: TileGeometry,
         pkts = []
         for pc in iter_packets(geo.tcgs, geo.subsampling, nlayers,
                                geo.cod.prog_order, geo.rect.x0, geo.rect.y0,
-                               None):
+                               pocs or None):
             ctx = cs[(pc.comp, pc.res, pc.prec)]
             header, body = ctx.encode_packet(pc.layer)
             pkt = bytearray()
@@ -323,6 +399,16 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
         cs = geo.styles[c]
         numres = cs.num_resolutions
         r_lim = max(numres - dp.reduce, 1) if dp.reduce else numres
+        win_bands = None
+        if dp.window is not None:
+            dx, dy = geo.subsampling[c]
+            sub = Rect(*dp.window).intersect(geo.rect).ceil_scale(dx, dy)
+            nl = numres - 1
+            win_bands = {}
+            for rg in tcg.resolutions:
+                for bg in rg.bands:
+                    win_bands[(rg.r, bg.orient)] = band_window(
+                        sub, nl, rg.r, bg.orient).intersect(bg.rect)
         for rg in tcg.resolutions:
             if rg.r >= r_lim:
                 continue
@@ -336,6 +422,10 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                         st = ctx.dblocks[band_i][cblk_i]
                         if not st.included:
                             continue
+                        if win_bands is not None and \
+                                cb.rect.intersect(
+                                    win_bands[(rg.r, orient)]).empty:
+                            continue    # outside the decode window
                         data, seg_lens, npass = st.assemble(
                             body, dp.max_layers)
                         if npass <= 0:
@@ -349,7 +439,7 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
 
     all_eligible = all(j["style"] == 0 and len(j["seg_lens"]) <= 1
                        for j in jobs)
-    if use_jax and jobs and all_eligible and not hdr.rgn:
+    if use_jax and jobs and all_eligible and not geo.rgn:
         # fused device path: T1 + dequant + band assembly + inverse DWT +
         # inverse MCT in one device program; single upload / download
         from grok_tpu.pipeline.device import run_device_decode
@@ -388,11 +478,14 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                 delta = quant.delta(rg.r, orient)
                 dt = np.float64 if irrev else np.int64
                 arr = np.zeros((bg.rect.h, bg.rect.w), dtype=dt)
+                roi_shift = geo.rgn.get(c, 0)
                 for j, res_ in zip(jobs, results):
                     if (j["comp"] != c or j["res"] != rg.r
                             or j["band_i"] != band_i):
                         continue
                     mag2, neg = res_
+                    if roi_shift:
+                        mag2 = apply_roi_shift_decode(mag2, roi_shift)
                     vals = dequantize_band(mag2, neg, delta, not irrev)
                     r0 = j["rect"]
                     arr[r0.y0 - bg.rect.y0:r0.y1 - bg.rect.y0,

@@ -167,3 +167,58 @@ class TestHeader:
         assert hi.num_resolutions == 4
         assert hi.num_layers == 2
         assert not hi.irreversible
+
+
+class TestROIWindow:
+    def test_window_decode_exact(self):
+        img = synthetic_image(128, 96, 1, seed=13)
+        data = compress(img, CompressParams(num_resolutions=4))
+        win = decompress(data, DecompressParams(
+            window=(16, 32, 80, 96))).to_array()
+        assert np.array_equal(win, img[32:96, 16:80])
+
+    def test_window_decode_tiled(self):
+        img = synthetic_image(96, 96, 1, seed=14)
+        data = compress(img, CompressParams(num_resolutions=3, tile_w=32,
+                                            tile_h=32))
+        win = decompress(data, DecompressParams(
+            window=(40, 8, 88, 72))).to_array()
+        assert np.array_equal(win, img[8:72, 40:88])
+
+    def test_roi_maxshift_lossless_roundtrip(self):
+        img = synthetic_image(128, 96, 1, seed=13)
+        p = CompressParams(num_resolutions=3, roi_comp=0, roi_shift=12,
+                           roi_rect=(30, 30, 90, 90))
+        data = compress(img, p)
+        assert np.array_equal(decompress(data).to_array(), img)
+
+    def test_roi_prioritizes_region_under_truncation(self):
+        img = synthetic_image(128, 96, 1, seed=13)
+        p = CompressParams(num_resolutions=3, roi_comp=0, roi_shift=12,
+                           roi_rect=(30, 30, 90, 90), rates=[20.0])
+        o_roi = decompress(compress(img, p)).to_array()
+        o_plain = decompress(compress(img, CompressParams(
+            num_resolutions=3, rates=[20.0]))).to_array()
+        # the region gains, the background pays
+        roi_gain = psnr(o_roi[35:85, 35:85], img[35:85, 35:85]) - \
+            psnr(o_plain[35:85, 35:85], img[35:85, 35:85])
+        bg_loss = psnr(o_plain[:25, :], img[:25, :]) - \
+            psnr(o_roi[:25, :], img[:25, :])
+        assert roi_gain > 0.3
+        assert bg_loss > 3.0
+
+    def test_poc_roundtrip(self):
+        from grok_tpu.core.params import Poc
+        img = synthetic_image(64, 64, 1, seed=15)
+        p = CompressParams(num_resolutions=3, num_layers=2,
+                           rates=[8.0, 0.0],
+                           pocs=[Poc(rs=0, cs=0, layer_end=2, re=2, ce=1,
+                                     order=ProgOrder.RLCP)])
+        data = compress(img, p)
+        assert np.array_equal(decompress(data).to_array(), img)
+
+    def test_device_encoder_stream_identical(self):
+        img = synthetic_image(96, 96, 1, seed=3)
+        a = compress(img, CompressParams(num_resolutions=3))
+        b = compress(img, CompressParams(num_resolutions=3, backend="jax"))
+        assert a == b

@@ -37,7 +37,7 @@ def main():
     mp = side * side / 1e6
 
     data = compress(img, CompressParams(num_resolutions=5))
-    dp = DecompressParams(backend=os.environ.get("GROK_BENCH_BACKEND", "jax"))
+    dp = DecompressParams(backend=os.environ.get("GROK_BENCH_BACKEND", "native"))
 
     # warmup (jit compiles)
     out = decompress(data, dp).to_array()

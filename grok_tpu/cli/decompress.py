@@ -32,8 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--components", help="component subset, e.g. 0,1")
     p.add_argument("-f", "--force", dest="permissive", action="store_true",
                    help="permissive mode: decode truncated/corrupt streams")
-    p.add_argument("-B", "--backend", choices=["scalar", "jax"],
-                   default="jax")
+    p.add_argument("-B", "--backend",
+                   choices=["scalar", "jax", "native"],
+                   default="native")
     p.add_argument("-e", "--repetitions", type=int, default=1,
                    help="repeat decode (performance measurement)")
     p.add_argument("-v", "--verbose", action="store_true")

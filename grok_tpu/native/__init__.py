@@ -1,0 +1,190 @@
+"""Native host runtime: C Tier-1 block coder, built on demand with the
+system toolchain and bound via ctypes.
+
+`available()` gates use; everything falls back to the Python scalar model
+when no compiler is present.  The .so is cached next to the source and
+rebuilt when t1.c changes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "t1.c")
+_SO = os.path.join(_HERE, f"_t1_{sys.platform}.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    try:
+        if (os.path.exists(_SO)
+                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+            return _SO
+        cc = os.environ.get("CC", "gcc")
+        cmd = [cc, "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-o", _SO, _SRC]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO
+    except Exception:
+        return None
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        so = _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+            lib.grk_t1_decode.restype = ctypes.c_int
+            lib.grk_t1_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            ip = ctypes.POINTER(ctypes.c_int)
+            lib.grk_t1_decode_tile.restype = ctypes.c_int
+            lib.grk_t1_decode_tile.argtypes = [
+                ctypes.c_char_p] + [ip] * 13 + [
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_void_p), ip,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_float), ip,
+                ctypes.c_int, ctypes.c_int]
+            lib.grk_inv53_level.restype = ctypes.c_int
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_block(data: bytes, seg_lens: list[int], numpasses: int,
+                 numbps: int, orient: int, w: int, h: int,
+                 style: int = 0):
+    """Native analog of t1_scalar.decode_block -> (mag2, neg)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native T1 not available")
+    mag2 = np.zeros(h * w, dtype=np.int32)
+    neg = np.zeros(h * w, dtype=np.uint8)
+    lens = (ctypes.c_int * max(len(seg_lens), 1))(*(seg_lens or [0]))
+    rc = lib.grk_t1_decode(
+        data, len(data), lens, len(seg_lens), numpasses, numbps, orient,
+        w, h, style,
+        mag2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        neg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise RuntimeError(f"grk_t1_decode failed: {rc}")
+    return (mag2.reshape(h, w).astype(np.int64),
+            neg.reshape(h, w).astype(bool))
+
+
+def _ip(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def decode_tile_blocks(jobs: list[dict], band_arrays: dict,
+                       band_meta: dict) -> None:
+    """Batched T1 decode + dequant + placement, one C call.
+
+    jobs: pipeline block descriptors (with comp/res/band_i/rect).
+    band_arrays: {(c, r, orient): np int32 or float32 contiguous array}
+    band_meta: {(c, r, orient): (delta, irrev, roi_shift)}
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native T1 not available")
+    keys = sorted(band_arrays.keys())
+    kidx = {k: i for i, k in enumerate(keys)}
+    nb = len(jobs)
+    data = bytearray()
+    off = np.zeros(nb, np.int32)
+    seg_off = np.zeros(nb, np.int32)
+    seg_cnt = np.zeros(nb, np.int32)
+    seg_flat: list[int] = []
+    numpasses = np.zeros(nb, np.int32)
+    numbps = np.zeros(nb, np.int32)
+    orient = np.zeros(nb, np.int32)
+    style = np.zeros(nb, np.int32)
+    bw = np.zeros(nb, np.int32)
+    bh = np.zeros(nb, np.int32)
+    band_id = np.zeros(nb, np.int32)
+    bx = np.zeros(nb, np.int32)
+    by = np.zeros(nb, np.int32)
+    max_w = max_h = 1
+    for i, j in enumerate(jobs):
+        off[i] = len(data)
+        data.extend(j["data"])
+        seg_off[i] = len(seg_flat)
+        seg_flat.extend(j["seg_lens"])
+        seg_cnt[i] = len(j["seg_lens"])
+        numpasses[i] = j["numpasses"]
+        numbps[i] = j["numbps"]
+        orient[i] = j["orient"]
+        style[i] = j["style"]
+        bw[i] = j["w"]
+        bh[i] = j["h"]
+        band_id[i] = kidx[(j["comp"], j["res"], j["orient"]
+                           if j["res"] > 0 else 0)]
+        bx[i] = j["bx"]
+        by[i] = j["by"]
+        max_w = max(max_w, j["w"])
+        max_h = max(max_h, j["h"])
+    seg_flat_a = np.asarray(seg_flat or [0], np.int32)
+    nbands = len(keys)
+    bptr = (ctypes.c_void_p * nbands)(
+        *[band_arrays[k].ctypes.data for k in keys])
+    bstride = np.asarray(
+        [band_arrays[k].shape[1] if band_arrays[k].ndim == 2 else 1
+         for k in keys], np.int32)
+    birrev = np.asarray([1 if band_meta[k][1] else 0 for k in keys],
+                        np.uint8)
+    bdelta = np.asarray([band_meta[k][0] for k in keys], np.float32)
+    broi = np.asarray([band_meta[k][2] for k in keys], np.int32)
+    rc = lib.grk_t1_decode_tile(
+        bytes(data), _ip(off), _ip(seg_off), _ip(seg_cnt), _ip(seg_flat_a),
+        _ip(numpasses), _ip(numbps), _ip(orient), _ip(style),
+        _ip(bw), _ip(bh), _ip(band_id), _ip(bx), _ip(by), nb,
+        bptr, _ip(bstride),
+        birrev.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        bdelta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _ip(broi), max_w, max_h)
+    if rc != 0:
+        raise RuntimeError(f"grk_t1_decode_tile failed: {rc}")
+
+
+def inv53_level(ll, hl, lh, hh, w, h, x0, y0):
+    """C inverse 5/3 2D level; int32 arrays; returns (h, w) int32."""
+    lib = _load()
+    a = lambda v: np.ascontiguousarray(v, np.int32)
+    llc, hlc, lhc, hhc = a(ll), a(hl), a(lh), a(hh)
+    out = np.zeros((h, w), np.int32)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.grk_inv53_level(
+        llc.ctypes.data_as(I32P), hlc.ctypes.data_as(I32P),
+        lhc.ctypes.data_as(I32P), hhc.ctypes.data_as(I32P),
+        llc.shape[1], llc.shape[0], w, h, x0, y0,
+        out.ctypes.data_as(I32P))
+    if rc != 0:
+        raise RuntimeError("grk_inv53_level failed")
+    return out

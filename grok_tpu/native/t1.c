@@ -1,0 +1,592 @@
+/* Native Tier-1 (EBCOT/MQ) block coder — host hot path.
+ *
+ * C implementation of the scalar reference model (grok_tpu/t1/t1_scalar.py),
+ * bit-exact by construction: same MQ state machine (ISO/IEC 15444-1 Annex C
+ * software conventions), same pass structure (Annex D), same mode switches
+ * (BYPASS/RESET/TERMALL/VSC/SEGSYM), same per-pass rate/distortion logging
+ * for PCRD.  Exposed via ctypes (grok_tpu/native/__init__.py); the Python
+ * scalar model remains the behavioral oracle in tests.
+ *
+ * This is the TPU framework's host-side native runtime analog of the
+ * reference's C++ T1 [grok: src/lib/core/t1/t1_part1/].
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define CBLK_BYPASS 0x01
+#define CBLK_RESET 0x02
+#define CBLK_TERMALL 0x04
+#define CBLK_VSC 0x08
+#define CBLK_PTERM 0x10
+#define CBLK_SEGSYM 0x20
+
+#define CTX_RL 17
+#define CTX_UNI 18
+#define N_CTX 19
+
+static const uint16_t QE[47] = {
+    0x5601,0x3401,0x1801,0x0AC1,0x0521,0x0221,0x5601,0x5401,0x4801,0x3801,
+    0x3001,0x2401,0x1C01,0x1601,0x5601,0x5401,0x5101,0x4801,0x3801,0x3401,
+    0x3001,0x2801,0x2401,0x2201,0x1C01,0x1801,0x1601,0x1401,0x1201,0x1101,
+    0x0AC1,0x09C1,0x08A1,0x0521,0x0441,0x02A1,0x0221,0x0141,0x0111,0x0085,
+    0x0049,0x0025,0x0015,0x0009,0x0005,0x0001,0x5601};
+static const uint8_t NMPS[47] = {
+    1,2,3,4,5,38,7,8,9,10,11,12,13,29,15,16,17,18,19,20,21,22,23,24,25,26,
+    27,28,29,30,31,32,33,34,35,36,37,38,39,40,41,42,43,44,45,45,46};
+static const uint8_t NLPS[47] = {
+    1,6,9,12,29,33,6,14,14,14,17,18,20,21,14,14,15,16,17,18,19,19,20,21,22,
+    23,24,25,26,27,28,29,30,31,32,33,34,35,36,37,38,39,40,41,42,43,46};
+static const uint8_t SWITCH_[47] = {
+    1,0,0,0,0,0,1,0,0,0,0,0,0,0,1,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+    0,0,0,0,0,0,0,0,0,0,0,0};
+
+/* ---- context formation (Tables D.1-D.3, mirrors t1/luts.py) ------------ */
+
+static int zc_ctx(int orient, int h, int v, int d) {
+    if (orient == 1) { int t = h; h = v; v = t; }
+    if (orient != 3) {
+        if (h == 2) return 8;
+        if (h == 1) { if (v >= 1) return 7; return d >= 1 ? 6 : 5; }
+        if (v == 2) return 4;
+        if (v == 1) return 3;
+        return d >= 2 ? 2 : (d == 1 ? 1 : 0);
+    }
+    if (d >= 3) return 8;
+    if (d == 2) return h + v >= 1 ? 7 : 6;
+    if (d == 1) { int hv = h + v; return hv >= 2 ? 5 : (hv == 1 ? 4 : 3); }
+    { int hv = h + v; return hv >= 2 ? 2 : (hv == 1 ? 1 : 0); }
+}
+
+static void sc_ctx(int hs, int vs, int *cx, int *xr) {
+    if (hs == 1) { *cx = vs == 1 ? 13 : (vs == 0 ? 12 : 11); *xr = 0; }
+    else if (hs == 0) {
+        if (vs == 1) { *cx = 10; *xr = 0; }
+        else if (vs == 0) { *cx = 9; *xr = 0; }
+        else { *cx = 10; *xr = 1; }
+    } else { *cx = vs == 1 ? 11 : (vs == 0 ? 12 : 13); *xr = 1; }
+}
+
+/* ---- MQ decoder (C.3) -------------------------------------------------- */
+
+typedef struct {
+    const uint8_t *data; int n; int bp;
+    uint32_t a, c; int ct;
+} mqd_t;
+
+typedef struct { uint8_t i, mps; } ctx_t;
+
+static void ctx_init(ctx_t *cx) {
+    memset(cx, 0, sizeof(ctx_t) * N_CTX);
+    cx[CTX_UNI].i = 46; cx[CTX_RL].i = 3; cx[0].i = 4;
+}
+
+static inline int mqd_byte(mqd_t *m, int i) {
+    return i < m->n ? m->data[i] : 0xFF;
+}
+
+static void mqd_bytein(mqd_t *m) {
+    if (mqd_byte(m, m->bp) == 0xFF) {
+        if (mqd_byte(m, m->bp + 1) > 0x8F) { m->c += 0xFF00; m->ct = 8; }
+        else { m->bp++; m->c += (uint32_t)mqd_byte(m, m->bp) << 9; m->ct = 7; }
+    } else {
+        m->bp++; m->c += (uint32_t)mqd_byte(m, m->bp) << 8; m->ct = 8;
+    }
+}
+
+static void mqd_init(mqd_t *m, const uint8_t *data, int start, int end) {
+    m->data = data; m->n = end; m->bp = start;
+    m->c = (uint32_t)(start < end ? data[start] : 0xFF) << 16;
+    mqd_bytein(m);
+    m->c <<= 7; m->ct -= 7; m->a = 0x8000;
+}
+
+static int mqd_decode(mqd_t *m, ctx_t *st) {
+    uint32_t qe = QE[st->i];
+    int d;
+    m->a -= qe;
+    if ((m->c >> 16) < qe) {
+        if (m->a < qe) { d = st->mps; st->i = NMPS[st->i]; }
+        else {
+            d = 1 - st->mps;
+            if (SWITCH_[st->i]) st->mps = 1 - st->mps;
+            st->i = NLPS[st->i];
+        }
+        m->a = qe;
+        do {
+            if (m->ct == 0) mqd_bytein(m);
+            m->a <<= 1; m->c <<= 1; m->ct--;
+        } while (!(m->a & 0x8000));
+        m->a &= 0xFFFF;
+    } else {
+        m->c -= qe << 16;
+        if (m->a & 0x8000) { d = st->mps; }
+        else {
+            if (m->a < qe) {
+                d = 1 - st->mps;
+                if (SWITCH_[st->i]) st->mps = 1 - st->mps;
+                st->i = NLPS[st->i];
+            } else { d = st->mps; st->i = NMPS[st->i]; }
+            do {
+                if (m->ct == 0) mqd_bytein(m);
+                m->a <<= 1; m->c <<= 1; m->ct--;
+            } while (!(m->a & 0x8000));
+            m->a &= 0xFFFF;
+        }
+    }
+    return d;
+}
+
+/* ---- raw (BYPASS) bit reader (MSB-first with stuffing) ------------------ */
+
+typedef struct { const uint8_t *data; int pos, end, cur, nbits, prev, eof; }
+rawd_t;
+
+static void rawd_init(rawd_t *r, const uint8_t *d, int start, int end) {
+    r->data = d; r->pos = start; r->end = end;
+    r->cur = 0; r->nbits = 0; r->prev = 0; r->eof = 0;
+}
+
+static int rawd_bit(rawd_t *r) {
+    if (r->nbits == 0) {
+        if (r->pos >= r->end) { r->eof = 1; return 0; }
+        r->nbits = r->prev == 0xFF ? 7 : 8;
+        r->cur = r->data[r->pos];
+        r->prev = r->cur;
+        r->pos++;
+    }
+    r->nbits--;
+    return (r->cur >> r->nbits) & 1;
+}
+
+/* ---- block decode (Annex D) -------------------------------------------- */
+
+/* Flag-word layout per sample (grid (h+2)x(w+2) incl. border):
+ * bits 0-7: significant neighbor in direction W,E,N,S,NW,NE,SW,SE
+ * bits 8-11: negative sign of significant W,E,N,S neighbor
+ * bit 12: self significant   bit 13: self negative
+ * bit 14: visited            bit 15: refined-before
+ * Context LUTs are built once from the normative rules. */
+
+#define F_W 0x01
+#define F_E 0x02
+#define F_N 0x04
+#define F_S 0x08
+#define F_NW 0x10
+#define F_NE 0x20
+#define F_SW 0x40
+#define F_SE 0x80
+#define F_SGN_W 0x100
+#define F_SGN_E 0x200
+#define F_SGN_N 0x400
+#define F_SGN_S 0x800
+#define F_SIG 0x1000
+#define F_NEG 0x2000
+#define F_VISIT 0x4000
+#define F_REF 0x8000
+
+static uint8_t g_zc_lut[4][256];
+static uint8_t g_sc_lut[4096][2];
+static int g_luts_ready = 0;
+
+static void build_luts(void) {
+    if (g_luts_ready) return;
+    for (int o = 0; o < 4; o++)
+        for (int m = 0; m < 256; m++) {
+            int h = ((m & F_W) != 0) + ((m & F_E) != 0);
+            int v = ((m & F_N) != 0) + ((m & F_S) != 0);
+            int d = ((m & F_NW) != 0) + ((m & F_NE) != 0)
+                  + ((m & F_SW) != 0) + ((m & F_SE) != 0);
+            g_zc_lut[o][m] = (uint8_t)zc_ctx(o, h, v, d);
+        }
+    for (int m = 0; m < 4096; m++) {
+        /* m = low 12 bits of flags: dir sig bits + dir sign bits */
+        int hs = 0, vs = 0;
+        if (m & F_W) hs += (m & F_SGN_W) ? -1 : 1;
+        if (m & F_E) hs += (m & F_SGN_E) ? -1 : 1;
+        if (m & F_N) vs += (m & F_SGN_N) ? -1 : 1;
+        if (m & F_S) vs += (m & F_SGN_S) ? -1 : 1;
+        hs = hs > 1 ? 1 : (hs < -1 ? -1 : hs);
+        vs = vs > 1 ? 1 : (vs < -1 ? -1 : vs);
+        int cx, xr;
+        sc_ctx(hs, vs, &cx, &xr);
+        g_sc_lut[m][0] = (uint8_t)cx;
+        g_sc_lut[m][1] = (uint8_t)xr;
+    }
+    g_luts_ready = 1;
+}
+
+#define FW(y, x) fl[((y) + 1) * stride + (x) + 1]
+
+static void set_sig(uint32_t *fl, int stride, int x, int y, int negv) {
+    FW(y, x) |= F_SIG | (negv ? F_NEG : 0);
+    FW(y, x - 1) |= F_E | (negv ? F_SGN_E : 0);
+    FW(y, x + 1) |= F_W | (negv ? F_SGN_W : 0);
+    FW(y - 1, x) |= F_S | (negv ? F_SGN_S : 0);
+    FW(y + 1, x) |= F_N | (negv ? F_SGN_N : 0);
+    FW(y - 1, x - 1) |= F_SE;
+    FW(y - 1, x + 1) |= F_SW;
+    FW(y + 1, x - 1) |= F_NE;
+    FW(y + 1, x + 1) |= F_NW;
+}
+
+/* VSC variant of the context word: stripe-causal rows ignore the row
+ * below (S/SW/SE and the S sign). */
+static inline uint32_t vsc_word(uint32_t f, int y, int vsc) {
+    if (vsc && (y % 4) == 3)
+        return f & ~(uint32_t)(F_S | F_SW | F_SE | F_SGN_S);
+    return f;
+}
+
+/* segment schedule (B.10.7, mirrors t1_scalar.segment_pass_counts) */
+static int seg_limit(int style, int segno) {
+    if (style & CBLK_TERMALL) return 1;
+    if (style & CBLK_BYPASS) {
+        if (segno == 0) return 10;
+        return (segno % 2) == 1 ? 2 : 1;
+    }
+    return 109;
+}
+
+static int is_raw(int passno, int ptype, int style) {
+    return (style & CBLK_BYPASS) && passno >= 10 && ptype != 2;
+}
+
+#define IDX(y, x) ((y) * w + (x))
+
+/* decode one code-block.
+ * data/dlen: concatenated segments; seg_lens/nsegs: their lengths;
+ * outputs: mag2 (int32, h*w), negout (uint8, h*w).  Returns 0 on success. */
+int grk_t1_decode(const uint8_t *data, int dlen,
+                  const int *seg_lens, int nsegs,
+                  int numpasses, int numbps, int orient,
+                  int w, int h, int style,
+                  int32_t *mag2, uint8_t *negout) {
+    if (numpasses <= 0 || numbps <= 0 || w <= 0 || h <= 0) {
+        memset(mag2, 0, sizeof(int32_t) * (size_t)(w * h));
+        memset(negout, 0, (size_t)(w * h));
+        return 0;
+    }
+    build_luts();
+    int wh = w * h;
+    int stride = w + 2;
+    uint32_t *fl = calloc((size_t)stride * (h + 2), sizeof(uint32_t));
+    uint32_t *vknown = calloc((size_t)wh, sizeof(uint32_t));
+    int8_t *lastp = malloc((size_t)wh);
+    if (!fl || !vknown || !lastp) return -1;
+    memset(lastp, -1, (size_t)wh);
+    memset(negout, 0, (size_t)wh);
+    int vsc = (style & CBLK_VSC) != 0;
+
+    int default_lens[1];
+    if (nsegs == 0) { default_lens[0] = dlen; seg_lens = default_lens;
+                      nsegs = 1; }
+    int seg_start[64], seg_end[64];
+    { int acc = 0;
+      for (int s = 0; s < nsegs && s < 64; s++) {
+          seg_start[s] = acc; acc += seg_lens[s]; seg_end[s] = acc;
+          if (seg_end[s] > dlen) seg_end[s] = dlen;
+          if (seg_start[s] > dlen) seg_start[s] = dlen;
+      } }
+
+    mqd_t mq; rawd_t rd;
+    ctx_t ctx[N_CTX]; ctx_init(ctx);
+    int cur_seg = -1, seg_passes_used = 0, segno = 0;
+    const uint8_t *zlut = g_zc_lut[orient & 3];
+
+    int total = numpasses;
+    int passno = 0;
+    for (int bp = numbps - 1; bp >= 0 && passno < total; bp--) {
+        int first_plane = (bp == numbps - 1);
+        for (int sub = first_plane ? 2 : 0; sub <= 2 && passno < total;
+             sub++) {
+            int ptype = sub;
+            if (segno >= nsegs) goto done;
+            if (seg_passes_used >= seg_limit(style, segno)) {
+                segno++; seg_passes_used = 0;
+                if (segno >= nsegs) goto done;
+                cur_seg = -1;
+            }
+            int raw = is_raw(passno, ptype, style);
+            if (cur_seg != segno) {
+                if (raw) rawd_init(&rd, data, seg_start[segno],
+                                   seg_end[segno]);
+                else mqd_init(&mq, data, seg_start[segno], seg_end[segno]);
+                cur_seg = segno;
+            }
+            if ((style & CBLK_RESET) && !raw) ctx_init(ctx);
+
+            if (ptype == 0) {          /* significance propagation */
+                for (int y0 = 0; y0 < h; y0 += 4) {
+                    int ymax = y0 + 4 < h ? y0 + 4 : h;
+                    for (int x = 0; x < w; x++) {
+                    uint32_t any = 0;
+                    for (int yy = y0; yy < ymax; yy++) any |= FW(yy, x);
+                    if (!(any & 0xFF)) continue;  /* all zc contexts 0 */
+                    for (int y = y0; y < ymax; y++) {
+                        uint32_t f = FW(y, x);
+                        if (f & (F_SIG | F_VISIT)) continue;
+                        uint32_t fv = vsc_word(f, y, vsc);
+                        int zc = zlut[fv & 0xFF];
+                        if (zc == 0) continue;
+                        int bit = raw ? rawd_bit(&rd)
+                                      : mqd_decode(&mq, &ctx[zc]);
+                        if (bit) {
+                            int sb;
+                            if (raw) sb = rawd_bit(&rd);
+                            else {
+                                const uint8_t *e = g_sc_lut[fv & 0xFFF];
+                                sb = mqd_decode(&mq, &ctx[e[0]]) ^ e[1];
+                            }
+                            set_sig(fl, stride, x, y, sb);
+                            negout[IDX(y, x)] = (uint8_t)sb;
+                            vknown[IDX(y, x)] = 1u << bp;
+                            lastp[IDX(y, x)] = (int8_t)bp;
+                        }
+                        FW(y, x) |= F_VISIT;
+                    }
+                    }
+                }
+            } else if (ptype == 1) {   /* magnitude refinement */
+                for (int y0 = 0; y0 < h; y0 += 4) {
+                    int ymax = y0 + 4 < h ? y0 + 4 : h;
+                    for (int x = 0; x < w; x++) {
+                    uint32_t any = 0;
+                    for (int yy = y0; yy < ymax; yy++) any |= FW(yy, x);
+                    if (!(any & F_SIG)) continue;
+                    for (int y = y0; y < ymax; y++) {
+                        uint32_t f = FW(y, x);
+                        if (!(f & F_SIG) || (f & F_VISIT)) continue;
+                        int bit;
+                        if (raw) bit = rawd_bit(&rd);
+                        else {
+                            uint32_t fv = vsc_word(f, y, vsc);
+                            int mr = (f & F_REF) ? 16
+                                     : ((fv & 0xFF) ? 15 : 14);
+                            bit = mqd_decode(&mq, &ctx[mr]);
+                        }
+                        FW(y, x) |= F_REF;
+                        vknown[IDX(y, x)] |= (uint32_t)bit << bp;
+                        lastp[IDX(y, x)] = (int8_t)bp;
+                    }
+                    }
+                }
+            } else {                   /* cleanup */
+                for (int y0 = 0; y0 < h; y0 += 4) {
+                    int ymax = y0 + 4 < h ? y0 + 4 : h;
+                    for (int x = 0; x < w; x++) {
+                        int y = y0;
+                        if (ymax - y0 == 4) {
+                            /* no-VSC: zc==0 for a row iff no direction
+                             * bits; VSC masks bits, so recheck per row */
+                            uint32_t any = FW(y0, x) | FW(y0 + 1, x)
+                                         | FW(y0 + 2, x) | FW(y0 + 3, x);
+                            int allz = !(any & (0xFF | F_SIG | F_VISIT));
+                            if (!allz && vsc && !(any & (F_SIG | F_VISIT))) {
+                                allz = 1;
+                                for (int dy2 = 0; dy2 < 4 && allz; dy2++) {
+                                    uint32_t fv = vsc_word(FW(y0 + dy2, x),
+                                                           y0 + dy2, vsc);
+                                    if (zlut[fv & 0xFF] != 0) allz = 0;
+                                }
+                            }
+                            if (allz) {
+                                if (!mqd_decode(&mq, &ctx[CTX_RL]))
+                                    continue;
+                                int r = (mqd_decode(&mq, &ctx[CTX_UNI]) << 1)
+                                      | mqd_decode(&mq, &ctx[CTX_UNI]);
+                                int yf = y0 + r;
+                                uint32_t fv = vsc_word(FW(yf, x), yf, vsc);
+                                const uint8_t *e = g_sc_lut[fv & 0xFFF];
+                                int sb = mqd_decode(&mq, &ctx[e[0]]) ^ e[1];
+                                set_sig(fl, stride, x, yf, sb);
+                                negout[IDX(yf, x)] = (uint8_t)sb;
+                                vknown[IDX(yf, x)] = 1u << bp;
+                                lastp[IDX(yf, x)] = (int8_t)bp;
+                                y = yf + 1;
+                            }
+                        }
+                        for (; y < ymax; y++) {
+                            uint32_t f = FW(y, x);
+                            if (f & (F_SIG | F_VISIT)) continue;
+                            uint32_t fv = vsc_word(f, y, vsc);
+                            int zc = zlut[fv & 0xFF];
+                            if (mqd_decode(&mq, &ctx[zc])) {
+                                const uint8_t *e = g_sc_lut[fv & 0xFFF];
+                                int sb = mqd_decode(&mq, &ctx[e[0]]) ^ e[1];
+                                set_sig(fl, stride, x, y, sb);
+                                negout[IDX(y, x)] = (uint8_t)sb;
+                                vknown[IDX(y, x)] = 1u << bp;
+                                lastp[IDX(y, x)] = (int8_t)bp;
+                            }
+                        }
+                    }
+                }
+                if (style & CBLK_SEGSYM) {
+                    for (int s = 0; s < 4; s++)
+                        mqd_decode(&mq, &ctx[CTX_UNI]);
+                }
+                /* clear visited (border rows carry no visit bit) */
+                { size_t tot = (size_t)stride * (h + 2);
+                  for (size_t q = 0; q < tot; q++)
+                      fl[q] &= ~(uint32_t)F_VISIT; }
+            }
+            seg_passes_used++;
+            passno++;
+        }
+    }
+done:
+    for (int i = 0; i < wh; i++) {
+        if (lastp[i] >= 0)
+            mag2[i] = (int32_t)(vknown[i] * 2 + (1u << lastp[i]));
+        else mag2[i] = 0;
+    }
+    free(fl); free(vknown); free(lastp);
+    return 0;
+}
+
+/* ---- batched tile decode: T1 + dequant + band placement ----------------- */
+
+/* Decode nb blocks, dequantize, and write into band buffers.
+ * Flattened descriptors (one entry per block):
+ *   off[i]: byte offset of block i's codewords in `data`
+ *   seg_off[i], seg_cnt[i]: span in seg_lens_flat
+ *   numpasses/numbps/orient/style/w/h: per block
+ *   band_id[i]: index into band buffers; bx[i], by[i]: placement offset
+ * Bands: bptr[band] -> int32 buffer (reversible: coef = sign*(mag2>>1))
+ *        or float32 buffer (irrev: sign*mag2*delta/2), selected by
+ *        birrev[band]; bstride[band] row stride; bdelta[band]; broi[band]
+ *        (Maxshift restore shift, 0 = none).
+ * Scratch mag2/neg sized max_w*max_h are allocated internally. */
+int grk_t1_decode_tile(const uint8_t *data,
+                       const int *off, const int *seg_off,
+                       const int *seg_cnt, const int *seg_lens_flat,
+                       const int *numpasses, const int *numbps,
+                       const int *orient, const int *style,
+                       const int *bw, const int *bh,
+                       const int *band_id, const int *bx, const int *by,
+                       int nb,
+                       void **bptr, const int *bstride,
+                       const unsigned char *birrev, const float *bdelta,
+                       const int *broi,
+                       int max_w, int max_h) {
+    int32_t *mag2 = malloc(sizeof(int32_t) * (size_t)max_w * max_h);
+    uint8_t *neg = malloc((size_t)max_w * max_h);
+    if (!mag2 || !neg) return -1;
+    for (int i = 0; i < nb; i++) {
+        int w = bw[i], h = bh[i];
+        int rc = grk_t1_decode(data + off[i], 0x7FFFFFFF,
+                               seg_lens_flat + seg_off[i], seg_cnt[i],
+                               numpasses[i], numbps[i], orient[i],
+                               w, h, style[i], mag2, neg);
+        if (rc != 0) { free(mag2); free(neg); return rc; }
+        int b = band_id[i];
+        int roi = broi[b];
+        if (roi > 0) {
+            int32_t thr = 1 << roi;
+            for (int k = 0; k < w * h; k++)
+                if (mag2[k] >= thr) mag2[k] >>= roi;
+        }
+        if (birrev[b]) {
+            float *dst = (float *)bptr[b];
+            float half = bdelta[b] * 0.5f;
+            for (int y = 0; y < h; y++) {
+                float *row = dst + (size_t)(by[i] + y) * bstride[b] + bx[i];
+                for (int x = 0; x < w; x++) {
+                    float v = (float)mag2[y * w + x] * half;
+                    row[x] = neg[y * w + x] ? -v : v;
+                }
+            }
+        } else {
+            int32_t *dst = (int32_t *)bptr[b];
+            for (int y = 0; y < h; y++) {
+                int32_t *row = dst + (size_t)(by[i] + y) * bstride[b]
+                             + bx[i];
+                for (int x = 0; x < w; x++) {
+                    int32_t v = mag2[y * w + x] >> 1;
+                    row[x] = neg[y * w + x] ? -v : v;
+                }
+            }
+        }
+    }
+    free(mag2); free(neg);
+    return 0;
+}
+
+/* ---- inverse 5/3, one 2D level (int32) ---------------------------------- */
+
+/* Horizontal then vertical inverse lifting (Annex F), whole-sample
+ * symmetric extension; (x0, y0) are the canvas parities of the resolution
+ * rect.  ll (lh,lw), hl (lh, w-lw), lh_ (h-lh, lw), hh; out (h, w) with
+ * stride ostride.  Scratch: caller provides tmp of h*w int32. */
+static void inv53_row(const int32_t *lo, int nlo, const int32_t *hi,
+                      int nhi, int32_t *out, int parity) {
+    int n = nlo + nhi;
+    if (n == 0) return;
+    if (n == 1) {
+        out[0] = parity == 0 ? lo[0]
+                 : (hi[0] >= 0 ? hi[0] >> 1 : -((-hi[0]) >> 1));
+        return;
+    }
+    /* interleave into out: even abs positions = lo when parity even */
+    for (int i = 0; i < nlo; i++) out[(parity == 0 ? 0 : 1) + 2 * i] = lo[i];
+    for (int i = 0; i < nhi; i++) out[(parity == 0 ? 1 : 0) + 2 * i] = hi[i];
+    /* lifting with symmetric extension: e[j] = y[j] - ((y[j-1]+y[j+1]+2)>>2)
+     * at even abs positions; o[j] = y[j] + ((e[j-1]+e[j+1])>>1) at odd. */
+    /* whole-sample symmetric extension: index t -> mirror(t), period
+     * 2(n-1) (matches numpy reflect padding) */
+    int p = 2 * n - 2;
+#define MIR(t) ({ int m_ = (((t) % p) + p) % p; m_ >= n ? p - m_ : m_; })
+    int32_t stack[4160];
+    int32_t *buf = n + 4 <= 4160 ? stack : malloc(sizeof(int32_t) * (n + 4));
+    memcpy(buf + 2, out, sizeof(int32_t) * n);
+    buf[0] = out[MIR(-2)]; buf[1] = out[MIR(-1)];
+    buf[n + 2] = out[MIR(n)]; buf[n + 3] = out[MIR(n + 1)];
+    /* even update (abs parity 0) */
+    for (int j = 0; j < n; j++)
+        if (((j + parity) & 1) == 0)
+            out[j] = buf[j + 2] - ((buf[j + 1] + buf[j + 3] + 2) >> 2);
+    /* odd update reads updated evens incl. extension */
+    memcpy(buf + 2, out, sizeof(int32_t) * n);
+    buf[0] = out[MIR(-2)]; buf[1] = out[MIR(-1)];
+    buf[n + 2] = out[MIR(n)]; buf[n + 3] = out[MIR(n + 1)];
+    for (int j = 0; j < n; j++)
+        if (((j + parity) & 1) == 1)
+            out[j] = buf[j + 2] + ((buf[j + 1] + buf[j + 3]) >> 1);
+#undef MIR
+    if (buf != stack) free(buf);
+}
+
+int grk_inv53_level(const int32_t *ll, const int32_t *hl,
+                    const int32_t *lh, const int32_t *hh,
+                    int lw, int lh_n, int w, int h,
+                    int x0, int y0, int32_t *out) {
+    /* horizontal pass: rows of (ll|hl) -> top rows; (lh|hh) -> bottom */
+    int32_t *tmp = malloc(sizeof(int32_t) * (size_t)w * h);
+    if (!tmp) return -1;
+    int nlo_r = lw, nhi_r = w - lw;
+    int nlo_c = lh_n, nhi_c = h - lh_n;
+    for (int y = 0; y < nlo_c; y++) {
+        inv53_row(ll + (size_t)y * lw, nlo_r, hl + (size_t)y * (w - lw),
+                  nhi_r, tmp + (size_t)y * w, x0 & 1);
+    }
+    for (int y = 0; y < nhi_c; y++) {
+        inv53_row(lh + (size_t)y * lw, nlo_r, hh + (size_t)y * (w - lw),
+                  nhi_r, tmp + (size_t)(nlo_c + y) * w, x0 & 1);
+    }
+    /* vertical pass per column */
+    int32_t *colbuf = malloc(sizeof(int32_t) * (size_t)h);
+    int32_t *lobuf = malloc(sizeof(int32_t) * (size_t)(nlo_c > 0 ? nlo_c : 1));
+    int32_t *hibuf = malloc(sizeof(int32_t) * (size_t)(nhi_c > 0 ? nhi_c : 1));
+    if (!colbuf || !lobuf || !hibuf) return -1;
+    for (int x = 0; x < w; x++) {
+        for (int y = 0; y < nlo_c; y++) lobuf[y] = tmp[(size_t)y * w + x];
+        for (int y = 0; y < nhi_c; y++)
+            hibuf[y] = tmp[(size_t)(nlo_c + y) * w + x];
+        inv53_row(lobuf, nlo_c, hibuf, nhi_c, colbuf, y0 & 1);
+        for (int y = 0; y < h; y++) out[(size_t)y * w + x] = colbuf[y];
+    }
+    free(tmp); free(colbuf); free(lobuf); free(hibuf);
+    return 0;
+}

@@ -435,7 +435,9 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                             numbps=mb - st.zb, orient=orient,
                             w=cb.rect.w, h=cb.rect.h,
                             style=cs.cblk_style, comp=c, res=rg.r,
-                            band_i=band_i, rect=cb.rect))
+                            band_i=band_i, rect=cb.rect,
+                            bx=cb.rect.x0 - bg.rect.x0,
+                            by=cb.rect.y0 - bg.rect.y0))
 
     all_eligible = all(j["style"] == 0 and len(j["seg_lens"]) <= 1
                        for j in jobs)
@@ -444,6 +446,11 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
         # inverse MCT in one device program; single upload / download
         from grok_tpu.pipeline.device import run_device_decode
         return run_device_decode(jobs, geo, hdr, dp)
+
+    if dp.backend == "native" and jobs:
+        from grok_tpu import native as _native
+        if _native.available():
+            return _decode_tile_native(jobs, geo, hdr, dp)
 
     results: list = [None] * len(jobs)
     if use_jax:
@@ -454,11 +461,20 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
             dev_res = _dev_decode([jobs[i] for i in dev_idx])
             for i, r_ in zip(dev_idx, dev_res):
                 results[i] = r_
+    use_native = dp.backend in ("native", "jax")
+    if use_native:
+        from grok_tpu import native as _native
+        use_native = _native.available()
     for i, j in enumerate(jobs):
         if results[i] is None:
-            results[i] = decode_block(
-                j["data"], j["seg_lens"], j["numpasses"], j["numbps"],
-                j["orient"], j["w"], j["h"], j["style"], dp.strict)
+            if use_native:
+                results[i] = _native.decode_block(
+                    j["data"], j["seg_lens"], j["numpasses"], j["numbps"],
+                    j["orient"], j["w"], j["h"], j["style"])
+            else:
+                results[i] = decode_block(
+                    j["data"], j["seg_lens"], j["numpasses"], j["numbps"],
+                    j["orient"], j["w"], j["h"], j["style"], dp.strict)
 
     # -- dequantize into band arrays + inverse DWT per component -------------
     out = []
@@ -531,4 +547,68 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
             arr = np.rint(np.asarray(arr, dtype=np.float64))
         arr = np.asarray(arr, dtype=np.int64)
         res.append(mct_np.dc_shift_inv(arr, ci.prec, ci.sgnd).astype(np.int32))
+    return res
+
+
+def _decode_tile_native(jobs, geo, hdr, dp) -> list[np.ndarray]:
+    """Fused native host path: one C call for T1+dequant+band placement,
+    C inverse 5/3 levels (numpy for 9/7), then inverse MCT/DC unshift."""
+    from grok_tpu import native as _native
+
+    band_arrays: dict = {}
+    band_meta: dict = {}
+    r_lims = []
+    for c, tcg in enumerate(geo.tcgs):
+        cs = geo.styles[c]
+        quant = geo.quants[c]
+        numres = cs.num_resolutions
+        r_lim = max(numres - dp.reduce, 1) if dp.reduce else numres
+        r_lims.append(r_lim)
+        roi = geo.rgn.get(c, 0)
+        for rg in tcg.resolutions:
+            if rg.r >= r_lim:
+                continue
+            for bg in rg.bands:
+                key = (c, rg.r, bg.orient)
+                dt = np.float32 if cs.irreversible else np.int32
+                band_arrays[key] = np.zeros((bg.rect.h, bg.rect.w),
+                                            dtype=dt)
+                band_meta[key] = (quant.delta(rg.r, bg.orient),
+                                  cs.irreversible, roi)
+    _native.decode_tile_blocks(jobs, band_arrays, band_meta)
+
+    out = []
+    for c, tcg in enumerate(geo.tcgs):
+        cs = geo.styles[c]
+        irrev = cs.irreversible
+        numres = cs.num_resolutions
+        nl = numres - 1
+        r_lim = r_lims[c]
+        cur = band_arrays[(c, 0, BAND_LL)]
+        for r in range(1, r_lim):
+            rect = geo.comp_rects[c].ceil_scale(1 << (nl - r), 1 << (nl - r))
+            hl = band_arrays[(c, r, 1)]
+            lh = band_arrays[(c, r, 2)]
+            hh = band_arrays[(c, r, 3)]
+            if irrev:
+                cur = dwt_np.inv_2d_level(cur, hl, lh, hh, rect, True)
+            else:
+                cur = _native.inv53_level(cur, hl, lh, hh, rect.w, rect.h,
+                                          rect.x0, rect.y0)
+        out.append(cur)
+
+    if geo.cod.mct and len(out) >= 3:
+        if geo.styles[0].irreversible:
+            r_, g_, b_ = mct_np.ict_inv(out[0], out[1], out[2])
+        else:
+            r_, g_, b_ = mct_np.rct_inv(out[0], out[1], out[2])
+        out[0], out[1], out[2] = r_, g_, b_
+    res = []
+    for c, arr in enumerate(out):
+        ci = hdr.comps[c]
+        if geo.styles[c].irreversible:
+            arr = np.rint(np.asarray(arr, dtype=np.float64))
+        arr = np.asarray(arr, dtype=np.int64)
+        res.append(mct_np.dc_shift_inv(arr, ci.prec, ci.sgnd)
+                   .astype(np.int32))
     return res

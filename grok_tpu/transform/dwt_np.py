@@ -76,7 +76,8 @@ def inv53_1d(low: np.ndarray, high: np.ndarray, off: int, n: int) -> np.ndarray:
         if off % 2 == 0:
             return low.copy()
         return _c_div2(high)
-    y = np.empty(low.shape[:-1] + (n,), dtype=np.int64)
+    # int32 is ample for any Part-1 coefficient range and halves bandwidth
+    y = np.empty(low.shape[:-1] + (n,), dtype=np.int32)
     if off % 2 == 0:
         y[..., 0::2] = low
         y[..., 1::2] = high

@@ -1,0 +1,80 @@
+"""Native (C) T1 coder + fused native tile path vs the Python oracle."""
+
+import numpy as np
+import pytest
+
+from grok_tpu import (CompressParams, DecompressParams, compress, decompress,
+                      native)
+from grok_tpu.core.geometry import Rect
+from grok_tpu.t1.t1_scalar import decode_block, encode_block
+from grok_tpu.transform import dwt_np
+from grok_tpu.util.oracle import psnr, synthetic_image
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no C toolchain")
+
+
+def test_block_decode_exact_all_styles():
+    ok = tot = 0
+    for seed in range(12):
+        r = np.random.default_rng(seed)
+        h, w = int(r.integers(1, 40)), int(r.integers(1, 40))
+        mag = np.abs(r.normal(0, [2, 40, 400][seed % 3],
+                              (h, w))).astype(np.int64)
+        mag[r.random((h, w)) < 0.4] = 0
+        neg = r.random((h, w)) < 0.5
+        for style in (0, 1, 2, 4, 8, 0x20, 1 | 4, 1 | 8):
+            enc = encode_block(mag, neg, seed % 4, style)
+            if enc.numpasses == 0:
+                continue
+            tot += 1
+            m2r, nr = decode_block(enc.data, enc.seg_lens, enc.numpasses,
+                                   enc.numbps, seed % 4, w, h, style, True)
+            m2n, nn = native.decode_block(enc.data, enc.seg_lens,
+                                          enc.numpasses, enc.numbps,
+                                          seed % 4, w, h, style)
+            assert np.array_equal(m2r, m2n)
+            assert np.array_equal(nr[m2r > 0], nn[m2r > 0])
+            ok += 1
+    assert ok == tot and tot > 50
+
+
+def test_inv53_level_exact():
+    for seed in range(10):
+        r = np.random.default_rng(seed)
+        h, w = int(r.integers(2, 70)), int(r.integers(2, 70))
+        x0, y0 = int(r.integers(0, 4)), int(r.integers(0, 4))
+        x = r.integers(-1000, 1000, (h, w)).astype(np.int64)
+        rect = Rect(x0, y0, x0 + w, y0 + h)
+        ll, hl, lh, hh = dwt_np.fwd_2d_level(x, rect, False)
+        ref = dwt_np.inv_2d_level(ll, hl, lh, hh, rect, False)
+        got = native.inv53_level(ll, hl, lh, hh, w, h, x0, y0)
+        assert np.array_equal(got, ref)
+
+
+def test_fused_native_pipeline_lossless():
+    img = synthetic_image(96, 80, 3, seed=9)
+    data = compress(img, CompressParams(num_resolutions=4))
+    out = decompress(data, DecompressParams(backend="native")).to_array()
+    assert np.array_equal(out, img)
+
+
+def test_fused_native_pipeline_lossy_matches_scalar():
+    img = synthetic_image(96, 96, 1, seed=10)
+    data = compress(img, CompressParams(num_resolutions=3,
+                                        irreversible=True, rates=[8.0]))
+    a = decompress(data).to_array()
+    b = decompress(data, DecompressParams(backend="native")).to_array()
+    assert np.array_equal(a, b)
+
+
+def test_fused_native_roi_and_reduce():
+    img = synthetic_image(96, 96, 1, seed=11)
+    p = CompressParams(num_resolutions=3, roi_comp=0, roi_shift=12,
+                       roi_rect=(20, 20, 70, 70))
+    data = compress(img, p)
+    out = decompress(data, DecompressParams(backend="native")).to_array()
+    assert np.array_equal(out, img)
+    half = decompress(data, DecompressParams(backend="native",
+                                             reduce=1)).to_array()
+    assert half.shape == (48, 48)

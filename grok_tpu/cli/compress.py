@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="0=off, 1=RCT/ICT, 2=custom")
     p.add_argument("-PLT", action="store_true", help="write PLT markers")
     p.add_argument("-TLM", action="store_true", help="write TLM markers")
+    p.add_argument("-B", "--backend",
+                   choices=["scalar", "jax", "native"], default="native")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -80,6 +82,7 @@ def params_from_args(a) -> CompressParams:
     params.comment = a.comment
     params.write_plt = a.PLT
     params.write_tlm = a.TLM
+    params.backend = a.backend
     if a.mct is not None:
         params.mct = MCTMode(a.mct)
     if a.roi:

@@ -68,6 +68,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_float), ip,
                 ctypes.c_int, ctypes.c_int]
             lib.grk_inv53_level.restype = ctypes.c_int
+            lib.grk_t1_encode.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _lib = None
@@ -188,3 +189,49 @@ def inv53_level(ll, hl, lh, hh, w, h, x0, y0):
     if rc != 0:
         raise RuntimeError("grk_inv53_level failed")
     return out
+
+
+def encode_block(mag, neg, orient: int, style: int = 0):
+    """Native analog of t1_scalar.encode_block -> EncodedBlock."""
+    from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native T1 not available")
+    mag = np.ascontiguousarray(mag, np.int32)
+    negb = np.ascontiguousarray(neg, np.uint8)
+    h, w = mag.shape
+    cap = w * h * 8 + 1024
+    out = np.zeros(cap, np.uint8)
+    rates = np.zeros(96, np.int32)
+    dists = np.zeros(96, np.float64)
+    terms = np.zeros(96, np.uint8)
+    seg_lens = np.zeros(128, np.int32)
+    seg_passes = np.zeros(128, np.int32)
+    total_len = ctypes.c_int(0)
+    nsegs = ctypes.c_int(0)
+    numbps = ctypes.c_int(0)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    npass = lib.grk_t1_encode(
+        mag.ctypes.data_as(I32P),
+        negb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        orient, w, h, style,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(total_len),
+        rates.ctypes.data_as(I32P),
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        terms.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        seg_lens.ctypes.data_as(I32P), seg_passes.ctypes.data_as(I32P),
+        ctypes.byref(nsegs), ctypes.byref(numbps))
+    if npass < 0:
+        raise RuntimeError("grk_t1_encode failed")
+    if npass == 0:
+        return EncodedBlock()
+    passes = [PassInfo(rate=int(rates[i]), dist=float(dists[i]),
+                       term=bool(terms[i])) for i in range(npass)]
+    return EncodedBlock(data=bytes(out[:total_len.value]),
+                        numbps=int(numbps.value), passes=passes,
+                        seg_lens=[int(v) for v in
+                                  seg_lens[:nsegs.value]],
+                        seg_passes=[int(v) for v in
+                                    seg_passes[:nsegs.value]])

@@ -590,3 +590,359 @@ int grk_inv53_level(const int32_t *ll, const int32_t *hl,
     free(tmp); free(colbuf); free(lobuf); free(hibuf);
     return 0;
 }
+
+/* ---- MQ encoder (C.2) --------------------------------------------------- */
+
+typedef struct {
+    uint8_t *out;       /* out[0] is the carry sentinel */
+    int bp;             /* index of byte "B" */
+    uint32_t a, c; int ct;
+} mqe_t;
+
+static void mqe_init(mqe_t *e, uint8_t *buf) {
+    e->out = buf; e->out[0] = 0; e->bp = 0;
+    e->a = 0x8000; e->c = 0; e->ct = 12;
+}
+
+static void mqe_byteout(mqe_t *e) {
+    if (e->out[e->bp] == 0xFF) {
+        e->bp++;
+        e->out[e->bp] = (uint8_t)(e->c >> 20);
+        e->c &= 0xFFFFF; e->ct = 7;
+    } else if (e->c < 0x8000000) {
+        e->bp++;
+        e->out[e->bp] = (uint8_t)(e->c >> 19);
+        e->c &= 0x7FFFF; e->ct = 8;
+    } else {
+        e->out[e->bp]++;
+        if (e->out[e->bp] == 0xFF) {
+            e->c &= 0x7FFFFFF;
+            e->bp++;
+            e->out[e->bp] = (uint8_t)(e->c >> 20);
+            e->c &= 0xFFFFF; e->ct = 7;
+        } else {
+            e->bp++;
+            e->out[e->bp] = (uint8_t)(e->c >> 19);
+            e->c &= 0x7FFFF; e->ct = 8;
+        }
+    }
+}
+
+static void mqe_encode(mqe_t *e, ctx_t *st, int d) {
+    uint32_t qe = QE[st->i];
+    e->a -= qe;
+    if (d == st->mps) {
+        if (e->a & 0x8000) { e->c += qe; return; }
+        if (e->a < qe) e->a = qe; else e->c += qe;
+        st->i = NMPS[st->i];
+    } else {
+        if (e->a < qe) e->c += qe; else e->a = qe;
+        if (SWITCH_[st->i]) st->mps = 1 - st->mps;
+        st->i = NLPS[st->i];
+    }
+    do {
+        e->a <<= 1; e->c = (e->c << 1) & 0xFFFFFFF;
+        e->ct--;
+        if (e->ct == 0) mqe_byteout(e);
+    } while (!(e->a & 0x8000));
+    e->a &= 0xFFFF;
+}
+
+/* flush; returns final length (sentinel excluded) */
+static int mqe_flush(mqe_t *e) {
+    uint32_t tempc = e->c + e->a;
+    e->c |= 0xFFFF;
+    if (e->c >= tempc) e->c -= 0x8000;
+    e->c = (e->c << e->ct) & 0xFFFFFFF;
+    mqe_byteout(e);
+    e->c = (e->c << e->ct) & 0xFFFFFFF;
+    mqe_byteout(e);
+    if (e->out[e->bp] != 0xFF) e->bp++;
+    return e->bp - 1 + 1 - 1;   /* bytes out[1..bp-1] -> bp - 1 */
+}
+
+/* raw (BYPASS) bit writer with stuffing */
+typedef struct { uint8_t *out; int n; int cur, nbits; } rawe_t;
+
+static void rawe_init(rawe_t *r, uint8_t *buf) {
+    r->out = buf; r->n = 0; r->cur = 0; r->nbits = 0;
+}
+
+static void rawe_bit(rawe_t *r, int bit) {
+    int limit = (r->n > 0 && r->out[r->n - 1] == 0xFF) ? 7 : 8;
+    r->cur = (r->cur << 1) | (bit & 1);
+    r->nbits++;
+    if (r->nbits == limit) {
+        r->out[r->n++] = (uint8_t)r->cur;
+        r->cur = 0; r->nbits = 0;
+    }
+}
+
+static int rawe_flush(rawe_t *r) {
+    if (r->nbits) {
+        int limit = (r->n > 0 && r->out[r->n - 1] == 0xFF) ? 7 : 8;
+        r->out[r->n++] = (uint8_t)(r->cur << (limit - r->nbits));
+        r->cur = 0; r->nbits = 0;
+    }
+    if (r->n > 0 && r->out[r->n - 1] == 0xFF) r->out[r->n++] = 0;
+    return r->n;
+}
+
+static int enc_must_terminate(int passno, int ptype, int style, int last) {
+    if (last) return 1;
+    if (style & CBLK_TERMALL) return 1;
+    if (style & CBLK_BYPASS) {
+        if (passno >= 9) {
+            if (ptype == 2) return 1;
+            if (ptype == 1 && passno >= 10) return 1;
+        }
+    }
+    return 0;
+}
+
+/* Encode one code-block.
+ * mag (int32 h*w, non-negative), neg (uint8).  Outputs:
+ *   out: codeword bytes (caller cap >= 2*w*h + 128)
+ *   rates/dists/terms: per-pass arrays (cap >= 3*32)
+ *   seg_lens/seg_passes (cap >= 128)
+ * Returns numpasses (>=0); *numbps_out, *total_len, *nsegs_out filled. */
+int grk_t1_encode(const int32_t *mag, const uint8_t *neg,
+                  int orient, int w, int h, int style,
+                  uint8_t *out, int *total_len,
+                  int *rates, double *dists, uint8_t *terms,
+                  int *seg_lens, int *seg_passes, int *nsegs_out,
+                  int *numbps_out) {
+    build_luts();
+    int wh = w * h;
+    int32_t maxv = 0;
+    for (int i = 0; i < wh; i++) if (mag[i] > maxv) maxv = mag[i];
+    int numbps = 0;
+    while ((1 << numbps) <= maxv && numbps < 31) numbps++;
+    *numbps_out = numbps;
+    *total_len = 0; *nsegs_out = 0;
+    if (numbps == 0) return 0;
+
+    int stride = w + 2;
+    uint32_t *fl = calloc((size_t)stride * (h + 2), sizeof(uint32_t));
+    double *rec = calloc((size_t)wh, sizeof(double));
+    uint8_t *scratch = malloc((size_t)wh * 8 + 1024);
+    if (!fl || !rec || !scratch) return -1;
+    const uint8_t *zlut = g_zc_lut[orient & 3];
+    int vsc = (style & CBLK_VSC) != 0;
+
+    mqe_t mq; mqe_init(&mq, scratch);
+    rawe_t rw; int rw_active = 0;
+    ctx_t ctx[N_CTX]; ctx_init(ctx);
+    int done_len = 0;              /* bytes in `out` from closed segments */
+    int passes_in_seg = 0, nsegs = 0;
+    double dist_total = 0.0;
+    int total = 3 * numbps - 2;
+    int passno = 0;
+
+    for (int bp = numbps - 1; bp >= 0; bp--) {
+        int first_plane = (bp == numbps - 1);
+        for (int sub = first_plane ? 2 : 0; sub <= 2; sub++) {
+            int ptype = sub;
+            int raw = is_raw(passno, ptype, style);
+            if (raw && !rw_active) { rawe_init(&rw, scratch); rw_active = 1; }
+            if ((style & CBLK_RESET) && !raw) ctx_init(ctx);
+
+            if (ptype == 0) {
+                for (int y0 = 0; y0 < h; y0 += 4) {
+                    int ymax = y0 + 4 < h ? y0 + 4 : h;
+                    for (int x = 0; x < w; x++)
+                    for (int y = y0; y < ymax; y++) {
+                        uint32_t f = FW(y, x);
+                        if (f & (F_SIG | F_VISIT)) continue;
+                        uint32_t fv = vsc_word(f, y, vsc);
+                        int zc = zlut[fv & 0xFF];
+                        if (zc == 0) continue;
+                        int bit = (mag[IDX(y, x)] >> bp) & 1;
+                        if (raw) rawe_bit(&rw, bit);
+                        else mqe_encode(&mq, &ctx[zc], bit);
+                        if (bit) {
+                            int nb = neg[IDX(y, x)] ? 1 : 0;
+                            if (raw) rawe_bit(&rw, nb);
+                            else {
+                                const uint8_t *e2 = g_sc_lut[fv & 0xFFF];
+                                mqe_encode(&mq, &ctx[e2[0]], nb ^ e2[1]);
+                            }
+                            set_sig(fl, stride, x, y, nb);
+                            double m = (double)mag[IDX(y, x)];
+                            double nv = 1.5 * (double)(1 << bp);
+                            double o = rec[IDX(y, x)];
+                            dist_total += (m - o) * (m - o)
+                                        - (m - nv) * (m - nv);
+                            rec[IDX(y, x)] = nv;
+                        }
+                        FW(y, x) |= F_VISIT;
+                    }
+                }
+            } else if (ptype == 1) {
+                for (int y0 = 0; y0 < h; y0 += 4) {
+                    int ymax = y0 + 4 < h ? y0 + 4 : h;
+                    for (int x = 0; x < w; x++) {
+                    uint32_t any = 0;
+                    for (int yy = y0; yy < ymax; yy++) any |= FW(yy, x);
+                    if (!(any & F_SIG)) continue;
+                    for (int y = y0; y < ymax; y++) {
+                        uint32_t f = FW(y, x);
+                        if (!(f & F_SIG) || (f & F_VISIT)) continue;
+                        int bit = (mag[IDX(y, x)] >> bp) & 1;
+                        if (raw) rawe_bit(&rw, bit);
+                        else {
+                            uint32_t fv = vsc_word(f, y, vsc);
+                            int mr = (f & F_REF) ? 16
+                                     : ((fv & 0xFF) ? 15 : 14);
+                            mqe_encode(&mq, &ctx[mr], bit);
+                        }
+                        FW(y, x) |= F_REF;
+                        double m = (double)mag[IDX(y, x)];
+                        double nv = (double)((mag[IDX(y, x)] >> bp) << bp)
+                                  + 0.5 * (double)(1 << bp);
+                        double o = rec[IDX(y, x)];
+                        dist_total += (m - o) * (m - o)
+                                    - (m - nv) * (m - nv);
+                        rec[IDX(y, x)] = nv;
+                    }
+                    }
+                }
+            } else {
+                for (int y0 = 0; y0 < h; y0 += 4) {
+                    int ymax = y0 + 4 < h ? y0 + 4 : h;
+                    for (int x = 0; x < w; x++) {
+                        int y = y0;
+                        if (ymax - y0 == 4) {
+                            uint32_t any = FW(y0, x) | FW(y0 + 1, x)
+                                         | FW(y0 + 2, x) | FW(y0 + 3, x);
+                            int allz = !(any & (0xFF | F_SIG | F_VISIT));
+                            if (!allz && vsc
+                                && !(any & (F_SIG | F_VISIT))) {
+                                allz = 1;
+                                for (int d2 = 0; d2 < 4 && allz; d2++) {
+                                    uint32_t fv = vsc_word(FW(y0 + d2, x),
+                                                           y0 + d2, vsc);
+                                    if (zlut[fv & 0xFF] != 0) allz = 0;
+                                }
+                            }
+                            if (allz) {
+                                int bits[4], anyb = 0, r = 3;
+                                for (int d2 = 0; d2 < 4; d2++) {
+                                    bits[d2] = (mag[IDX(y0 + d2, x)] >> bp)
+                                             & 1;
+                                    anyb |= bits[d2];
+                                }
+                                for (int d2 = 3; d2 >= 0; d2--)
+                                    if (bits[d2]) r = d2;
+                                mqe_encode(&mq, &ctx[CTX_RL], anyb);
+                                if (!anyb) continue;
+                                mqe_encode(&mq, &ctx[CTX_UNI], (r >> 1) & 1);
+                                mqe_encode(&mq, &ctx[CTX_UNI], r & 1);
+                                int yf = y0 + r;
+                                uint32_t fv = vsc_word(FW(yf, x), yf, vsc);
+                                const uint8_t *e2 = g_sc_lut[fv & 0xFFF];
+                                int nb = neg[IDX(yf, x)] ? 1 : 0;
+                                mqe_encode(&mq, &ctx[e2[0]], nb ^ e2[1]);
+                                set_sig(fl, stride, x, yf, nb);
+                                double m = (double)mag[IDX(yf, x)];
+                                double nv = 1.5 * (double)(1 << bp);
+                                double o = rec[IDX(yf, x)];
+                                dist_total += (m - o) * (m - o)
+                                            - (m - nv) * (m - nv);
+                                rec[IDX(yf, x)] = nv;
+                                y = yf + 1;
+                            }
+                        }
+                        for (; y < ymax; y++) {
+                            uint32_t f = FW(y, x);
+                            if (f & (F_SIG | F_VISIT)) continue;
+                            uint32_t fv = vsc_word(f, y, vsc);
+                            int zc = zlut[fv & 0xFF];
+                            int bit = (mag[IDX(y, x)] >> bp) & 1;
+                            mqe_encode(&mq, &ctx[zc], bit);
+                            if (bit) {
+                                const uint8_t *e2 = g_sc_lut[fv & 0xFFF];
+                                int nb = neg[IDX(y, x)] ? 1 : 0;
+                                mqe_encode(&mq, &ctx[e2[0]], nb ^ e2[1]);
+                                set_sig(fl, stride, x, y, nb);
+                                double m = (double)mag[IDX(y, x)];
+                                double nv = 1.5 * (double)(1 << bp);
+                                double o = rec[IDX(y, x)];
+                                dist_total += (m - o) * (m - o)
+                                            - (m - nv) * (m - nv);
+                                rec[IDX(y, x)] = nv;
+                            }
+                        }
+                    }
+                }
+                if (style & CBLK_SEGSYM) {
+                    mqe_encode(&mq, &ctx[CTX_UNI], 1);
+                    mqe_encode(&mq, &ctx[CTX_UNI], 0);
+                    mqe_encode(&mq, &ctx[CTX_UNI], 1);
+                    mqe_encode(&mq, &ctx[CTX_UNI], 0);
+                }
+                { size_t tot = (size_t)stride * (h + 2);
+                  for (size_t q = 0; q < tot; q++)
+                      fl[q] &= ~(uint32_t)F_VISIT; }
+            }
+
+            /* end of pass: rate + termination */
+            passes_in_seg++;
+            int last = (passno == total - 1);
+            int term = enc_must_terminate(passno, ptype, style, last);
+            if (term) {
+                int seg_len;
+                if (raw) { seg_len = rawe_flush(&rw); rw_active = 0;
+                           memcpy(out + done_len, scratch, (size_t)seg_len);
+                           /* the raw writer shares scratch: restore the MQ
+                            * carry sentinel for the next MQ segment */
+                           { ctx_t saved[N_CTX];
+                             memcpy(saved, ctx, sizeof(saved));
+                             mqe_init(&mq, scratch);
+                             memcpy(ctx, saved, sizeof(saved)); } }
+                else {
+                    ctx_t saved[N_CTX];
+                    memcpy(saved, ctx, sizeof(saved));
+                    seg_len = mqe_flush(&mq);
+                    memcpy(out + done_len, scratch + 1, (size_t)seg_len);
+                    mqe_init(&mq, scratch);
+                    memcpy(ctx, saved, sizeof(saved));
+                }
+                done_len += seg_len;
+                seg_lens[nsegs] = seg_len;
+                seg_passes[nsegs] = passes_in_seg;
+                nsegs++;
+                passes_in_seg = 0;
+                rates[passno] = done_len;
+                terms[passno] = 1;
+            } else {
+                int pending;
+                if (raw) pending = rw.n + (rw.nbits ? 1 : 0);
+                else pending = mq.bp + 5;
+                rates[passno] = done_len + pending;
+                terms[passno] = 0;
+            }
+            dists[passno] = dist_total;
+            passno++;
+            if (passno >= total) goto fin;
+        }
+    }
+fin:
+    /* clamp optimistic rates to their segment's real end (mirror of the
+     * Python model's post-pass fixups) */
+    { int tot2 = 0, pi = 0;
+      for (int s = 0; s < nsegs; s++) {
+          tot2 += seg_lens[s];
+          for (int q = 0; q < seg_passes[s]; q++) {
+              if (rates[pi] > tot2) rates[pi] = tot2;
+              pi++;
+          }
+      }
+      for (int i = 1; i < total; i++)
+          if (rates[i] < rates[i - 1]) rates[i] = rates[i - 1];
+    }
+    *total_len = done_len;
+    *nsegs_out = nsegs;
+    free(fl); free(rec); free(scratch);
+    return total;
+}

@@ -78,3 +78,32 @@ def test_fused_native_roi_and_reduce():
     half = decompress(data, DecompressParams(backend="native",
                                              reduce=1)).to_array()
     assert half.shape == (48, 48)
+
+
+def test_encode_block_exact_all_styles():
+    ok = tot = 0
+    for seed in range(10):
+        r = np.random.default_rng(seed)
+        h, w = int(r.integers(1, 40)), int(r.integers(1, 40))
+        mag = np.abs(r.normal(0, [2, 40, 400][seed % 3],
+                              (h, w))).astype(np.int64)
+        mag[r.random((h, w)) < 0.4] = 0
+        neg = r.random((h, w)) < 0.5
+        for style in (0, 1, 2, 4, 8, 0x20, 1 | 4, 1 | 8, 1 | 4 | 8 | 0x20):
+            ref = encode_block(mag, neg, seed % 4, style)
+            got = native.encode_block(mag, neg, seed % 4, style)
+            assert ref.data == got.data
+            assert ref.numbps == got.numbps
+            assert ref.seg_lens == got.seg_lens
+            assert all(a.rate == b.rate and abs(a.dist - b.dist) < 1e-6
+                       and a.term == b.term
+                       for a, b in zip(ref.passes, got.passes))
+            tot += 1
+    assert tot > 60
+
+
+def test_native_encode_stream_identical():
+    img = synthetic_image(96, 96, 1, seed=3)
+    a = compress(img, CompressParams(num_resolutions=3))
+    b = compress(img, CompressParams(num_resolutions=3, backend="native"))
+    assert a == b

@@ -79,7 +79,8 @@ def _build_main_header(image: Image, params: CompressParams) -> MainHeader:
 
 
 def _main_header_bytes(hdr: MainHeader, params: CompressParams,
-                       tlm_entries: list[tuple[int, int]] | None) -> bytes:
+                       tlm_entries: list[tuple[int, int]] | None,
+                       ppm_chunks: list[bytes] | None = None) -> bytes:
     out = bytearray(struct.pack(">H", j2k.SOC))
     out += j2k.write_siz(hdr.siz, hdr.rsiz, hdr.comps)
     out += j2k.write_cod(hdr.cod)
@@ -94,6 +95,11 @@ def _main_header_bytes(hdr: MainHeader, params: CompressParams,
         out += j2k.write_poc(hdr.pocs, len(hdr.comps))
     if tlm_entries is not None:
         out += j2k.write_tlm(tlm_entries)
+    if ppm_chunks is not None:
+        payload = bytearray(struct.pack(">B", 0))   # Zppm
+        for chunk in ppm_chunks:
+            payload += struct.pack(">I", len(chunk)) + chunk
+        out += struct.pack(">HH", j2k.PPM, len(payload) + 2) + payload
     if params.comment:
         out += j2k.write_com(params.comment)
     return bytes(out)
@@ -122,6 +128,12 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
 
     tiles_out: list[bytes] = []
     tlm_entries: list[tuple[int, int]] = []
+    ppm_chunks: list[bytes] = []
+    from grok_tpu.codestream.profiles import validate_profile
+    errs = validate_profile(params, siz.xsiz - siz.xosiz,
+                            siz.ysiz - siz.yosiz, len(hdr.comps))
+    if errs:
+        raise ValueError("profile violations: " + "; ".join(errs))
     for t in range(siz.num_tiles):
         geo = tile_pipe.TileGeometry.build(hdr, t)
         frac = (geo.rect.w * geo.rect.h) / max(total_pixels, 1)
@@ -132,10 +144,31 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
                 targets.append(max(budget, 100.0) * frac)
             else:
                 targets.append(None)
+        quality_targets = None
+        if params.fixed_quality and params.quality:
+            # PSNR target -> required cumulative weighted-squared-error
+            # reduction; E0 approximated by the maximal achievable
+            # reduction of this tile
+            npix = sum(geo.comp_rects[c].w * geo.comp_rects[c].h
+                       for c in range(len(hdr.comps)))
+            quality_targets = []
+            for q in params.quality:
+                if q <= 0:
+                    quality_targets.append(None)
+                else:
+                    peak = (1 << hdr.comps[0].prec) - 1
+                    mse = peak * peak / (10.0 ** (q / 10.0))
+                    # required reduction = E0 - allowed error; E0 is
+                    # resolved inside encode_tile from the hull maxima
+                    quality_targets.append(mse * npix)
         res = tile_pipe.encode_tile(image, geo, targets, mct_norms,
                                     backend=params.backend,
                                     roi_rect=params.roi_rect,
-                                    pocs=hdr.pocs)
+                                    pocs=hdr.pocs,
+                                    quality_targets=quality_targets,
+                                    split_headers=params.write_ppm)
+        if params.write_ppm:
+            ppm_chunks.append(res.headers)
         plt_seg = j2k.write_plt(res.packet_lens) if params.write_plt else b""
         psot = 12 + len(plt_seg) + 2 + len(res.body)
         tp = j2k.write_sot(t, psot, 0, 1) + plt_seg + \
@@ -144,7 +177,8 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
         tlm_entries.append((t, len(tp)))
 
     mh = _main_header_bytes(hdr, params,
-                            tlm_entries if params.write_tlm else None)
+                            tlm_entries if params.write_tlm else None,
+                            ppm_chunks if params.write_ppm else None)
     stream = mh + b"".join(tiles_out) + struct.pack(">H", j2k.EOC)
     if params.jp2:
         c0 = image.components[0]
@@ -272,12 +306,29 @@ def decompress(data: bytes,
         tiles = [t for t in tiles
                  if not hdr.siz.tile_rect(t).intersect(win).empty]
 
+    # PPM (A.7.4): packed packet headers in the main header, one
+    # Nppm-prefixed blob per tile-part in stream order
+    ppm_blobs: dict[int, bytes] = {}
+    if hdr.ppm is not None:
+        r = j2k.Reader(hdr.ppm)
+        order = sorted(parts, key=lambda p: p.header_start)
+        for p in order:
+            if r.remaining < 4:
+                break
+            n = r.u32()
+            ppm_blobs[p.header_start] = r.take(min(n, r.remaining))
+
     for t in tiles:
         th = TileHeader()
         chunks = []
+        ppm_parts = []
         for p in sorted(by_tile[t], key=lambda p: p.part_index):
             j2k.read_tile_part_header(cs, p, hdr, th)
             chunks.append(cs[p.data_start:p.data_end])
+            if p.header_start in ppm_blobs:
+                ppm_parts.append(ppm_blobs[p.header_start])
+        if ppm_parts:
+            th.ppt = b"".join(ppm_parts)
         body = b"".join(chunks)
         geo = tile_pipe.TileGeometry.build(hdr, t, th)
         comp_arrays = tile_pipe.decode_tile(body, geo, hdr, th, dp)

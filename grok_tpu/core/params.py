@@ -92,6 +92,7 @@ class CompressParams:
     eph: bool = False
     write_tlm: bool = False
     write_plt: bool = False
+    write_ppm: bool = False     # packed packet headers in the main header
     comment: str | None = None
     rsiz: RsizProfile = RsizProfile.NONE
     max_tile_parts: int = 1

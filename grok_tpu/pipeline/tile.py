@@ -104,6 +104,7 @@ class TileEncodeResult:
     packet_lens: list[int]
     body: bytes                      # concatenated packets
     dist_total: float = 0.0
+    headers: bytes = b""             # packed headers (PPM mode only)
 
 
 def _forward_transform(image: Image, geo: TileGeometry) -> list[list]:
@@ -175,7 +176,9 @@ def encode_tile(image: Image, geo: TileGeometry,
                 mct_norms: np.ndarray | None = None,
                 backend: str = "scalar",
                 roi_rect: tuple | None = None,
-                pocs: list | None = None) -> TileEncodeResult:
+                pocs: list | None = None,
+                quality_targets: list | None = None,
+                split_headers: bool = False) -> TileEncodeResult:
     """Full encode of one tile; layer_targets are cumulative byte budgets
     per layer for this tile (None = all remaining passes).  backend="jax"
     runs default-style blocks through the batched device encoder.
@@ -312,8 +315,22 @@ def encode_tile(image: Image, geo: TileGeometry,
     for key in entry_keys:
         c, r, p, band_i, cblk_i = key
         totals.append(ctxs[(c, r, p)].eblocks[band_i][cblk_i].enc.numpasses)
-    layer_cum = allocate_layers(hulls, num_layers, layer_targets, simulate,
-                                totals)
+    if quality_targets is not None:
+        from grok_tpu.t2.rate import allocate_layers_quality
+        dists_list = []
+        for j, enc in zip(ejobs, encs):
+            dists_list.append(np.array(
+                [pi.dist * j["weight"] for pi in enc.passes]))
+        # targets arrive as ALLOWED total squared error; convert to the
+        # required distortion reduction against the maximal achievable
+        e0 = sum(float(d[-1]) for d in dists_list if len(d))
+        conv = [None if q is None else max(e0 - float(q), 0.0)
+                for q in quality_targets]
+        layer_cum = allocate_layers_quality(
+            hulls, num_layers, conv, totals, dists_list)
+    else:
+        layer_cum = allocate_layers(hulls, num_layers, layer_targets,
+                                    simulate, totals)
 
     final_cs = geo.make_contexts()
     for i, key in enumerate(entry_keys):
@@ -323,6 +340,28 @@ def encode_tile(image: Image, geo: TileGeometry,
         final_cs[(c, r, p)].set_block(band_i, cblk_i, src.enc, mbv)
         final_cs[(c, r, p)].eblocks[band_i][cblk_i].layer_cum = layer_cum[i]
     packets = emit(final_cs, num_layers)
+    if split_headers:
+        # PPM: re-emit with headers and bodies separated (headers go to the
+        # main header; bodies stay in the tile-part)
+        cs2 = geo.make_contexts()
+        for i, key in enumerate(entry_keys):
+            c, r, p, band_i, cblk_i = key
+            src = ctxs[(c, r, p)].eblocks[band_i][cblk_i]
+            mbv = src.enc.numbps + src.zb
+            cs2[(c, r, p)].set_block(band_i, cblk_i, src.enc, mbv)
+            cs2[(c, r, p)].eblocks[band_i][cblk_i].layer_cum = layer_cum[i]
+        headers = bytearray()
+        bodies = []
+        for pc in iter_packets(geo.tcgs, geo.subsampling, num_layers,
+                               geo.cod.prog_order, geo.rect.x0, geo.rect.y0,
+                               pocs or None):
+            hd, bd = cs2[(pc.comp, pc.res, pc.prec)].encode_packet(pc.layer)
+            headers += hd
+            bodies.append(bd)
+        body = b"".join(bodies)
+        return TileEncodeResult(packets=bodies,
+                                packet_lens=[len(p) for p in bodies],
+                                body=body, headers=bytes(headers))
     body = b"".join(packets)
     return TileEncodeResult(packets=packets,
                             packet_lens=[len(p) for p in packets], body=body)

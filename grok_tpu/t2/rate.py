@@ -128,3 +128,50 @@ def allocate_layers(hulls: list[Hull], num_layers: int,
             layer_cum[b].append(chosen[b])
         prev = chosen
     return layer_cum
+
+
+def allocate_layers_quality(hulls: list[Hull], num_layers: int,
+                            dist_targets: list[float | None],
+                            total_passes: list[int],
+                            dists: list[np.ndarray]) -> list[list[int]]:
+    """Fixed-quality allocation: per layer, the cheapest (highest-slope)
+    pass set whose cumulative distortion reduction meets the target.
+
+    dist_targets: cumulative weighted-squared-error reduction per layer
+    (None = everything).  dists[b][p]: cumulative reduction per pass.
+    """
+    nb = len(hulls)
+    layer_cum: list[list[int]] = [[] for _ in range(nb)]
+    prev = [0] * nb
+    all_slopes = np.concatenate([h.slopes for h in hulls if len(h.slopes)]) \
+        if any(len(h.slopes) for h in hulls) else np.array([1.0])
+    smin = float(all_slopes.min()) * 0.5
+    smax = float(all_slopes.max()) * 2.0 + 1.0
+
+    def reduction(chosen):
+        tot = 0.0
+        for b in range(nb):
+            if chosen[b] > 0:
+                tot += float(dists[b][chosen[b] - 1])
+        return tot
+
+    for l in range(num_layers):
+        tgt = dist_targets[l] if l < len(dist_targets) else None
+        if tgt is None:
+            chosen = [max(total_passes[b], prev[b]) for b in range(nb)]
+        else:
+            lo, hi = smin, smax
+            chosen = [max(total_passes[b], prev[b]) for b in range(nb)]
+            for _ in range(40):
+                mid = 0.5 * (lo + hi)
+                trial = [passes_for_lambda(hulls[b], mid, prev[b])
+                         for b in range(nb)]
+                if reduction(trial) >= tgt:
+                    chosen = trial
+                    lo = mid        # try fewer bytes (higher threshold)
+                else:
+                    hi = mid
+        for b in range(nb):
+            layer_cum[b].append(chosen[b])
+        prev = chosen
+    return layer_cum

@@ -222,3 +222,53 @@ class TestROIWindow:
         a = compress(img, CompressParams(num_resolutions=3))
         b = compress(img, CompressParams(num_resolutions=3, backend="jax"))
         assert a == b
+
+
+class TestAdvancedFeatures:
+    def test_subsampled_420_lossless(self):
+        from grok_tpu.core.image import Component
+        rng = np.random.default_rng(0)
+        y = rng.integers(0, 256, (64, 64)).astype(np.int32)
+        cb = rng.integers(0, 256, (32, 32)).astype(np.int32)
+        cr = rng.integers(0, 256, (32, 32)).astype(np.int32)
+        img = Image(components=[Component(data=y, dx=1, dy=1, prec=8),
+                                Component(data=cb, dx=2, dy=2, prec=8),
+                                Component(data=cr, dx=2, dy=2, prec=8)])
+        d = compress(img, CompressParams(num_resolutions=3))
+        out = decompress(d)
+        for i, ref in enumerate((y, cb, cr)):
+            assert np.array_equal(out.components[i].data, ref)
+
+    def test_fixed_quality_mode(self):
+        img = synthetic_image(128, 128, 1, seed=7)
+        p = CompressParams(num_resolutions=4, irreversible=True,
+                           quality=[32.0], fixed_quality=True)
+        out = decompress(compress(img, p)).to_array()
+        assert 31.0 < psnr(out, img) < 36.0
+
+    def test_ppm_roundtrip(self):
+        img = synthetic_image(96, 80, 1, seed=9)
+        d = compress(img, CompressParams(num_resolutions=3, write_ppm=True))
+        assert np.array_equal(decompress(d).to_array(), img)
+
+    @needs_oracle
+    def test_oracle_decodes_ppm_stream(self):
+        img = synthetic_image(96, 80, 1, seed=9)
+        d = compress(img, CompressParams(num_resolutions=3, write_ppm=True))
+        assert np.array_equal(oracle_decode(d), img)
+
+    def test_profile_validation(self):
+        from grok_tpu.core.params import RsizProfile
+        img = synthetic_image(32, 32, 1, seed=1)
+        with pytest.raises(ValueError, match="profile violations"):
+            compress(img, CompressParams(rsiz=RsizProfile.CINEMA_2K))
+
+    def test_cinema2k_valid_combination(self):
+        from grok_tpu.core.params import RsizProfile
+        img = synthetic_image(64, 64, 3, seed=2)
+        p = CompressParams(rsiz=RsizProfile.CINEMA_2K, irreversible=True,
+                           prog_order=ProgOrder.CPRL, cblk_w_exp=5,
+                           cblk_h_exp=5, num_resolutions=5)
+        d = compress(img, p)
+        out = decompress(d).to_array()
+        assert psnr(out, img) > 40

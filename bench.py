@@ -43,7 +43,7 @@ def main():
     out = decompress(data, dp).to_array()
     assert np.array_equal(out, img), "bench decode is not lossless"
 
-    reps = int(os.environ.get("GROK_BENCH_REPS", "3"))
+    reps = int(os.environ.get("GROK_BENCH_REPS", "5"))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()

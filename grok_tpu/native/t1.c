@@ -328,8 +328,8 @@ int grk_t1_decode(const uint8_t *data, int dlen,
                         uint32_t f = FW(y, x);
                         if (f & (F_SIG | F_VISIT)) continue;
                         uint32_t fv = vsc_word(f, y, vsc);
+                        if (!(fv & 0xFF)) continue;   /* zc == 0 */
                         int zc = zlut[fv & 0xFF];
-                        if (zc == 0) continue;
                         int bit = raw ? rawd_bit(&rd)
                                       : mqd_decode(&mq, &ctx[zc]);
                         if (bit) {
@@ -755,8 +755,8 @@ int grk_t1_encode(const int32_t *mag, const uint8_t *neg,
                         uint32_t f = FW(y, x);
                         if (f & (F_SIG | F_VISIT)) continue;
                         uint32_t fv = vsc_word(f, y, vsc);
+                        if (!(fv & 0xFF)) continue;   /* zc == 0 */
                         int zc = zlut[fv & 0xFF];
-                        if (zc == 0) continue;
                         int bit = (mag[IDX(y, x)] >> bp) & 1;
                         if (raw) rawe_bit(&rw, bit);
                         else mqe_encode(&mq, &ctx[zc], bit);

@@ -272,3 +272,19 @@ class TestAdvancedFeatures:
         d = compress(img, p)
         out = decompress(d).to_array()
         assert psnr(out, img) > 40
+
+    def test_random_tile_access(self):
+        """j2k_random_tile_access analog: decode tiles in arbitrary order
+        via tile_index and get exactly the full-image content."""
+        img = synthetic_image(96, 96, 1, seed=70)
+        data = compress(img, CompressParams(num_resolutions=3, tile_w=32,
+                                            tile_h=32, write_tlm=True))
+        full = decompress(data).to_array()
+        rng = np.random.default_rng(0)
+        for t in rng.permutation(9):
+            sub = decompress(data, DecompressParams(tile_index=int(t)))
+            comp = sub.components[0].data
+            ty, tx = divmod(int(t), 3)
+            region = comp[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
+            assert np.array_equal(region, full[ty * 32:(ty + 1) * 32,
+                                               tx * 32:(tx + 1) * 32])

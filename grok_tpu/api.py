@@ -35,6 +35,11 @@ def _build_main_header(image: Image, params: CompressParams) -> MainHeader:
     mct_mode = params.mct
     if mct_mode is None:
         mct_mode = MCTMode.RCT_OR_ICT if len(comps) >= 3 else MCTMode.NONE
+    if mct_mode == MCTMode.CUSTOM:
+        if params.custom_mct is None:
+            raise ValueError("MCTMode.CUSTOM requires custom_mct matrix")
+        if not params.irreversible:
+            raise ValueError("custom MCT requires the irreversible path")
     use_mct = 1 if (mct_mode == MCTMode.RCT_OR_ICT and len(comps) >= 3
                     and len({(c.dx, c.dy) for c in comps[:3]}) == 1) else 0
 
@@ -52,6 +57,9 @@ def _build_main_header(image: Image, params: CompressParams) -> MainHeader:
                       sop=params.sop, eph=params.eph, comp=cs)
 
     hdr = MainHeader(siz=siz, rsiz=int(params.rsiz), comps=comps, cod=cod)
+    if mct_mode == MCTMode.CUSTOM:
+        hdr.custom_mct = np.asarray(params.custom_mct, dtype=float)
+        hdr.rsiz |= 0x8000 | 0x0100      # Part-2 extended + MCT extension
     for c, ci in enumerate(comps):
         q = make_quantizer(params.num_resolutions, ci.prec,
                            params.irreversible, params.num_guard_bits,
@@ -93,6 +101,8 @@ def _main_header_bytes(hdr: MainHeader, params: CompressParams,
         out += j2k.write_rgn(c, len(hdr.comps), s)
     if hdr.pocs:
         out += j2k.write_poc(hdr.pocs, len(hdr.comps))
+    if hdr.custom_mct is not None:
+        out += j2k.write_mct_set(hdr.custom_mct)
     if tlm_entries is not None:
         out += j2k.write_tlm(tlm_entries)
     if ppm_chunks is not None:
@@ -121,6 +131,10 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
     mct_norms = None
     if hdr.cod.mct:
         mct_norms = mct_component_norms(params.irreversible)
+    elif hdr.custom_mct is not None:
+        import numpy as _np
+        mct_norms = mct_component_norms(
+            True, custom_inv=_np.linalg.inv(hdr.custom_mct))
 
     # provisional main header size (TLM slot added later if requested)
     mh_probe = _main_header_bytes(hdr, params, None)
@@ -169,12 +183,30 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
                                     split_headers=params.write_ppm)
         if params.write_ppm:
             ppm_chunks.append(res.headers)
-        plt_seg = j2k.write_plt(res.packet_lens) if params.write_plt else b""
-        psot = 12 + len(plt_seg) + 2 + len(res.body)
-        tp = j2k.write_sot(t, psot, 0, 1) + plt_seg + \
-            struct.pack(">H", j2k.SOD) + res.body
-        tiles_out.append(tp)
-        tlm_entries.append((t, len(tp)))
+        nparts = max(1, min(params.max_tile_parts, len(res.packets) or 1))
+        if nparts == 1:
+            plt_seg = j2k.write_plt(res.packet_lens) if params.write_plt \
+                else b""
+            psot = 12 + len(plt_seg) + 2 + len(res.body)
+            tp = j2k.write_sot(t, psot, 0, 1) + plt_seg + \
+                struct.pack(">H", j2k.SOD) + res.body
+            tiles_out.append(tp)
+            tlm_entries.append((t, len(tp)))
+        else:
+            # split the packet sequence across tile-parts at packet
+            # boundaries (packets never straddle a tile-part boundary)
+            per = -(-len(res.packets) // nparts)
+            for pi in range(nparts):
+                pkts = res.packets[pi * per:(pi + 1) * per]
+                lens = res.packet_lens[pi * per:(pi + 1) * per]
+                bodyp = b"".join(pkts)
+                plt_seg = j2k.write_plt(lens, zplt=pi) if params.write_plt \
+                    else b""
+                psot = 12 + len(plt_seg) + 2 + len(bodyp)
+                tp = j2k.write_sot(t, psot, pi, nparts) + plt_seg + \
+                    struct.pack(">H", j2k.SOD) + bodyp
+                tiles_out.append(tp)
+                tlm_entries.append((t, len(tp)))
 
     mh = _main_header_bytes(hdr, params,
                             tlm_entries if params.write_tlm else None,

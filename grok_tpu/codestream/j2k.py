@@ -36,6 +36,9 @@ PPM = 0xFF60
 PPT = 0xFF61
 CRG = 0xFF63
 COM = 0xFF64
+MCT = 0xFF74
+MCC = 0xFF75
+MCO = 0xFF77
 CAP = 0xFF50
 SOT = 0xFF90
 SOP = 0xFF91
@@ -47,6 +50,7 @@ _MARKER_NAMES = {
     SOC: "SOC", SIZ: "SIZ", COD: "COD", COC: "COC", TLM: "TLM", PLM: "PLM",
     PLT: "PLT", CPF: "CPF", QCD: "QCD", QCC: "QCC", RGN: "RGN", POC: "POC",
     PPM: "PPM", PPT: "PPT", CRG: "CRG", COM: "COM", CAP: "CAP", SOT: "SOT",
+    MCT: "MCT", MCC: "MCC", MCO: "MCO",
     SOP: "SOP", EPH: "EPH", SOD: "SOD", EOC: "EOC",
 }
 
@@ -123,6 +127,7 @@ class MainHeader:
     pocs: list[Poc] = field(default_factory=list)
     comments: list[tuple[int, bytes]] = field(default_factory=list)
     cap: tuple[int, list[int]] | None = None              # (Pcap, Scap list)
+    custom_mct: object = None        # (N, N) float64 forward decorrelation
     tlm: list[tuple[int, int]] = field(default_factory=list)  # (tile, length)
     ppm: bytes | None = None
     main_header_end: int = 0
@@ -253,6 +258,36 @@ def write_poc(pocs: list[Poc], numcomps: int) -> bytes:
 def write_com(text: str | bytes, binary: bool = False) -> bytes:
     data = text.encode("latin-1") if isinstance(text, str) else bytes(text)
     return _seg(COM, struct.pack(">H", 0 if binary else 1) + data)
+
+
+def write_mct_set(matrix) -> bytes:
+    """Part-2 custom MCT: one f64 decorrelation array (MCT), one component
+    collection binding all components (MCC), one ordering (MCO).
+
+    Layout follows the Part-2 marker structure (A.3.7-A.3.9 of 15444-2);
+    read back by _read_mct_set.  Array index 1, collection index 0.
+    """
+    import numpy as np
+    m = np.asarray(matrix, dtype=">f8")
+    n = m.shape[0]
+    # MCT: Zmct=0, Imct = index 1 | type DECORRELATION(1)<<8 | f64(3)<<10,
+    # Ymct=0, data
+    imct = 1 | (1 << 8) | (3 << 10)
+    out = _seg(MCT, struct.pack(">HHH", 0, imct, 0) + m.tobytes())
+    # MCC: Zmcc=0, Imcc=0, Ymcc=0, Qmcc=1; collection: type 1 (matrix
+    # decorrelation), Nmccin comps in, the comp indices, Nmccout + indices,
+    # Tmcc = decorrelation array index (1) | offset array (0)
+    pl = struct.pack(">HBHH", 0, 0, 0, 1)
+    pl += struct.pack(">B", 1)
+    pl += struct.pack(">H", n) + b"".join(struct.pack(">B", c)
+                                          for c in range(n))
+    pl += struct.pack(">H", n) + b"".join(struct.pack(">B", c)
+                                          for c in range(n))
+    pl += struct.pack(">BBB", 1, 0, 0)
+    out += _seg(MCC, pl)
+    # MCO: one stage, collection 0
+    out += _seg(MCO, struct.pack(">BB", 1, 0))
+    return out
 
 
 def write_cap(pcap: int, scaps: list[int]) -> bytes:
@@ -494,7 +529,20 @@ def read_main_header(data: bytes, start: int = 0) -> MainHeader:
             seg.u8()  # Zppm
             body = seg.take(seg.remaining)
             hdr.ppm = (hdr.ppm or b"") + body
-        # PLM, CRG, CPF, unknown: skipped (stored nowhere yet)
+        elif marker == MCT:
+            import numpy as np
+            seg.u16()            # Zmct (0: unsplit)
+            imct = seg.u16()
+            seg.u16()            # Ymct
+            if (imct >> 8) & 3 == 1 and (imct >> 10) & 3 == 3:
+                data = seg.take(seg.remaining)
+                k = len(data) // 8
+                n = int(round(k ** 0.5))
+                if n * n == k:
+                    hdr.custom_mct = np.frombuffer(
+                        data, dtype=">f8").reshape(n, n).astype(float)
+        # MCC/MCO: the single-collection layout written by write_mct_set
+        # is implied by the MCT record; PLM, CRG, CPF, unknown: skipped
     return hdr
 
 

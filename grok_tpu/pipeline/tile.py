@@ -54,6 +54,7 @@ class TileGeometry:
     cod: CodingStyle
     subsampling: list[tuple[int, int]]
     rgn: dict = field(default_factory=dict)      # comp -> ROI Maxshift
+    custom_mct: object = None                    # Part-2 matrix or None
 
     @staticmethod
     def build(hdr: MainHeader, t: int,
@@ -81,7 +82,8 @@ class TileGeometry:
             subs.append((ci.dx, ci.dy))
         return TileGeometry(t=t, rect=rect, comp_rects=comp_rects, tcgs=tcgs,
                             styles=styles, quants=quants, cod=cod,
-                            subsampling=subs, rgn=rgn)
+                            subsampling=subs, rgn=rgn,
+                            custom_mct=hdr.custom_mct)
 
     def make_contexts(self) -> dict[tuple[int, int, int], PrecinctCtx]:
         ctxs: dict[tuple[int, int, int], PrecinctCtx] = {}
@@ -117,7 +119,9 @@ def _forward_transform(image: Image, geo: TileGeometry) -> list[list]:
         sl = comp.data[cr.y0 - gy0:cr.y1 - gy0, cr.x0 - gx0:cr.x1 - gx0]
         samples.append(mct_np.dc_shift_fwd(sl, comp.prec, comp.sgnd))
     irrev = geo.styles[0].irreversible
-    if geo.cod.mct and len(samples) >= 3:
+    if geo.custom_mct is not None:
+        samples = mct_np.custom_mct_fwd(samples, geo.custom_mct)
+    elif geo.cod.mct and len(samples) >= 3:
         if irrev:
             s0, s1, s2 = mct_np.ict_fwd(samples[0], samples[1], samples[2])
         else:
@@ -576,7 +580,9 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
         out.append(cur)
 
     # -- inverse MCT + DC unshift -------------------------------------------
-    if geo.cod.mct and len(out) >= 3:
+    if geo.custom_mct is not None:
+        out = mct_np.custom_mct_inv(out, geo.custom_mct)
+    elif geo.cod.mct and len(out) >= 3:
         if geo.styles[0].irreversible:
             y, cb_, cr_ = out[0], out[1], out[2]
             r_, g_, b_ = mct_np.ict_inv(y, cb_, cr_)
@@ -640,7 +646,9 @@ def _decode_tile_native(jobs, geo, hdr, dp) -> list[np.ndarray]:
                                           rect.x0, rect.y0)
         out.append(cur)
 
-    if geo.cod.mct and len(out) >= 3:
+    if geo.custom_mct is not None:
+        out = mct_np.custom_mct_inv(out, geo.custom_mct)
+    elif geo.cod.mct and len(out) >= 3:
         if geo.styles[0].irreversible:
             r_, g_, b_ = mct_np.ict_inv(out[0], out[1], out[2])
         else:
@@ -649,7 +657,7 @@ def _decode_tile_native(jobs, geo, hdr, dp) -> list[np.ndarray]:
     res = []
     for c, arr in enumerate(out):
         ci = hdr.comps[c]
-        if geo.styles[c].irreversible:
+        if geo.styles[c].irreversible or geo.custom_mct is not None:
             arr = np.rint(np.asarray(arr, dtype=np.float64))
         arr = np.asarray(arr, dtype=np.int64)
         res.append(mct_np.dc_shift_inv(arr, ci.prec, ci.sgnd)

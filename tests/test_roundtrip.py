@@ -288,3 +288,31 @@ class TestAdvancedFeatures:
             region = comp[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32]
             assert np.array_equal(region, full[ty * 32:(ty + 1) * 32,
                                                tx * 32:(tx + 1) * 32])
+
+    def test_custom_mct_part2(self):
+        from grok_tpu.core.params import MCTMode
+        img = synthetic_image(64, 64, 3, seed=90)
+        M = np.array([[0.5, 0.5, 0.0], [0.5, -0.5, 0.0],
+                      [-0.25, -0.25, 1.0]])
+        p = CompressParams(num_resolutions=3, irreversible=True,
+                           mct=MCTMode.CUSTOM, custom_mct=M)
+        d = compress(img, p)
+        out = decompress(d).to_array()
+        assert psnr(out, img) > 45.0
+        hi = read_header(d)
+        assert hi.rsiz & 0x8100 == 0x8100      # Part-2 + MCT extension
+
+    def test_tile_part_splitting(self):
+        img = synthetic_image(96, 96, 1, seed=80)
+        p = CompressParams(num_resolutions=4, num_layers=3,
+                           rates=[16.0, 4.0, 0.0], max_tile_parts=3,
+                           write_plt=True)
+        d = compress(img, p)
+        assert np.array_equal(decompress(d).to_array(), img)
+
+    @needs_oracle
+    def test_oracle_decodes_tile_parts(self):
+        img = synthetic_image(96, 96, 1, seed=80)
+        p = CompressParams(num_resolutions=4, num_layers=3,
+                           rates=[16.0, 4.0, 0.0], max_tile_parts=3)
+        assert np.array_equal(oracle_decode(compress(img, p)), img)

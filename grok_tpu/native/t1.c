@@ -68,6 +68,18 @@ static void sc_ctx(int hs, int vs, int *cx, int *xr) {
     } else { *cx = vs == 1 ? 11 : (vs == 0 ? 12 : 13); *xr = 1; }
 }
 
+/* packed state row: (qe << 13) | (nmps << 7) | (nlps << 1) | switch —
+ * one cache line for the whole table, one load per decision */
+static uint32_t MQP[47];
+static int g_mqp_ready = 0;
+static void build_mqp(void) {
+    if (g_mqp_ready) return;
+    for (int i = 0; i < 47; i++)
+        MQP[i] = ((uint32_t)QE[i] << 13) | ((uint32_t)NMPS[i] << 7)
+               | ((uint32_t)NLPS[i] << 1) | SWITCH_[i];
+    g_mqp_ready = 1;
+}
+
 /* ---- MQ decoder (C.3) -------------------------------------------------- */
 
 typedef struct {
@@ -103,15 +115,16 @@ static void mqd_init(mqd_t *m, const uint8_t *data, int start, int end) {
 }
 
 static int mqd_decode(mqd_t *m, ctx_t *st) {
-    uint32_t qe = QE[st->i];
+    uint32_t row = MQP[st->i];
+    uint32_t qe = row >> 13;
     int d;
     m->a -= qe;
     if ((m->c >> 16) < qe) {
-        if (m->a < qe) { d = st->mps; st->i = NMPS[st->i]; }
+        if (m->a < qe) { d = st->mps; st->i = (row >> 7) & 0x3F; }
         else {
             d = 1 - st->mps;
-            if (SWITCH_[st->i]) st->mps = 1 - st->mps;
-            st->i = NLPS[st->i];
+            st->mps ^= (uint8_t)(row & 1);
+            st->i = (row >> 1) & 0x3F;
         }
         m->a = qe;
         do {
@@ -125,9 +138,9 @@ static int mqd_decode(mqd_t *m, ctx_t *st) {
         else {
             if (m->a < qe) {
                 d = 1 - st->mps;
-                if (SWITCH_[st->i]) st->mps = 1 - st->mps;
-                st->i = NLPS[st->i];
-            } else { d = st->mps; st->i = NMPS[st->i]; }
+                st->mps ^= (uint8_t)(row & 1);
+                st->i = (row >> 1) & 0x3F;
+            } else { d = st->mps; st->i = (row >> 7) & 0x3F; }
             do {
                 if (m->ct == 0) mqd_bytein(m);
                 m->a <<= 1; m->c <<= 1; m->ct--;
@@ -268,7 +281,7 @@ int grk_t1_decode(const uint8_t *data, int dlen,
         memset(negout, 0, (size_t)(w * h));
         return 0;
     }
-    build_luts();
+    build_luts(); build_mqp();
     int wh = w * h;
     int stride = w + 2;
     uint32_t *fl = calloc((size_t)stride * (h + 2), sizeof(uint32_t));

@@ -237,14 +237,23 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
         def sigc(y, x):
             return sig_ref[y + 1, x + 1, :]
 
+        wiota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        wiota2 = jax.lax.broadcasted_iota(jnp.int32, (W + 2, 1), 0)
+
+        def row_set(ref, y, x, vals, m, border):
+            # Mosaic crashes on read-modify-write at two traced indices;
+            # one dynamic row index + a vectorized column select lowers fine
+            it = wiota2 if border else wiota
+            row = ref[y, :, :]
+            sel = (it == x) & m[None, :]
+            ref[y, :, :] = jnp.where(sel, vals, row)
+
         def mark_sig(y, x, negb, bp, m):
-            cur = sig_ref[y + 1, x + 1, :]
-            sig_ref[y + 1, x + 1, :] = jnp.where(
-                m, jnp.where(negb == 1, 2, 1), cur)
-            cv = val2_ref[y, x, :]
-            val2_ref[y, x, :] = jnp.where(m, jnp.int32(3) << bp, cv)
-            cn = neg_ref[y, x, :]
-            neg_ref[y, x, :] = jnp.where(m, negb, cn)
+            row_set(sig_ref, y + 1, x + 1,
+                    jnp.where(negb == 1, 2, 1)[None, :], m, True)
+            row_set(val2_ref, y, x, (jnp.int32(3) << bp)[None, None], m,
+                    False)
+            row_set(neg_ref, y, x, negb[None, :], m, False)
 
         # -- initial MQ state ----------------------------------------------
         bp0 = jnp.zeros((LANES,), jnp.int32)
@@ -292,8 +301,8 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             sc, xr = _sc_ctx_arith(hs, vs)
             mqs, sbit = mq_decode(mqs, sc, became)
             mark_sig(y, x, sbit ^ xr, bp, became)
-            vv = vis_ref[y, x, :]
-            vis_ref[y, x, :] = jnp.where(coded, 1, vv)
+            row_set(vis_ref, y, x, jnp.ones((1, LANES), jnp.int32), coded,
+                    False)
             return (mqs, bp)
 
         def mrp_step(i, carry):
@@ -319,7 +328,7 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             # left shifts)
             nv = v2 + (bit << (bp + 1)) - (jnp.int32(1) << (bp + 1)) \
                 + (jnp.int32(1) << bp)
-            val2_ref[y, x, :] = jnp.where(coded, nv, v2)
+            row_set(val2_ref, y, x, nv[None, :], coded, False)
             return (mqs, bp)
 
         def cln_step(i, carry):

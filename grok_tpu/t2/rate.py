@@ -120,6 +120,8 @@ def allocate_layers(hulls: list[Hull], num_layers: int,
                 if size <= tgt:
                     chosen = trial
                     hi = mid
+                    if size >= 0.98 * tgt:
+                        break        # close enough: stop simulating
                 else:
                     lo = mid
                 if (hi - lo) <= 1e-9 * max(hi, 1.0):

@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="native")
     p.add_argument("-e", "--repetitions", type=int, default=1,
                    help="repeat decode (performance measurement)")
+    p.add_argument("--trace", metavar="FILE",
+                   help="write a perfetto-compatible stage trace")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -62,6 +64,9 @@ def decode_one(in_path: str, out_path: str, dp: DecompressParams,
 
 def main(argv=None) -> int:
     a = build_parser().parse_args(argv)
+    if a.trace:
+        from grok_tpu.util import trace as _trace
+        _trace.enable()
     dp = DecompressParams(reduce=a.reduce, max_layers=a.layers,
                           tile_index=a.tile, strict=not a.permissive,
                           backend=a.backend)
@@ -84,7 +89,13 @@ def main(argv=None) -> int:
     if not a.in_file:
         print("error: -i or -batch required", file=sys.stderr)
         return 2
-    return decode_one(a.in_file, a.out_file, dp, a.repetitions, a.verbose)
+    rc = decode_one(a.in_file, a.out_file, dp, a.repetitions, a.verbose)
+    if a.trace:
+        from grok_tpu.util import trace as _trace
+        import json as _json
+        print(_json.dumps(_trace.collect(clear=False)), file=sys.stderr)
+        _trace.write_perfetto(a.trace)
+    return rc
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ from grok_tpu.t2.packet import EPH_MARKER, SOP_MARKER, PrecinctCtx
 from grok_tpu.t2.progression import iter_packets
 from grok_tpu.t2.rate import Hull, allocate_layers, convex_hull
 from grok_tpu.transform import dwt_np, mct_np
+from grok_tpu.util.trace import count, trace
 
 
 def quantizer_from_style(q: QuantStyle, cs: CodingStyleComp,
@@ -187,7 +188,8 @@ def encode_tile(image: Image, geo: TileGeometry,
     per layer for this tile (None = all remaining passes).  backend="jax"
     runs default-style blocks through the batched device encoder.
     roi_rect: canvas-coordinate Maxshift ROI (geo.rgn holds the shifts)."""
-    all_bands = _forward_transform(image, geo)
+    with trace("dwt_fwd"):
+        all_bands = _forward_transform(image, geo)
     ctxs = geo.make_contexts()
     num_layers = geo.cod.num_layers
 
@@ -255,9 +257,11 @@ def encode_tile(image: Image, geo: TileGeometry,
         from grok_tpu import native as _native
         if _native.available():
             enc_fn = _native.encode_block
-    for i, j in enumerate(ejobs):
-        if encs[i] is None:
-            encs[i] = enc_fn(j["mag"], j["neg"], j["orient"], j["style"])
+    with trace("t1_encode", backend=backend):
+        for i, j in enumerate(ejobs):
+            if encs[i] is None:
+                encs[i] = enc_fn(j["mag"], j["neg"], j["orient"],
+                                 j["style"])
 
     hulls: list[Hull] = []
     entry_keys: list[tuple] = []     # (c, r, p, band_i, cblk_i)
@@ -315,6 +319,7 @@ def encode_tile(image: Image, geo: TileGeometry,
     if not hulls:
         return TileEncodeResult(packets=[], packet_lens=[], body=b"")
 
+    _pcrd = trace("pcrd"); _pcrd.__enter__()
     totals = []
     for key in entry_keys:
         c, r, p, band_i, cblk_i = key
@@ -336,6 +341,7 @@ def encode_tile(image: Image, geo: TileGeometry,
         layer_cum = allocate_layers(hulls, num_layers, layer_targets,
                                     simulate, totals)
 
+    _pcrd.__exit__(None, None, None)
     final_cs = geo.make_contexts()
     for i, key in enumerate(entry_keys):
         c, r, p, band_i, cblk_i = key
@@ -343,7 +349,8 @@ def encode_tile(image: Image, geo: TileGeometry,
         mbv = src.enc.numbps + src.zb
         final_cs[(c, r, p)].set_block(band_i, cblk_i, src.enc, mbv)
         final_cs[(c, r, p)].eblocks[band_i][cblk_i].layer_cum = layer_cum[i]
-    packets = emit(final_cs, num_layers)
+    with trace("t2_emit"):
+        packets = emit(final_cs, num_layers)
     if split_headers:
         # PPM: re-emit with headers and bodies separated (headers go to the
         # main header; bodies stay in the tile-part)
@@ -397,6 +404,7 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
     body_pos = 0
 
     pocs = (th.pocs or hdr.pocs) or None
+    _t2span = trace("t2_parse"); _t2span.__enter__()
     for pc in iter_packets(geo.tcgs, geo.subsampling, geo.cod.num_layers,
                            geo.cod.prog_order, geo.rect.x0, geo.rect.y0,
                            pocs):
@@ -437,6 +445,7 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
             if dp.strict:
                 raise
             break   # truncated stream: decode what we have
+    _t2span.__exit__(None, None, None)
 
     # -- T1 decode (batched on device or scalar) -----------------------------
     use_jax = dp.backend == "jax"
@@ -494,6 +503,7 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
         from grok_tpu.pipeline.device import run_device_decode
         return run_device_decode(jobs, geo, hdr, dp)
 
+    count("blocks", len(jobs))
     if dp.backend == "native" and jobs:
         from grok_tpu import native as _native
         if _native.available():
@@ -624,9 +634,11 @@ def _decode_tile_native(jobs, geo, hdr, dp) -> list[np.ndarray]:
                                             dtype=dt)
                 band_meta[key] = (quant.delta(rg.r, bg.orient),
                                   cs.irreversible, roi)
-    _native.decode_tile_blocks(jobs, band_arrays, band_meta)
+    with trace("t1_decode", backend="native"):
+        _native.decode_tile_blocks(jobs, band_arrays, band_meta)
 
     out = []
+    _dwtspan = trace("dwt_inv"); _dwtspan.__enter__()
     for c, tcg in enumerate(geo.tcgs):
         cs = geo.styles[c]
         irrev = cs.irreversible
@@ -645,6 +657,7 @@ def _decode_tile_native(jobs, geo, hdr, dp) -> list[np.ndarray]:
                 cur = _native.inv53_level(cur, hl, lh, hh, rect.w, rect.h,
                                           rect.x0, rect.y0)
         out.append(cur)
+    _dwtspan.__exit__(None, None, None)
 
     if geo.custom_mct is not None:
         out = mct_np.custom_mct_inv(out, geo.custom_mct)

@@ -49,8 +49,10 @@ def _load():
             return None
         try:
             lib = ctypes.CDLL(so)
+            lib.grk_t1_decode_fast.restype = ctypes.c_int
             lib.grk_t1_decode.restype = ctypes.c_int
-            lib.grk_t1_decode.argtypes = [
+            lib.grk_t1_decode_fast.argtypes = \
+                lib.grk_t1_decode.argtypes = [
                 ctypes.c_char_p, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int), ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -89,7 +91,7 @@ def decode_block(data: bytes, seg_lens: list[int], numpasses: int,
     mag2 = np.zeros(h * w, dtype=np.int32)
     neg = np.zeros(h * w, dtype=np.uint8)
     lens = (ctypes.c_int * max(len(seg_lens), 1))(*(seg_lens or [0]))
-    rc = lib.grk_t1_decode(
+    rc = lib.grk_t1_decode_fast(
         data, len(data), lens, len(seg_lens), numpasses, numbps, orient,
         w, h, style,
         mag2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

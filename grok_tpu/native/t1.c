@@ -459,6 +459,12 @@ done:
     return 0;
 }
 
+int grk_t1_decode_fast(const uint8_t *data, int dlen,
+                       const int *seg_lens, int nsegs,
+                       int numpasses, int numbps, int orient,
+                       int w, int h, int style,
+                       int32_t *mag2, uint8_t *negout);
+
 /* ---- batched tile decode: T1 + dequant + band placement ----------------- */
 
 /* Decode nb blocks, dequantize, and write into band buffers.
@@ -489,7 +495,7 @@ int grk_t1_decode_tile(const uint8_t *data,
     if (!mag2 || !neg) return -1;
     for (int i = 0; i < nb; i++) {
         int w = bw[i], h = bh[i];
-        int rc = grk_t1_decode(data + off[i], 0x7FFFFFFF,
+        int rc = grk_t1_decode_fast(data + off[i], 0x7FFFFFFF,
                                seg_lens_flat + seg_off[i], seg_cnt[i],
                                numpasses[i], numbps[i], orient[i],
                                w, h, style[i], mag2, neg);
@@ -958,4 +964,274 @@ fin:
     *nsegs_out = nsegs;
     free(fl); free(rec); free(scratch);
     return total;
+}
+
+/* ---- stripe-packed decode fast path ------------------------------------- */
+/* One uint32 word per (stripe, column): 4 rows of state plus the sigma
+ * neighborhood needed for context formation, so a whole stripe-column is
+ * processed from one load.
+ *
+ * bit layout:
+ *   0..17  sigma of rows -1..4 (6 rows) x columns left/mid/right:
+ *          bit = 3*(r+1) + c  (c: 0=left, 1=mid, 2=right)
+ *   18..21 visited (pi) rows 0..3
+ *   22..25 refined (mu) rows 0..3
+ *   26..31 chi (negative) of MID column rows -1..4
+ *
+ * The 3x3 zc neighborhood of row ci is bits [3*ci .. 3*ci+8]; the self
+ * bit (3*ci+4) is part of the index and ignored by the LUT. */
+
+#define SP_SELF(ci)   (1u << (3 * ((ci) + 1) + 1))
+#define SP_VIS(ci)    (1u << (18 + (ci)))
+#define SP_REF(ci)    (1u << (22 + (ci)))
+#define SP_CHI(r1)    (1u << (26 + (r1)))      /* r1 = row + 1, 0..5 */
+
+static uint8_t g_zc9[4][512];
+static int g_zc9_ready = 0;
+
+static void build_zc9(void) {
+    if (g_zc9_ready) return;
+    for (int o = 0; o < 4; o++)
+        for (int m = 0; m < 512; m++) {
+            int h = ((m >> 3) & 1) + ((m >> 5) & 1);        /* mid row l/r */
+            int v = ((m >> 1) & 1) + ((m >> 7) & 1);        /* up/down mid */
+            int d = (m & 1) + ((m >> 2) & 1) + ((m >> 6) & 1)
+                  + ((m >> 8) & 1);
+            g_zc9[o][m] = (uint8_t)zc_ctx(o, h, v, d);
+        }
+    g_zc9_ready = 1;
+}
+
+#define SPF(s, x) fl[((s) + 1) * fstride + (x) + 1]
+
+static void sp_set_sig(uint32_t *fl, int fstride, int x, int y, int neg) {
+    int s = y >> 2, ci = y & 3;
+    /* own stripe: self + vertical neighbors' rows ci-1/ci+1 via the row
+     * structure is implicit (bits belong to the same words) */
+    SPF(s, x) |= SP_SELF(ci) | (neg ? SP_CHI(ci + 1) : 0);
+    SPF(s, x - 1) |= 1u << (3 * (ci + 1) + 2);
+    SPF(s, x + 1) |= 1u << (3 * (ci + 1) + 0);
+    if (ci == 0) {          /* stripe above sees this as its row 4 */
+        SPF(s - 1, x) |= (1u << (3 * 5 + 1))
+                       | (neg ? SP_CHI(5) : 0);
+        SPF(s - 1, x - 1) |= 1u << (3 * 5 + 2);
+        SPF(s - 1, x + 1) |= 1u << (3 * 5 + 0);
+    } else if (ci == 3) {   /* stripe below sees this as its row -1 */
+        SPF(s + 1, x) |= (1u << (3 * 0 + 1)) | (neg ? SP_CHI(0) : 0);
+        SPF(s + 1, x - 1) |= 1u << (3 * 0 + 2);
+        SPF(s + 1, x + 1) |= 1u << (3 * 0 + 0);
+    }
+}
+
+/* sign context from the packed words (signs of W/E come from neighbor
+ * words' chi bits; N/S from the own word) */
+static void sp_sc(const uint32_t *fl, int fstride, int x, int y,
+                  int *cx, int *xr) {
+    int s = y >> 2, ci = y & 3;
+    uint32_t fm = SPF(s, x);
+    uint32_t fw = SPF(s, x - 1);
+    uint32_t fe = SPF(s, x + 1);
+    int r1 = ci + 1;
+    int hs = 0, vs = 0;
+    if (fm & (1u << (3 * r1 + 0)))                 /* west significant */
+        hs += (fw & SP_CHI(r1)) ? -1 : 1;
+    if (fm & (1u << (3 * r1 + 2)))                 /* east */
+        hs += (fe & SP_CHI(r1)) ? -1 : 1;
+    if (fm & (1u << (3 * (r1 - 1) + 1)))           /* north */
+        vs += (fm & SP_CHI(r1 - 1)) ? -1 : 1;
+    if (fm & (1u << (3 * (r1 + 1) + 1)))           /* south */
+        vs += (fm & SP_CHI(r1 + 1)) ? -1 : 1;
+    hs = hs > 1 ? 1 : (hs < -1 ? -1 : hs);
+    vs = vs > 1 ? 1 : (vs < -1 ? -1 : vs);
+    sc_ctx(hs, vs, cx, xr);
+}
+
+/* any neighbor bits for the 4 rows (zc != 0 anywhere in the column) */
+#define SP_ANY_NBR 0x3FFFFu        /* bits 0..17 */
+#define SP_ANY_SELF (SP_SELF(0) | SP_SELF(1) | SP_SELF(2) | SP_SELF(3))
+#define SP_ANY_VIS (SP_VIS(0) | SP_VIS(1) | SP_VIS(2) | SP_VIS(3))
+
+int grk_t1_decode_fast(const uint8_t *data, int dlen,
+                       const int *seg_lens, int nsegs,
+                       int numpasses, int numbps, int orient,
+                       int w, int h, int style,
+                       int32_t *mag2, uint8_t *negout) {
+    if (style & CBLK_VSC)
+        return grk_t1_decode(data, dlen, seg_lens, nsegs, numpasses,
+                             numbps, orient, w, h, style, mag2, negout);
+    if (numpasses <= 0 || numbps <= 0 || w <= 0 || h <= 0) {
+        memset(mag2, 0, sizeof(int32_t) * (size_t)(w * h));
+        memset(negout, 0, (size_t)(w * h));
+        return 0;
+    }
+    build_luts(); build_mqp(); build_zc9();
+    int wh = w * h;
+    int nstripes = (h + 3) >> 2;
+    int fstride = w + 2;
+    uint32_t *fl = calloc((size_t)fstride * (nstripes + 2),
+                          sizeof(uint32_t));
+    uint32_t *vknown = calloc((size_t)wh, sizeof(uint32_t));
+    int8_t *lastp = malloc((size_t)wh);
+    if (!fl || !vknown || !lastp) return -1;
+    memset(lastp, -1, (size_t)wh);
+    memset(negout, 0, (size_t)wh);
+
+    int default_lens[1];
+    if (nsegs == 0) { default_lens[0] = dlen; seg_lens = default_lens;
+                      nsegs = 1; }
+    int seg_start[96], seg_end[96];
+    { int acc = 0;
+      for (int s = 0; s < nsegs && s < 96; s++) {
+          seg_start[s] = acc; acc += seg_lens[s]; seg_end[s] = acc;
+          if (seg_end[s] > dlen) seg_end[s] = dlen;
+          if (seg_start[s] > dlen) seg_start[s] = dlen;
+      } }
+
+    mqd_t mq; rawd_t rd;
+    ctx_t ctx[N_CTX]; ctx_init(ctx);
+    int cur_seg = -1, seg_passes_used = 0, segno = 0;
+    const uint8_t *z9 = g_zc9[orient & 3];
+
+    int total = numpasses;
+    int passno = 0;
+    for (int bp = numbps - 1; bp >= 0 && passno < total; bp--) {
+        int first_plane = (bp == numbps - 1);
+        for (int sub = first_plane ? 2 : 0; sub <= 2 && passno < total;
+             sub++) {
+            int ptype = sub;
+            if (segno >= nsegs) goto done;
+            if (seg_passes_used >= seg_limit(style, segno)) {
+                segno++; seg_passes_used = 0;
+                if (segno >= nsegs) goto done;
+                cur_seg = -1;
+            }
+            int raw = is_raw(passno, ptype, style);
+            if (cur_seg != segno) {
+                if (raw) rawd_init(&rd, data, seg_start[segno],
+                                   seg_end[segno]);
+                else mqd_init(&mq, data, seg_start[segno], seg_end[segno]);
+                cur_seg = segno;
+            }
+            if ((style & CBLK_RESET) && !raw) ctx_init(ctx);
+
+            if (ptype == 0) {          /* significance propagation */
+                for (int s = 0; s < nstripes; s++) {
+                    int ymax = (s * 4 + 4 < h ? 4 : h - s * 4);
+                    for (int x = 0; x < w; x++) {
+                        uint32_t f = SPF(s, x);
+                        if (!(f & SP_ANY_NBR)) continue;
+                        for (int ci = 0; ci < ymax; ci++) {
+                            if (f & (SP_SELF(ci) | SP_VIS(ci))) continue;
+                            int nb9 = (f >> (3 * ci)) & 0x1FF;
+                            int zc = z9[nb9];
+                            if (zc == 0) continue;
+                            int y = s * 4 + ci;
+                            int bit = raw ? rawd_bit(&rd)
+                                          : mqd_decode(&mq, &ctx[zc]);
+                            if (bit) {
+                                int sb;
+                                if (raw) sb = rawd_bit(&rd);
+                                else {
+                                    int cxs, xr;
+                                    sp_sc(fl, fstride, x, y, &cxs, &xr);
+                                    sb = mqd_decode(&mq, &ctx[cxs]) ^ xr;
+                                }
+                                sp_set_sig(fl, fstride, x, y, sb);
+                                f = SPF(s, x);
+                                negout[IDX(y, x)] = (uint8_t)sb;
+                                vknown[IDX(y, x)] = 1u << bp;
+                                lastp[IDX(y, x)] = (int8_t)bp;
+                            }
+                            SPF(s, x) |= SP_VIS(ci);
+                            f |= SP_VIS(ci);
+                        }
+                    }
+                }
+            } else if (ptype == 1) {   /* magnitude refinement */
+                for (int s = 0; s < nstripes; s++) {
+                    int ymax = (s * 4 + 4 < h ? 4 : h - s * 4);
+                    for (int x = 0; x < w; x++) {
+                        uint32_t f = SPF(s, x);
+                        if (!(f & SP_ANY_SELF)) continue;
+                        for (int ci = 0; ci < ymax; ci++) {
+                            if (!(f & SP_SELF(ci)) || (f & SP_VIS(ci)))
+                                continue;
+                            int y = s * 4 + ci;
+                            int bit;
+                            if (raw) bit = rawd_bit(&rd);
+                            else {
+                                int nb9 = (f >> (3 * ci)) & 0x1FF;
+                                int mr = (f & SP_REF(ci)) ? 16
+                                         : ((nb9 & ~0x10) ? 15 : 14);
+                                bit = mqd_decode(&mq, &ctx[mr]);
+                            }
+                            SPF(s, x) |= SP_REF(ci);
+                            f |= SP_REF(ci);
+                            vknown[IDX(y, x)] |= (uint32_t)bit << bp;
+                            lastp[IDX(y, x)] = (int8_t)bp;
+                        }
+                    }
+                }
+            } else {                   /* cleanup */
+                for (int s = 0; s < nstripes; s++) {
+                    int y0 = s * 4;
+                    int ymax = (y0 + 4 < h ? 4 : h - y0);
+                    for (int x = 0; x < w; x++) {
+                        uint32_t f = SPF(s, x);
+                        int ci = 0;
+                        if (ymax == 4
+                            && !(f & (SP_ANY_NBR | SP_ANY_VIS))) {
+                            if (!mqd_decode(&mq, &ctx[CTX_RL]))
+                                continue;
+                            int r = (mqd_decode(&mq, &ctx[CTX_UNI]) << 1)
+                                  | mqd_decode(&mq, &ctx[CTX_UNI]);
+                            int yf = y0 + r;
+                            int cxs, xr;
+                            sp_sc(fl, fstride, x, yf, &cxs, &xr);
+                            int sb = mqd_decode(&mq, &ctx[cxs]) ^ xr;
+                            sp_set_sig(fl, fstride, x, yf, sb);
+                            f = SPF(s, x);
+                            negout[IDX(yf, x)] = (uint8_t)sb;
+                            vknown[IDX(yf, x)] = 1u << bp;
+                            lastp[IDX(yf, x)] = (int8_t)bp;
+                            ci = r + 1;
+                        }
+                        for (; ci < ymax; ci++) {
+                            if (f & (SP_SELF(ci) | SP_VIS(ci))) continue;
+                            int nb9 = (f >> (3 * ci)) & 0x1FF;
+                            int zc = z9[nb9];
+                            int y = y0 + ci;
+                            if (mqd_decode(&mq, &ctx[zc])) {
+                                int cxs, xr;
+                                sp_sc(fl, fstride, x, y, &cxs, &xr);
+                                int sb = mqd_decode(&mq, &ctx[cxs]) ^ xr;
+                                sp_set_sig(fl, fstride, x, y, sb);
+                                f = SPF(s, x);
+                                negout[IDX(y, x)] = (uint8_t)sb;
+                                vknown[IDX(y, x)] = 1u << bp;
+                                lastp[IDX(y, x)] = (int8_t)bp;
+                            }
+                        }
+                    }
+                }
+                if (style & CBLK_SEGSYM) {
+                    for (int q2 = 0; q2 < 4; q2++)
+                        mqd_decode(&mq, &ctx[CTX_UNI]);
+                }
+                { size_t tot = (size_t)fstride * (nstripes + 2);
+                  for (size_t q2 = 0; q2 < tot; q2++)
+                      fl[q2] &= ~(uint32_t)SP_ANY_VIS; }
+            }
+            seg_passes_used++;
+            passno++;
+        }
+    }
+done:
+    for (int i = 0; i < wh; i++) {
+        if (lastp[i] >= 0)
+            mag2[i] = (int32_t)(vknown[i] * 2 + (1u << lastp[i]));
+        else mag2[i] = 0;
+    }
+    free(fl); free(vknown); free(lastp);
+    return 0;
 }

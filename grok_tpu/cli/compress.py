@@ -118,17 +118,33 @@ def main(argv=None) -> int:
     a = build_parser().parse_args(argv)
     params = params_from_args(a)
     if a.in_dir:
+        # resumable batch encode: a manifest records finished outputs so a
+        # killed job restarts at the first unwritten image (SURVEY.md §5
+        # checkpoint/resume)
+        import json
         out_dir = a.out_dir or a.in_dir
         os.makedirs(out_dir, exist_ok=True)
+        manifest_path = os.path.join(out_dir, ".grk_manifest.json")
+        done: dict = {}
+        if os.path.exists(manifest_path):
+            try:
+                done = json.load(open(manifest_path))
+            except Exception:
+                done = {}
         rc = 0
         for name in sorted(os.listdir(a.in_dir)):
             base, ext = os.path.splitext(name)
             if ext.lower() not in (".png", ".tif", ".tiff", ".jpg", ".jpeg",
                                    ".bmp", ".pgm", ".ppm", ".pgx"):
                 continue
-            rc |= encode_one(os.path.join(a.in_dir, name),
-                             os.path.join(out_dir, base + ".jp2"),
+            out_path = os.path.join(out_dir, base + ".jp2")
+            if done.get(name) and os.path.exists(out_path):
+                continue
+            rc |= encode_one(os.path.join(a.in_dir, name), out_path,
                              params, a.verbose)
+            done[name] = True
+            with open(manifest_path, "w") as f:
+                json.dump(done, f)
         return rc
     if not a.in_file:
         print("error: -i or -batch required", file=sys.stderr)

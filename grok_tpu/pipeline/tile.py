@@ -441,9 +441,12 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
             body_pos = base + blen
             if body_pos > len(body):
                 raise EOFError("packet body past end of tile data")
-        except (EOFError, IndexError, ValueError):
+        except (EOFError, IndexError, ValueError) as e:
             if dp.strict:
                 raise
+            from grok_tpu.util.msg import warn
+            warn(f"tile {geo.t}: truncated/corrupt packet stream "
+                 f"({type(e).__name__}); decoding what is present")
             break   # truncated stream: decode what we have
     _t2span.__exit__(None, None, None)
 

@@ -61,3 +61,40 @@ def test_dump_is_stable(stream):
     assert "SIZ: image [0,0]..[96,96]" in txt
     assert "resolutions=4" in txt
     assert "Tile parts: 1" in txt
+
+
+def test_msg_handlers_surface(stream):
+    from grok_tpu.util.msg import set_msg_handlers
+    img, data = stream
+    msgs = []
+    set_msg_handlers(warning=msgs.append)
+    try:
+        decompress(data[:len(data) // 2], DecompressParams(strict=False))
+    finally:
+        set_msg_handlers()
+    assert any("truncated" in m for m in msgs)
+
+
+def test_batch_encode_resume(tmp_path):
+    import json
+    import os
+
+    from grok_tpu.cli import compress as cc
+    from grok_tpu.core.image import Image
+    from grok_tpu.util.imageio import write_pnm
+    din = tmp_path / "in"
+    dout = tmp_path / "out"
+    din.mkdir()
+    for i in range(3):
+        write_pnm(str(din / f"im{i}.pgm"),
+                  Image.from_array(synthetic_image(32, 32, 1, seed=i)))
+    assert cc.main(["-batch", str(din), "-out_dir", str(dout),
+                    "-o", "x", "-n", "3"]) == 0
+    manifest = json.loads((dout / ".grk_manifest.json").read_text())
+    assert len(manifest) == 3
+    (dout / "im1.jp2").unlink()
+    keep = {p: p.stat().st_mtime for p in dout.glob("im[02].jp2")}
+    assert cc.main(["-batch", str(din), "-out_dir", str(dout),
+                    "-o", "x", "-n", "3"]) == 0
+    assert (dout / "im1.jp2").exists()
+    assert all(p.stat().st_mtime == t for p, t in keep.items())

@@ -144,3 +144,57 @@ def reference_inv53_vertical(y: np.ndarray) -> np.ndarray:
     out[..., 0::2] = e[..., 2:-2][..., 0::2]
     out[..., 1::2] = o[..., 1::2]
     return np.swapaxes(out, -1, -2)
+
+
+# ---------------------------------------------------------------------------
+# Distributed T1: code-block batch sharded across chips
+# ---------------------------------------------------------------------------
+
+def decode_blocks_sharded(blocks: list[dict], mesh, W: int, H: int):
+    """Decode a code-block batch with the lane axis sharded over the mesh.
+
+    The batched T1 kernel carries only per-lane state, so sharding the
+    block axis is pure data parallelism — each chip decodes its share of
+    the blocks with no cross-chip traffic (the codec analog of DP over the
+    reference's thread pool).  Blocks are padded to a multiple of the mesh
+    size.  Returns per-block (mag2, neg) numpy arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from grok_tpu.ops.t1_dec import default_fold, pack_pairs, t1_decode_batch
+
+    n = mesh.devices.size
+    B = len(blocks)
+    Bp = -(-B // n) * n
+    maxlen = max((len(b["data"]) for b in blocks), default=1)
+    L = max(8, -(-maxlen // 64) * 64)
+    data = np.zeros((Bp, L), dtype=np.uint8)
+    dlen = np.zeros((Bp,), dtype=np.int32)
+    npass = np.zeros((Bp,), dtype=np.int32)
+    nbps = np.zeros((Bp,), dtype=np.int32)
+    ori = np.zeros((Bp,), dtype=np.int32)
+    wh = np.ones((Bp, 2), dtype=np.int32)
+    for i, b in enumerate(blocks):
+        d = b["data"]
+        data[i, :len(d)] = np.frombuffer(d, dtype=np.uint8)
+        dlen[i] = len(d)
+        npass[i] = b["numpasses"]
+        nbps[i] = b["numbps"]
+        ori[i] = b["orient"]
+        wh[i] = (b["w"], b["h"])
+    maxbp = -(-int(nbps.max()) // 4) * 4 if B else 4
+
+    sh1 = NamedSharding(mesh, P("tiles"))
+    sh2 = NamedSharding(mesh, P("tiles", None))
+    args = (jax.device_put(pack_pairs(data), sh2),
+            jax.device_put(dlen, sh1), jax.device_put(npass, sh1),
+            jax.device_put(nbps, sh1), jax.device_put(ori, sh1),
+            jax.device_put(wh, sh2))
+    mag2, neg = t1_decode_batch(*args, W, H, maxbp, default_fold())
+    mag2 = np.asarray(mag2)
+    neg = np.asarray(neg)
+    return [(mag2[i, :b["h"], :b["w"]].astype(np.int64),
+             neg[i, :b["h"], :b["w"]])
+            for i, b in enumerate(blocks)]

@@ -44,3 +44,22 @@ def test_huge_tile_halo_exchange_bit_exact(mesh):
     out = np.asarray(fn(sharded))
     ref = reference_inv53_vertical(y)
     assert np.array_equal(out, ref)
+
+
+def test_sharded_t1_block_decode_bit_exact(mesh):
+    from grok_tpu.parallel.sharding import decode_blocks_sharded
+    from grok_tpu.t1.t1_scalar import encode_block
+    rng = np.random.default_rng(3)
+    blocks, refs = [], []
+    for i in range(12):      # pads to 16 lanes over 8 devices
+        mag = np.abs(rng.normal(0, 40, (16, 16))).astype(np.int64)
+        mag[rng.random((16, 16)) < 0.4] = 0
+        neg = rng.random((16, 16)) < 0.5
+        enc = encode_block(mag, neg, i % 4, 0)
+        blocks.append(dict(data=enc.data, numpasses=enc.numpasses,
+                           numbps=enc.numbps, orient=i % 4, w=16, h=16))
+        refs.append((mag, neg))
+    res = decode_blocks_sharded(blocks, mesh, 16, 16)
+    for (mag, neg), (m2, dn) in zip(refs, res):
+        assert np.array_equal(m2 >> 1, mag)
+        assert np.array_equal(dn[mag > 0], neg[mag > 0])

@@ -405,17 +405,34 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
 
     pocs = (th.pocs or hdr.pocs) or None
     _t2span = trace("t2_parse"); _t2span.__enter__()
-    for pc in iter_packets(geo.tcgs, geo.subsampling, geo.cod.num_layers,
-                           geo.cod.prog_order, geo.rect.x0, geo.rect.y0,
-                           pocs):
+    packet_list = list(iter_packets(geo.tcgs, geo.subsampling,
+                                    geo.cod.num_layers, geo.cod.prog_order,
+                                    geo.rect.x0, geo.rect.y0, pocs))
+    pk_i = 0
+    import copy as _copy
+    while pk_i < len(packet_list):
+        pc = packet_list[pk_i]
+        pk_i += 1
+        pkt_start = body_pos
         ctx = ctxs[(pc.comp, pc.res, pc.prec)]
+        # in permissive mode with SOP resilience, snapshot the precinct
+        # state so a corrupt packet can be rolled back before resyncing
+        snap = (_copy.deepcopy(ctx) if (sop and not dp.strict) else None)
         try:
             if not use_ppt:
                 hdr_pos = body_pos
-            if sop and hdr_buf[hdr_pos:hdr_pos + 2] == SOP_MARKER:
+            if sop and not use_ppt:
+                # SOP is per-packet when signalled: a missing marker or a
+                # sequence-number mismatch means we lost sync
+                if hdr_buf[hdr_pos:hdr_pos + 2] != SOP_MARKER:
+                    raise ValueError("expected SOP marker")
+                nsop = (hdr_buf[hdr_pos + 4] << 8) | hdr_buf[hdr_pos + 5]
+                if nsop != (pk_i - 1) % 65536:
+                    raise ValueError("SOP sequence mismatch")
                 hdr_pos += 6
-                if not use_ppt:
-                    body_pos += 6
+                body_pos += 6
+            elif sop and hdr_buf[hdr_pos:hdr_pos + 2] == SOP_MARKER:
+                hdr_pos += 6
             br = BitReader(hdr_buf, hdr_pos)
             nchunks0 = [len(st.chunks) for bl in ctx.dblocks for st in bl]
             blen = ctx.decode_packet(br, pc.layer, 0)
@@ -445,6 +462,26 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
             if dp.strict:
                 raise
             from grok_tpu.util.msg import warn
+            if snap is not None:
+                ctxs[(pc.comp, pc.res, pc.prec)] = snap
+            if sop:
+                # resync on the next SOP marker (B.10.5 error resilience):
+                # its Nsop field tells which packet the stream resumes at
+                nxt = body.find(SOP_MARKER, pkt_start + 2)
+                if nxt >= 0 and nxt + 6 <= len(body):
+                    nsop = (body[nxt + 4] << 8) | body[nxt + 5]
+                    target = None
+                    for cand in range(pk_i, len(packet_list)):
+                        if cand % 65536 == nsop:
+                            target = cand
+                            break
+                    if target is not None:
+                        warn(f"tile {geo.t}: corrupt packet "
+                             f"({type(e).__name__}); resync at SOP "
+                             f"#{nsop} (offset {nxt})")
+                        body_pos = nxt
+                        pk_i = target
+                        continue
             warn(f"tile {geo.t}: truncated/corrupt packet stream "
                  f"({type(e).__name__}); decoding what is present")
             break   # truncated stream: decode what we have

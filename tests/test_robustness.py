@@ -98,3 +98,31 @@ def test_batch_encode_resume(tmp_path):
                     "-o", "x", "-n", "3"]) == 0
     assert (dout / "im1.jp2").exists()
     assert all(p.stat().st_mtime == t for p, t in keep.items())
+
+
+def test_sop_resync_localizes_corruption():
+    """B.10.5 error resilience: with SOP markers, a corrupt packet is
+    rolled back and the parser resyncs at the next SOP; with snapshot
+    rollback the damage stays local."""
+    from grok_tpu.util.msg import set_msg_handlers
+    img = synthetic_image(96, 96, 1, seed=44)
+    p = CompressParams(num_resolutions=5, num_layers=3,
+                       rates=[32.0, 8.0, 0.0], sop=True, eph=True)
+    data = compress(img, p)
+    assert np.array_equal(decompress(data).to_array(), img)
+    pos = -1
+    for _ in range(2):
+        pos = data.find(b"\xff\x91", pos + 1)
+    buf = bytearray(data)
+    for k in range(6, 16):
+        buf[pos + k] = 0xFF
+    msgs = []
+    set_msg_handlers(warning=msgs.append)
+    try:
+        out = decompress(bytes(buf),
+                         DecompressParams(strict=False)).to_array()
+    finally:
+        set_msg_handlers()
+    assert any("resync" in m for m in msgs)
+    from grok_tpu.util.oracle import psnr
+    assert psnr(out, img) > 20.0       # one packet lost, not the stream

@@ -51,7 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-PLT", action="store_true", help="write PLT markers")
     p.add_argument("-TLM", action="store_true", help="write TLM markers")
     p.add_argument("-B", "--backend",
-                   choices=["scalar", "jax", "native"], default="native")
+                   choices=["auto", "scalar", "jax", "native"], default="auto")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 

@@ -33,8 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--force", dest="permissive", action="store_true",
                    help="permissive mode: decode truncated/corrupt streams")
     p.add_argument("-B", "--backend",
-                   choices=["scalar", "jax", "native"],
-                   default="native")
+                   choices=["auto", "scalar", "jax", "native"],
+                   default="auto")
     p.add_argument("-e", "--repetitions", type=int, default=1,
                    help="repeat decode (performance measurement)")
     p.add_argument("--trace", metavar="FILE",

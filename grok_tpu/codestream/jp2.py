@@ -111,8 +111,16 @@ def wrap_jp2(codestream: bytes, *, width: int, height: int, numcomps: int,
     else:
         enum = _CS_TO_ENUM.get(
             color_space,
-            ENUM_GRAY if numcomps == 1 else ENUM_SRGB)
+            ENUM_GRAY if numcomps <= 2 else ENUM_SRGB)
         boxes += _box(b"colr", struct.pack(">BBBI", 1, 0, 0, enum))
+    if numcomps in (2, 4):
+        # trailing component is alpha: signal colour channels + opacity
+        ncol = numcomps - 1
+        payload = struct.pack(">H", numcomps)
+        for ch in range(ncol):
+            payload += struct.pack(">HHH", ch, 0, ch + 1)
+        payload += struct.pack(">HHH", ncol, 1, 0)
+        boxes += _box(b"cdef", payload)
     if capture_resolution is not None:
         boxes += _box(b"res ", _box(b"resc", _res_payload(capture_resolution)))
     jp2h = _box(b"jp2h", boxes)

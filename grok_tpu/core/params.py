@@ -100,9 +100,10 @@ class CompressParams:
     ht: bool = False
     # container
     jp2: bool = False           # wrap codestream in JP2 boxes
-    # execution backend for the block coder: "scalar" (host) or "jax"
-    # (batched device T1; falls back per-block for special styles)
-    backend: str = "scalar"
+    # execution backend for the block coder: "auto" (native C if built,
+    # else scalar), "scalar" (host Python), "native" (C runtime), or
+    # "jax" (batched device T1; falls back per-block for special styles)
+    backend: str = "auto"
 
     def validate(self):
         if not (1 <= self.num_resolutions <= 33):
@@ -134,6 +135,8 @@ class DecompressParams:
     force_rgb: bool = False
     upsample: bool = False
     apply_icc: bool = False
-    backend: str = "scalar"         # "scalar" (host) or "jax" (batched device
-                                    # T1 + device DWT; falls back per-block
-                                    # for non-default coding styles)
+    backend: str = "auto"           # "auto" (native C if built, else
+                                    # scalar), "scalar", "native", or "jax"
+                                    # (batched device T1 + device DWT;
+                                    # falls back per-block for non-default
+                                    # coding styles)

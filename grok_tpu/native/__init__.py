@@ -71,6 +71,7 @@ def _load():
                 ctypes.c_int, ctypes.c_int]
             lib.grk_inv53_level.restype = ctypes.c_int
             lib.grk_t1_encode.restype = ctypes.c_int
+            lib.grk_fwd53_level.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _lib = None
@@ -237,3 +238,24 @@ def encode_block(mag, neg, orient: int, style: int = 0):
                                   seg_lens[:nsegs.value]],
                         seg_passes=[int(v) for v in
                                     seg_passes[:nsegs.value]])
+
+
+def fwd53_level(x, x0, y0):
+    """C forward 5/3 2D level -> (ll, hl, lh, hh) int32 arrays."""
+    lib = _load()
+    xin = np.ascontiguousarray(x, np.int32)
+    h, w = xin.shape
+    ylo = (h + (0 if (y0 & 1) else 1)) // 2
+    xlo = (w + (0 if (x0 & 1) else 1)) // 2
+    ll = np.zeros((ylo, xlo), np.int32)
+    hl = np.zeros((ylo, w - xlo), np.int32)
+    lh = np.zeros((h - ylo, xlo), np.int32)
+    hh = np.zeros((h - ylo, w - xlo), np.int32)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.grk_fwd53_level(
+        xin.ctypes.data_as(I32P), w, h, x0, y0,
+        ll.ctypes.data_as(I32P), hl.ctypes.data_as(I32P),
+        lh.ctypes.data_as(I32P), hh.ctypes.data_as(I32P))
+    if rc != 0:
+        raise RuntimeError("grk_fwd53_level failed")
+    return ll, hl, lh, hh

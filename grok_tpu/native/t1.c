@@ -1235,3 +1235,89 @@ done:
     free(fl); free(vknown); free(lastp);
     return 0;
 }
+
+/* ---- forward 5/3, one 2D level (int32) ---------------------------------- */
+
+static void fwd53_row(const int32_t *x, int n, int parity,
+                      int32_t *lo, int32_t *hi) {
+    if (n == 0) return;
+    if (n == 1) {
+        if (parity == 0) lo[0] = x[0]; else hi[0] = 2 * x[0];
+        return;
+    }
+    int p = 2 * n - 2;
+#define MIR2(t) ({ int m_ = (((t) % p) + p) % p; m_ >= n ? p - m_ : m_; })
+    int32_t stack[4160];
+    int32_t *buf = n + 4 <= 4160 ? stack
+                 : malloc(sizeof(int32_t) * (n + 4));
+    memcpy(buf + 2, x, sizeof(int32_t) * n);
+    buf[0] = x[MIR2(-2)]; buf[1] = x[MIR2(-1)];
+    buf[n + 2] = x[MIR2(n)]; buf[n + 3] = x[MIR2(n + 1)];
+    /* h at odd abs positions: h[j] = y[j] - ((y[j-1]+y[j+1])>>1) */
+    int32_t hstack[4160];
+    int32_t *hbuf = n + 4 <= 4160 ? hstack
+                  : malloc(sizeof(int32_t) * (n + 4));
+    for (int j = 0; j < n + 2; j++) {
+        int abspar = (j - 1 + parity) & 1;  /* buf index j-1 rel start-2 */
+        (void)abspar;
+    }
+    /* compute h over buf interior [1 .. n+2) (abs index j-2) */
+    for (int j = 1; j < n + 3; j++)
+        hbuf[j] = buf[j] - ((buf[j - 1] + buf[j + 1]) >> 1);
+    int nlo = 0, nhi = 0;
+    for (int j = 0; j < n; j++) {
+        int abspar = (j + parity) & 1;
+        if (abspar == 0) {
+            /* low: l[j] = y[j] + ((h[j-1]+h[j+1]+2)>>2) */
+            lo[nlo++] = buf[j + 2]
+                + ((hbuf[j + 1] + hbuf[j + 3] + 2) >> 2);
+        } else {
+            hi[nhi++] = hbuf[j + 2];
+        }
+    }
+#undef MIR2
+    if (buf != stack) free(buf);
+    if (hbuf != hstack) free(hbuf);
+}
+
+/* forward one level: vertical split then horizontal, matching
+ * transform/dwt_np.fwd_2d_level.  in (h, w) int32; outputs ll/hl/lh/hh
+ * with the standard ceil split sizes; x0/y0 canvas parities. */
+int grk_fwd53_level(const int32_t *in, int w, int h, int x0, int y0,
+                    int32_t *ll, int32_t *hl, int32_t *lh, int32_t *hh) {
+    int ylo = (h + ((y0 & 1) ? 0 : 1)) / 2;      /* rows at even abs y */
+    int xlo = (w + ((x0 & 1) ? 0 : 1)) / 2;
+    int32_t *col = malloc(sizeof(int32_t) * (size_t)h);
+    int32_t *clo = malloc(sizeof(int32_t) * (size_t)(ylo > 0 ? ylo : 1));
+    int32_t *chi = malloc(sizeof(int32_t) * (size_t)(h - ylo > 0 ?
+                                                     h - ylo : 1));
+    int32_t *tmp = malloc(sizeof(int32_t) * (size_t)w * h);
+    if (!col || !clo || !chi || !tmp) return -1;
+    /* vertical pass per column -> tmp rows [0..ylo) = low, rest = high */
+    for (int x = 0; x < w; x++) {
+        for (int y = 0; y < h; y++) col[y] = in[(size_t)y * w + x];
+        fwd53_row(col, h, y0 & 1, clo, chi);
+        for (int y = 0; y < ylo; y++) tmp[(size_t)y * w + x] = clo[y];
+        for (int y = 0; y < h - ylo; y++)
+            tmp[(size_t)(ylo + y) * w + x] = chi[y];
+    }
+    /* horizontal pass per row */
+    int32_t *rlo = malloc(sizeof(int32_t) * (size_t)(xlo > 0 ? xlo : 1));
+    int32_t *rhi = malloc(sizeof(int32_t) * (size_t)(w - xlo > 0 ?
+                                                     w - xlo : 1));
+    if (!rlo || !rhi) return -1;
+    for (int y = 0; y < ylo; y++) {
+        fwd53_row(tmp + (size_t)y * w, w, x0 & 1, rlo, rhi);
+        memcpy(ll + (size_t)y * xlo, rlo, sizeof(int32_t) * xlo);
+        memcpy(hl + (size_t)y * (w - xlo), rhi,
+               sizeof(int32_t) * (w - xlo));
+    }
+    for (int y = 0; y < h - ylo; y++) {
+        fwd53_row(tmp + (size_t)(ylo + y) * w, w, x0 & 1, rlo, rhi);
+        memcpy(lh + (size_t)y * xlo, rlo, sizeof(int32_t) * xlo);
+        memcpy(hh + (size_t)y * (w - xlo), rhi,
+               sizeof(int32_t) * (w - xlo));
+    }
+    free(col); free(clo); free(chi); free(tmp); free(rlo); free(rhi);
+    return 0;
+}

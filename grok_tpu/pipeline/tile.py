@@ -32,6 +32,7 @@ from grok_tpu.t1.t1_scalar import decode_block, encode_block
 from grok_tpu.t2.packet import EPH_MARKER, SOP_MARKER, PrecinctCtx
 from grok_tpu.t2.progression import iter_packets
 from grok_tpu.t2.rate import Hull, allocate_layers, convex_hull
+from grok_tpu import native as _native
 from grok_tpu.transform import dwt_np, mct_np
 from grok_tpu.util.trace import count, trace
 
@@ -110,6 +111,12 @@ class TileEncodeResult:
     headers: bytes = b""             # packed headers (PPM mode only)
 
 
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        return "native" if _native.available() else "scalar"
+    return backend
+
+
 def _forward_transform(image: Image, geo: TileGeometry) -> list[list]:
     """DC shift + MCT + DWT for all components; returns bands per comp."""
     samples = []
@@ -133,8 +140,28 @@ def _forward_transform(image: Image, geo: TileGeometry) -> list[list]:
         irr = geo.styles[c].irreversible
         if irr:
             s = np.asarray(s, dtype=np.float64)
-        out.append(dwt_np.fwd_multilevel(
+        out.append(_fwd_multilevel_fast(
             s, geo.comp_rects[c], geo.styles[c].num_resolutions, irr))
+    return out
+
+
+def _fwd_multilevel_fast(samples, tc_rect: Rect, num_resolutions: int,
+                         irreversible: bool) -> list:
+    """fwd_multilevel with the C 5/3 level kernel when available
+    (bit-identical to dwt_np; 9/7 stays on the NumPy float path)."""
+    if irreversible or not _native.available():
+        return dwt_np.fwd_multilevel(samples, tc_rect, num_resolutions,
+                                     irreversible)
+    nl = num_resolutions - 1
+    cur = np.asarray(samples, dtype=np.int32)
+    out: list = [None] * num_resolutions
+    for r in range(nl, 0, -1):
+        rect = tc_rect.ceil_scale(1 << (nl - r), 1 << (nl - r))
+        ll, hl, lh, hh = _native.fwd53_level(cur, rect.x0, rect.y0)
+        out[r] = (hl.astype(np.int64), lh.astype(np.int64),
+                  hh.astype(np.int64))
+        cur = ll
+    out[0] = cur.astype(np.int64)
     return out
 
 
@@ -188,6 +215,7 @@ def encode_tile(image: Image, geo: TileGeometry,
     per layer for this tile (None = all remaining passes).  backend="jax"
     runs default-style blocks through the batched device encoder.
     roi_rect: canvas-coordinate Maxshift ROI (geo.rgn holds the shifts)."""
+    backend = _resolve_backend(backend)
     with trace("dwt_fwd"):
         all_bands = _forward_transform(image, geo)
     ctxs = geo.make_contexts()
@@ -391,6 +419,9 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
     arrays (full resolution, after inverse DWT/MCT/DC-shift, clipped).
     """
     dp = dparams or DecompressParams()
+    if dp.backend == "auto":
+        import dataclasses
+        dp = dataclasses.replace(dp, backend=_resolve_backend(dp.backend))
     th = tile_hdr or TileHeader()
     ctxs = geo.make_contexts()
     num_layers = geo.cod.num_layers

@@ -239,6 +239,31 @@ class TestAdvancedFeatures:
         for i, ref in enumerate((y, cb, cr)):
             assert np.array_equal(out.components[i].data, ref)
 
+    def test_rgba_jp2_cdef_interop(self):
+        """4-comp JP2 must signal the alpha channel (cdef) so third-party
+        decoders (Pillow/OpenJPEG) open it as RGBA."""
+        import io
+
+        from PIL import Image as PILImage
+
+        from grok_tpu.codestream.jp2 import parse_jp2
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, (48, 48, 4)).astype(np.int32)
+        img = Image.from_array(px, prec=8)
+        d = compress(img, CompressParams(num_resolutions=3, jp2=True))
+        # self roundtrip exact
+        out = decompress(d)
+        assert np.array_equal(out.to_array(), px)
+        # cdef box content: 3 colour channels + channel 3 = alpha
+        _, _, meta = parse_jp2(d)
+        cd = {c.channel: (c.typ, c.assoc) for c in meta.cdef}
+        assert cd == {0: (0, 1), 1: (0, 2), 2: (0, 3), 3: (1, 0)}
+        # oracle eyes see RGBA, exact pixels
+        pil = PILImage.open(io.BytesIO(d))
+        pil.load()
+        assert pil.mode == "RGBA"
+        assert np.array_equal(np.asarray(pil).astype(np.int32), px)
+
     def test_fixed_quality_mode(self):
         img = synthetic_image(128, 128, 1, seed=7)
         p = CompressParams(num_resolutions=4, irreversible=True,

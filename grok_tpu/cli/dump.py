@@ -102,14 +102,115 @@ def dump_codestream(data: bytes, out=sys.stdout, verbose: bool = False):
                 w(f"    PPT: {len(th.ppt)} header bytes\n")
 
 
+def dump_json(data: bytes) -> dict:
+    """Machine-readable structure dump (grk_dump's raw/json analog)."""
+    doc: dict = {}
+    if jp2.is_jp2(data):
+        s, e, meta = jp2.parse_jp2(data)
+        doc["container"] = {
+            "format": "jp2",
+            "width": meta.width, "height": meta.height,
+            "numcomps": meta.numcomps,
+            "color_space": meta.color_space.name,
+            "icc_profile_bytes": len(meta.icc_profile or b""),
+            "palette_entries": len(meta.palette.entries)
+            if meta.palette else 0,
+            "cdef": [{"channel": c.channel, "typ": c.typ, "assoc": c.assoc}
+                     for c in meta.cdef],
+            "capture_resolution": meta.capture_resolution,
+        }
+        cs = data[s:e]
+    elif jp2.is_j2k(data):
+        doc["container"] = {"format": "j2k"}
+        cs = data
+    else:
+        raise ValueError("not a JPEG 2000 stream")
+
+    hdr = j2k.read_main_header(cs)
+    g = hdr.siz.normalized()
+    qn = {QSTYLE_NONE: "none", QSTYLE_DERIVED: "derived",
+          QSTYLE_EXPOUNDED: "expounded"}
+    cs_ = hdr.cod.comp
+    doc["siz"] = {
+        "image": [g.xosiz, g.yosiz, g.xsiz, g.ysiz],
+        "tile": [g.xtosiz, g.ytosiz, g.xtsiz, g.ytsiz],
+        "num_tiles": [hdr.siz.num_tiles_x, hdr.siz.num_tiles_y],
+        "rsiz": hdr.rsiz,
+        "components": [{"prec": c.prec, "sgnd": c.sgnd,
+                        "dx": c.dx, "dy": c.dy} for c in hdr.comps],
+    }
+    doc["cod"] = {
+        "prog_order": ProgOrder(hdr.cod.prog_order).name,
+        "num_layers": hdr.cod.num_layers, "mct": hdr.cod.mct,
+        "sop": hdr.cod.sop, "eph": hdr.cod.eph,
+        "num_resolutions": cs_.num_resolutions,
+        "cblk": [1 << cs_.cblk_w_exp, 1 << cs_.cblk_h_exp],
+        "cblk_style": cs_.cblk_style,
+        "transform": "9/7" if cs_.irreversible else "5/3",
+        "precincts": [[1 << px, 1 << py] for (px, py) in cs_.prec_exps]
+        if cs_.prec_exps else None,
+    }
+    doc["coc"] = {c: {"num_resolutions": cc.num_resolutions,
+                      "cblk": [1 << cc.cblk_w_exp, 1 << cc.cblk_h_exp]}
+                  for c, cc in sorted(hdr.coc.items())}
+    doc["qcd"] = {"style": qn.get(hdr.qcd.style), "guard": hdr.qcd.guard_bits,
+                  "steps": [{"expn": s_.expn, "mant": s_.mant}
+                            for s_ in hdr.qcd.steps]}
+    doc["qcc"] = {c: {"style": qn.get(q.style), "guard": q.guard_bits}
+                  for c, q in sorted(hdr.qcc.items())}
+    doc["rgn"] = dict(sorted(hdr.rgn.items()))
+    doc["pocs"] = [{"rs": p.rs, "re": p.re, "cs": p.cs, "ce": p.ce,
+                    "layer_end": p.layer_end,
+                    "order": ProgOrder(p.order).name} for p in hdr.pocs]
+    if hdr.cap:
+        doc["cap"] = {"pcap": hdr.cap[0], "scap": list(hdr.cap[1])}
+    doc["comments"] = [{"registration": reg,
+                        "text": com.decode("latin-1", "replace")}
+                       for reg, com in hdr.comments]
+    if hdr.tlm:
+        doc["tlm"] = [{"tile": t, "bytes": ln} for t, ln in hdr.tlm]
+
+    parts = j2k.read_tile_parts(cs, hdr, strict=False)
+    doc["tile_parts"] = []
+    for p in parts:
+        ent = {"tile": p.tile_index, "part": p.part_index,
+               "num_parts": p.num_parts, "header_start": p.header_start,
+               "data_start": p.data_start, "data_end": p.data_end}
+        th = j2k.TileHeader()
+        try:
+            j2k.read_tile_part_header(cs, p, hdr, th)
+            if th.plt:
+                ent["plt"] = {"num_packets": len(th.plt),
+                              "sum": sum(th.plt)}
+            if th.ppt is not None:
+                ent["ppt_bytes"] = len(th.ppt)
+        except Exception:
+            pass
+        doc["tile_parts"].append(ent)
+    return doc
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="grk_dump")
     p.add_argument("-i", "--in-file", required=True)
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-j", "--json", action="store_true",
+                   help="machine-readable JSON output")
     a = p.parse_args(argv)
     with open(a.in_file, "rb") as f:
         data = f.read()
-    dump_codestream(data, verbose=a.verbose)
+    try:
+        if a.json:
+            import json
+            json.dump(dump_json(data), sys.stdout, indent=2)
+            sys.stdout.write("\n")
+        else:
+            dump_codestream(data, verbose=a.verbose)
+    except BrokenPipeError:
+        return 0
+    except ValueError as e:
+        print(f"grk_dump: {a.in_file}: {e}", file=sys.stderr)
+        return 1
     return 0
 
 

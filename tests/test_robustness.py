@@ -63,6 +63,19 @@ def test_dump_is_stable(stream):
     assert "Tile parts: 1" in txt
 
 
+def test_dump_json(stream):
+    import json
+
+    from grok_tpu.cli.dump import dump_json
+    _img, data = stream
+    doc = dump_json(data)
+    json.dumps(doc)     # must be serializable
+    assert doc["siz"]["image"] == [0, 0, 96, 96]
+    assert doc["cod"]["num_resolutions"] == 4
+    assert doc["cod"]["transform"] == "5/3"
+    assert len(doc["tile_parts"]) == 1
+
+
 def test_msg_handlers_surface(stream):
     from grok_tpu.util.msg import set_msg_handlers
     img, data = stream

@@ -31,7 +31,7 @@ def _build() -> str | None:
                 and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
             return _SO
         cc = os.environ.get("CC", "gcc")
-        cmd = [cc, "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-o", _SO, _SRC]
+        cmd = [cc, "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-pthread", "-o", _SO, _SRC]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _SO
     except Exception:
@@ -72,6 +72,7 @@ def _load():
             lib.grk_inv53_level.restype = ctypes.c_int
             lib.grk_t1_encode.restype = ctypes.c_int
             lib.grk_fwd53_level.restype = ctypes.c_int
+            lib.grk_t1_encode_tile.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _lib = None
@@ -259,3 +260,85 @@ def fwd53_level(x, x0, y0):
     if rc != 0:
         raise RuntimeError("grk_fwd53_level failed")
     return ll, hl, lh, hh
+
+
+def encode_tile_blocks(jobs: list[dict]) -> list:
+    """Batched (threaded) T1 encode of a tile's blocks -> EncodedBlock list.
+
+    jobs: dicts with mag (h, w nonneg int), neg (bool), orient, style.
+    Thread count: GROK_NUM_THREADS env, default = online CPUs.
+    """
+    from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native T1 not available")
+    nb = len(jobs)
+    if nb == 0:
+        return []
+    moff = np.zeros(nb, np.int64)
+    ooff = np.zeros(nb, np.int64)
+    ori = np.zeros(nb, np.int32)
+    sty = np.zeros(nb, np.int32)
+    bw = np.zeros(nb, np.int32)
+    bh = np.zeros(nb, np.int32)
+    tot_elems = 0
+    tot_bytes = 0
+    for i, j in enumerate(jobs):
+        h, w = j["mag"].shape
+        moff[i] = tot_elems
+        ooff[i] = tot_bytes
+        ori[i] = j["orient"]
+        sty[i] = j["style"]
+        bw[i] = w
+        bh[i] = h
+        tot_elems += h * w
+        tot_bytes += 8 * h * w + 1024
+    mag_flat = np.empty(tot_elems, np.int32)
+    neg_flat = np.empty(tot_elems, np.uint8)
+    for i, j in enumerate(jobs):
+        n = int(bw[i]) * int(bh[i])
+        mag_flat[moff[i]:moff[i] + n] = \
+            np.ascontiguousarray(j["mag"], np.int32).ravel()
+        neg_flat[moff[i]:moff[i] + n] = \
+            np.ascontiguousarray(j["neg"], np.uint8).ravel()
+    out_flat = np.zeros(tot_bytes, np.uint8)
+    total_len = np.zeros(nb, np.int32)
+    rates = np.zeros(nb * 96, np.int32)
+    dists = np.zeros(nb * 96, np.float64)
+    terms = np.zeros(nb * 96, np.uint8)
+    seg_lens = np.zeros(nb * 128, np.int32)
+    seg_passes = np.zeros(nb * 128, np.int32)
+    nsegs = np.zeros(nb, np.int32)
+    numbps = np.zeros(nb, np.int32)
+    npass = np.zeros(nb, np.int32)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    I64P = ctypes.POINTER(ctypes.c_longlong)
+    U8P = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.grk_t1_encode_tile(
+        mag_flat.ctypes.data_as(I32P), neg_flat.ctypes.data_as(U8P),
+        moff.ctypes.data_as(I64P), _ip(ori), _ip(sty), _ip(bw), _ip(bh),
+        nb, out_flat.ctypes.data_as(U8P), ooff.ctypes.data_as(I64P),
+        _ip(total_len), _ip(rates),
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        terms.ctypes.data_as(U8P), _ip(seg_lens), _ip(seg_passes),
+        _ip(nsegs), _ip(numbps), _ip(npass))
+    if rc != 0:
+        raise RuntimeError(f"grk_t1_encode_tile failed: {rc}")
+    out = []
+    for i in range(nb):
+        np_ = int(npass[i])
+        if np_ == 0:
+            out.append(EncodedBlock())
+            continue
+        passes = [PassInfo(rate=int(rates[i * 96 + k]),
+                           dist=float(dists[i * 96 + k]),
+                           term=bool(terms[i * 96 + k]))
+                  for k in range(np_)]
+        ns = int(nsegs[i])
+        out.append(EncodedBlock(
+            data=bytes(out_flat[ooff[i]:ooff[i] + total_len[i]]),
+            numbps=int(numbps[i]), passes=passes,
+            seg_lens=[int(seg_lens[i * 128 + k]) for k in range(ns)],
+            seg_passes=[int(seg_passes[i * 128 + k]) for k in range(ns)]))
+    return out

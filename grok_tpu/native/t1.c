@@ -11,9 +11,11 @@
  * reference's C++ T1 [grok: src/lib/core/t1/t1_part1/].
  */
 
+#include <pthread.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#include <unistd.h>
 
 #define CBLK_BYPASS 0x01
 #define CBLK_RESET 0x02
@@ -464,6 +466,7 @@ int grk_t1_decode_fast(const uint8_t *data, int dlen,
                        int numpasses, int numbps, int orient,
                        int w, int h, int style,
                        int32_t *mag2, uint8_t *negout);
+static void build_zc9(void);
 
 /* ---- batched tile decode: T1 + dequant + band placement ----------------- */
 
@@ -478,6 +481,84 @@ int grk_t1_decode_fast(const uint8_t *data, int dlen,
  *        birrev[band]; bstride[band] row stride; bdelta[band]; broi[band]
  *        (Maxshift restore shift, 0 = none).
  * Scratch mag2/neg sized max_w*max_h are allocated internally. */
+typedef struct {
+    const uint8_t *data;
+    const int *off, *seg_off, *seg_cnt, *seg_lens_flat;
+    const int *numpasses, *numbps, *orient, *style, *bw, *bh;
+    const int *band_id, *bx, *by;
+    int nb;
+    void **bptr; const int *bstride; const unsigned char *birrev;
+    const float *bdelta; const int *broi;
+    int max_w, max_h;
+    int next;      /* atomic work index */
+    int err;
+} dec_tile_ctx_t;
+
+static int grk_num_threads(int nwork) {
+    const char *env = getenv("GROK_NUM_THREADS");
+    int n = env && *env ? atoi(env) : (int)sysconf(_SC_NPROCESSORS_ONLN);
+    if (n < 1) n = 1;
+    if (n > nwork) n = nwork;
+    if (n > 64) n = 64;
+    return n;
+}
+
+static int dec_tile_one(dec_tile_ctx_t *c, int i,
+                        int32_t *mag2, uint8_t *neg) {
+    int w = c->bw[i], h = c->bh[i];
+    int rc = grk_t1_decode_fast(c->data + c->off[i], 0x7FFFFFFF,
+                           c->seg_lens_flat + c->seg_off[i], c->seg_cnt[i],
+                           c->numpasses[i], c->numbps[i], c->orient[i],
+                           w, h, c->style[i], mag2, neg);
+    if (rc != 0) return rc;
+    int b = c->band_id[i];
+    int roi = c->broi[b];
+    if (roi > 0) {
+        int32_t thr = 1 << roi;
+        for (int k = 0; k < w * h; k++)
+            if (mag2[k] >= thr) mag2[k] >>= roi;
+    }
+    if (c->birrev[b]) {
+        float *dst = (float *)c->bptr[b];
+        float half = c->bdelta[b] * 0.5f;
+        for (int y = 0; y < h; y++) {
+            float *row = dst + (size_t)(c->by[i] + y) * c->bstride[b]
+                       + c->bx[i];
+            for (int x = 0; x < w; x++) {
+                float v = (float)mag2[y * w + x] * half;
+                row[x] = neg[y * w + x] ? -v : v;
+            }
+        }
+    } else {
+        int32_t *dst = (int32_t *)c->bptr[b];
+        for (int y = 0; y < h; y++) {
+            int32_t *row = dst + (size_t)(c->by[i] + y) * c->bstride[b]
+                         + c->bx[i];
+            for (int x = 0; x < w; x++) {
+                int32_t v = mag2[y * w + x] >> 1;
+                row[x] = neg[y * w + x] ? -v : v;
+            }
+        }
+    }
+    return 0;
+}
+
+static void *dec_tile_worker(void *arg) {
+    dec_tile_ctx_t *c = arg;
+    int32_t *mag2 = malloc(sizeof(int32_t) * (size_t)c->max_w * c->max_h);
+    uint8_t *neg = malloc((size_t)c->max_w * c->max_h);
+    if (!mag2 || !neg) { __atomic_store_n(&c->err, -1, __ATOMIC_RELAXED);
+                         free(mag2); free(neg); return NULL; }
+    for (;;) {
+        int i = __atomic_fetch_add(&c->next, 1, __ATOMIC_RELAXED);
+        if (i >= c->nb || __atomic_load_n(&c->err, __ATOMIC_RELAXED)) break;
+        int rc = dec_tile_one(c, i, mag2, neg);
+        if (rc != 0) __atomic_store_n(&c->err, rc, __ATOMIC_RELAXED);
+    }
+    free(mag2); free(neg);
+    return NULL;
+}
+
 int grk_t1_decode_tile(const uint8_t *data,
                        const int *off, const int *seg_off,
                        const int *seg_cnt, const int *seg_lens_flat,
@@ -490,47 +571,25 @@ int grk_t1_decode_tile(const uint8_t *data,
                        const unsigned char *birrev, const float *bdelta,
                        const int *broi,
                        int max_w, int max_h) {
-    int32_t *mag2 = malloc(sizeof(int32_t) * (size_t)max_w * max_h);
-    uint8_t *neg = malloc((size_t)max_w * max_h);
-    if (!mag2 || !neg) return -1;
-    for (int i = 0; i < nb; i++) {
-        int w = bw[i], h = bh[i];
-        int rc = grk_t1_decode_fast(data + off[i], 0x7FFFFFFF,
-                               seg_lens_flat + seg_off[i], seg_cnt[i],
-                               numpasses[i], numbps[i], orient[i],
-                               w, h, style[i], mag2, neg);
-        if (rc != 0) { free(mag2); free(neg); return rc; }
-        int b = band_id[i];
-        int roi = broi[b];
-        if (roi > 0) {
-            int32_t thr = 1 << roi;
-            for (int k = 0; k < w * h; k++)
-                if (mag2[k] >= thr) mag2[k] >>= roi;
-        }
-        if (birrev[b]) {
-            float *dst = (float *)bptr[b];
-            float half = bdelta[b] * 0.5f;
-            for (int y = 0; y < h; y++) {
-                float *row = dst + (size_t)(by[i] + y) * bstride[b] + bx[i];
-                for (int x = 0; x < w; x++) {
-                    float v = (float)mag2[y * w + x] * half;
-                    row[x] = neg[y * w + x] ? -v : v;
-                }
-            }
-        } else {
-            int32_t *dst = (int32_t *)bptr[b];
-            for (int y = 0; y < h; y++) {
-                int32_t *row = dst + (size_t)(by[i] + y) * bstride[b]
-                             + bx[i];
-                for (int x = 0; x < w; x++) {
-                    int32_t v = mag2[y * w + x] >> 1;
-                    row[x] = neg[y * w + x] ? -v : v;
-                }
-            }
-        }
+    build_luts(); build_mqp(); build_zc9();   /* init LUTs before threads */
+    dec_tile_ctx_t c = { data, off, seg_off, seg_cnt, seg_lens_flat,
+                         numpasses, numbps, orient, style, bw, bh,
+                         band_id, bx, by, nb, bptr, bstride, birrev,
+                         bdelta, broi, max_w, max_h, 0, 0 };
+    int nt = grk_num_threads(nb);
+    if (nt <= 1) {
+        dec_tile_worker(&c);
+    } else {
+        pthread_t tid[64];
+        int started = 0;
+        for (int t = 0; t < nt; t++)
+            if (pthread_create(&tid[t], NULL, dec_tile_worker, &c) == 0)
+                started++;
+            else break;
+        if (started == 0) dec_tile_worker(&c);
+        for (int t = 0; t < started; t++) pthread_join(tid[t], NULL);
     }
-    free(mag2); free(neg);
-    return 0;
+    return c.err;
 }
 
 /* ---- inverse 5/3, one 2D level (int32) ---------------------------------- */
@@ -1320,4 +1379,69 @@ int grk_fwd53_level(const int32_t *in, int w, int h, int x0, int y0,
     }
     free(col); free(clo); free(chi); free(tmp); free(rlo); free(rhi);
     return 0;
+}
+
+/* ---- batched tile encode (threaded) ------------------------------------- */
+
+typedef struct {
+    const int32_t *mag_flat; const uint8_t *neg_flat;
+    const long long *moff;        /* element offset of block i */
+    const int *orient, *style, *bw, *bh;
+    int nb;
+    uint8_t *out_flat; const long long *ooff;   /* byte offset, cap 8*wh+1024 */
+    int *total_len;               /* per block */
+    int *rates; double *dists; uint8_t *terms;  /* nb x 96 */
+    int *seg_lens; int *seg_passes;             /* nb x 128 */
+    int *nsegs; int *numbps; int *npass;        /* per block */
+    int next;
+    int err;
+} enc_tile_ctx_t;
+
+static void *enc_tile_worker(void *arg) {
+    enc_tile_ctx_t *c = arg;
+    for (;;) {
+        int i = __atomic_fetch_add(&c->next, 1, __ATOMIC_RELAXED);
+        if (i >= c->nb || __atomic_load_n(&c->err, __ATOMIC_RELAXED)) break;
+        int np = grk_t1_encode(c->mag_flat + c->moff[i],
+                               c->neg_flat + c->moff[i],
+                               c->orient[i], c->bw[i], c->bh[i], c->style[i],
+                               c->out_flat + c->ooff[i], c->total_len + i,
+                               c->rates + (size_t)i * 96,
+                               c->dists + (size_t)i * 96,
+                               c->terms + (size_t)i * 96,
+                               c->seg_lens + (size_t)i * 128,
+                               c->seg_passes + (size_t)i * 128,
+                               c->nsegs + i, c->numbps + i);
+        if (np < 0) __atomic_store_n(&c->err, np, __ATOMIC_RELAXED);
+        else c->npass[i] = np;
+    }
+    return NULL;
+}
+
+int grk_t1_encode_tile(const int32_t *mag_flat, const uint8_t *neg_flat,
+                       const long long *moff,
+                       const int *orient, const int *style,
+                       const int *bw, const int *bh, int nb,
+                       uint8_t *out_flat, const long long *ooff,
+                       int *total_len, int *rates, double *dists,
+                       uint8_t *terms, int *seg_lens, int *seg_passes,
+                       int *nsegs, int *numbps, int *npass) {
+    build_luts(); build_mqp(); build_zc9();
+    enc_tile_ctx_t c = { mag_flat, neg_flat, moff, orient, style, bw, bh,
+                         nb, out_flat, ooff, total_len, rates, dists, terms,
+                         seg_lens, seg_passes, nsegs, numbps, npass, 0, 0 };
+    int nt = grk_num_threads(nb);
+    if (nt <= 1) {
+        enc_tile_worker(&c);
+    } else {
+        pthread_t tid[64];
+        int started = 0;
+        for (int t = 0; t < nt; t++)
+            if (pthread_create(&tid[t], NULL, enc_tile_worker, &c) == 0)
+                started++;
+            else break;
+        if (started == 0) enc_tile_worker(&c);
+        for (int t = 0; t < started; t++) pthread_join(tid[t], NULL);
+    }
+    return c.err;
 }

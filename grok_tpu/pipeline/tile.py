@@ -280,16 +280,17 @@ def encode_tile(image: Image, geo: TileGeometry,
             for i, e in zip(dev_idx, _dev_encode([ejobs[i]
                                                   for i in dev_idx])):
                 encs[i] = e
-    enc_fn = encode_block
-    if backend in ("native", "jax"):
-        from grok_tpu import native as _native
-        if _native.available():
-            enc_fn = _native.encode_block
     with trace("t1_encode", backend=backend):
-        for i, j in enumerate(ejobs):
-            if encs[i] is None:
-                encs[i] = enc_fn(j["mag"], j["neg"], j["orient"],
-                                 j["style"])
+        rest = [i for i, e in enumerate(encs) if e is None]
+        if backend in ("native", "jax") and rest and _native.available():
+            for i, e in zip(rest, _native.encode_tile_blocks(
+                    [ejobs[i] for i in rest])):
+                encs[i] = e
+        else:
+            for i in rest:
+                j = ejobs[i]
+                encs[i] = encode_block(j["mag"], j["neg"], j["orient"],
+                                       j["style"])
 
     hulls: list[Hull] = []
     entry_keys: list[tuple] = []     # (c, r, p, band_i, cblk_i)

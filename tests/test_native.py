@@ -107,3 +107,44 @@ def test_native_encode_stream_identical():
     a = compress(img, CompressParams(num_resolutions=3))
     b = compress(img, CompressParams(num_resolutions=3, backend="native"))
     assert a == b
+
+
+def test_threaded_batch_deterministic(monkeypatch):
+    """The pthread pool must not change any byte: 1-thread vs 4-thread
+    batched encode/decode produce identical streams and pixels."""
+    from grok_tpu.api import decompress
+    from grok_tpu.core.params import DecompressParams
+    img = synthetic_image(160, 160, 3, seed=6)
+    p = CompressParams(num_resolutions=4, num_layers=2, rates=[4.0, 1.0],
+                       backend="native")
+    monkeypatch.setenv("GROK_NUM_THREADS", "1")
+    s1 = compress(img, p)
+    o1 = decompress(s1, DecompressParams(backend="native")).to_array()
+    monkeypatch.setenv("GROK_NUM_THREADS", "4")
+    s4 = compress(img, p)
+    o4 = decompress(s4, DecompressParams(backend="native")).to_array()
+    assert s1 == s4
+    assert np.array_equal(o1, o4)
+
+
+def test_batched_encode_matches_scalar_blocks():
+    from grok_tpu import native as nat
+    rng = np.random.default_rng(12)
+    jobs, refs = [], []
+    for i in range(9):
+        h, w = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+        mag = np.abs(rng.normal(0, 60, (h, w))).astype(np.int64)
+        mag[rng.random((h, w)) < 0.3] = 0
+        neg = rng.random((h, w)) < 0.5
+        style = (0, 1, 0x0D, 0x2F)[i % 4]
+        jobs.append(dict(mag=mag, neg=neg, orient=i % 4, style=style))
+        refs.append(encode_block(mag, neg, i % 4, style))
+    got = nat.encode_tile_blocks(jobs)
+    for ref, g in zip(refs, got):
+        assert ref.data == g.data
+        assert ref.numbps == g.numbps
+        assert ref.seg_lens == g.seg_lens
+        assert ref.seg_passes == g.seg_passes
+        assert all(a.rate == b.rate and abs(a.dist - b.dist) < 1e-6
+                   and a.term == b.term
+                   for a, b in zip(ref.passes, g.passes))

@@ -36,17 +36,28 @@ class BitWriter:
         for k in range(n - 1, -1, -1):
             self.write_bit((value >> k) & 1)
 
-    def flush(self) -> bytes:
-        """Pad with 0 bits to a byte boundary; terminate an 0xFF cleanly.
+    def flush(self, pterm: bool = False) -> bytes:
+        """Pad to a byte boundary; terminate an 0xFF cleanly.
+
+        Default padding is 0 bits.  With pterm (predictable termination,
+        ISO 15444-1 D.4.2) the padding is the alternating 0,1,0,1...
+        sequence so an error-resilient decoder can verify the segment
+        terminated where the encoder said it did.
 
         If the final byte is 0xFF the stuffing rule forces one extra 0x00
         byte so a decoder aligning after the header does not misread.
         """
         if self._nbits:
-            self._cur <<= self._limit() - self._nbits
-            self.buf.append(self._cur)
-            self._cur = 0
-            self._nbits = 0
+            if pterm:
+                bit = 0
+                while self._nbits:
+                    self.write_bit(bit)
+                    bit ^= 1
+            else:
+                self._cur <<= self._limit() - self._nbits
+                self.buf.append(self._cur)
+                self._cur = 0
+                self._nbits = 0
         if self.buf and self.buf[-1] == 0xFF:
             self.buf.append(0)
         return bytes(self.buf)

@@ -739,6 +739,21 @@ static int mqe_flush(mqe_t *e) {
     return e->bp - 1 + 1 - 1;   /* bytes out[1..bp-1] -> bp - 1 */
 }
 
+/* ERTERM flush (predictable termination, D.4.2): push the register out
+ * without SETBITS; >=12 further register bits are emitted so the decoder
+ * (with 0xFF substitution past end-of-data) recovers every decision. */
+static int mqe_erterm_flush(mqe_t *e) {
+    int k = 12 - e->ct;
+    while (k > 0) {
+        e->c = (e->c << e->ct) & 0xFFFFFFF;
+        e->ct = 0;
+        mqe_byteout(e);
+        k -= e->ct;
+    }
+    if (e->out[e->bp] != 0xFF) e->bp++;
+    return e->bp - 1;
+}
+
 /* raw (BYPASS) bit writer with stuffing */
 typedef struct { uint8_t *out; int n; int cur, nbits; } rawe_t;
 
@@ -756,11 +771,16 @@ static void rawe_bit(rawe_t *r, int bit) {
     }
 }
 
-static int rawe_flush(rawe_t *r) {
+static int rawe_flush(rawe_t *r, int pterm) {
     if (r->nbits) {
-        int limit = (r->n > 0 && r->out[r->n - 1] == 0xFF) ? 7 : 8;
-        r->out[r->n++] = (uint8_t)(r->cur << (limit - r->nbits));
-        r->cur = 0; r->nbits = 0;
+        if (pterm) {           /* predictable padding: 0,1,0,1,... */
+            int bit = 0;
+            while (r->nbits) { rawe_bit(r, bit); bit ^= 1; }
+        } else {
+            int limit = (r->n > 0 && r->out[r->n - 1] == 0xFF) ? 7 : 8;
+            r->out[r->n++] = (uint8_t)(r->cur << (limit - r->nbits));
+            r->cur = 0; r->nbits = 0;
+        }
     }
     if (r->n > 0 && r->out[r->n - 1] == 0xFF) r->out[r->n++] = 0;
     return r->n;
@@ -970,7 +990,8 @@ int grk_t1_encode(const int32_t *mag, const uint8_t *neg,
             int term = enc_must_terminate(passno, ptype, style, last);
             if (term) {
                 int seg_len;
-                if (raw) { seg_len = rawe_flush(&rw); rw_active = 0;
+                if (raw) { seg_len = rawe_flush(&rw, style & CBLK_PTERM);
+                           rw_active = 0;
                            memcpy(out + done_len, scratch, (size_t)seg_len);
                            /* the raw writer shares scratch: restore the MQ
                             * carry sentinel for the next MQ segment */
@@ -981,7 +1002,8 @@ int grk_t1_encode(const int32_t *mag, const uint8_t *neg,
                 else {
                     ctx_t saved[N_CTX];
                     memcpy(saved, ctx, sizeof(saved));
-                    seg_len = mqe_flush(&mq);
+                    seg_len = (style & CBLK_PTERM)
+                            ? mqe_erterm_flush(&mq) : mqe_flush(&mq);
                     memcpy(out + done_len, scratch + 1, (size_t)seg_len);
                     mqe_init(&mq, scratch);
                     memcpy(ctx, saved, sizeof(saved));

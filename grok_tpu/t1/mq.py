@@ -155,6 +155,26 @@ class MQEncoder:
         assert self.out[0] == 0, "carry reached the sentinel byte"
         return bytes(self.out[1:self.bp])
 
+    def erterm_flush(self) -> bytes:
+        """C.2.9-variant predictable termination (ERTERM).
+
+        Pushes the register out without SETBITS: at least 12 further
+        register bits are emitted, which (with the decoder's 0xFF
+        substitution past the end) guarantees every decision is
+        recoverable while making the termination point predictable for
+        error detection (ISO 15444-1 D.4.2 / mode switch PTERM).
+        """
+        k = 12 - self.ct            # 11 - CT + 1
+        while k > 0:
+            self.c = (self.c << self.ct) & 0xFFFFFFF
+            self.ct = 0
+            self._byteout()
+            k -= self.ct
+        if self.out[self.bp] != 0xFF:
+            self.bp += 1
+        assert self.out[0] == 0, "carry reached the sentinel byte"
+        return bytes(self.out[1:self.bp])
+
     def numbytes(self) -> int:
         """Bytes emitted so far (excluding sentinel), before flushing."""
         return self.bp  # == (bp index) - (sentinel) ; bp points at last byte

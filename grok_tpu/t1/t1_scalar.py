@@ -169,11 +169,12 @@ class _EncCtl:
         self._passes_in_seg += 1
         term = is_last or self._must_terminate(passno, ptype)
         if term:
+            pterm = bool(self.style & CBLK_PTERM)
             if raw:
-                seg = self.raw.flush()
+                seg = self.raw.flush(pterm=pterm)
                 self.raw = None
             else:
-                seg = self.mq.flush()
+                seg = self.mq.erterm_flush() if pterm else self.mq.flush()
                 ctx = self.mq.ctx
                 self.mq = MQEncoder()
                 self.mq.ctx = ctx  # contexts persist across segments unless RESET
@@ -214,8 +215,6 @@ def encode_block(mag: np.ndarray, neg: np.ndarray, orient: int,
     mag: (h, w) non-negative int magnitudes (quantized, ROI-shifted).
     neg: (h, w) bool, True for negative coefficients.
     """
-    if style & CBLK_PTERM:
-        raise NotImplementedError("predictable termination not implemented")
     h, w = mag.shape
     mag = np.asarray(mag, dtype=np.int64)
     numbps = int(mag.max()).bit_length() if mag.size else 0

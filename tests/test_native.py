@@ -89,7 +89,8 @@ def test_encode_block_exact_all_styles():
                               (h, w))).astype(np.int64)
         mag[r.random((h, w)) < 0.4] = 0
         neg = r.random((h, w)) < 0.5
-        for style in (0, 1, 2, 4, 8, 0x20, 1 | 4, 1 | 8, 1 | 4 | 8 | 0x20):
+        for style in (0, 1, 2, 4, 8, 0x10, 0x20, 1 | 4, 1 | 8,
+                      0x10 | 1 | 4, 1 | 4 | 8 | 0x20, 0x3F):
             ref = encode_block(mag, neg, seed % 4, style)
             got = native.encode_block(mag, neg, seed % 4, style)
             assert ref.data == got.data

@@ -264,6 +264,22 @@ class TestAdvancedFeatures:
         assert pil.mode == "RGBA"
         assert np.array_equal(np.asarray(pil).astype(np.int32), px)
 
+    def test_all_mode_switches_0x3F(self):
+        """Full mode-switch set incl. PTERM: self-roundtrip on every
+        backend and OpenJPEG decodes the stream exactly."""
+        from grok_tpu.util.oracle import oracle_decode
+        img = synthetic_image(96, 96, 1, seed=8)
+        streams = set()
+        for be in ("scalar", "native"):
+            d = compress(img, CompressParams(num_resolutions=4,
+                                             cblk_style=0x3F, backend=be))
+            assert np.array_equal(decompress(d).to_array(), img), be
+            streams.add(d)
+        assert len(streams) == 1          # byte-identical backends
+        d = compress(img, CompressParams(num_resolutions=4,
+                                         cblk_style=0x14))
+        assert np.array_equal(oracle_decode(d), img)
+
     def test_fixed_quality_mode(self):
         img = synthetic_image(128, 128, 1, seed=7)
         p = CompressParams(num_resolutions=4, irreversible=True,

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from grok_tpu.core.params import (CBLK_BYPASS, CBLK_RESET, CBLK_SEGSYM,
+from grok_tpu.core.params import (CBLK_BYPASS, CBLK_PTERM, CBLK_RESET, CBLK_SEGSYM,
                                   CBLK_TERMALL, CBLK_VSC)
 from grok_tpu.t1.t1_scalar import (decode_block, encode_block, pass_schedule,
                                    segment_pass_counts)
@@ -77,6 +77,10 @@ def test_roundtrip_dense_large(rng):
     CBLK_VSC, CBLK_SEGSYM, CBLK_RESET, CBLK_TERMALL, CBLK_BYPASS,
     CBLK_BYPASS | CBLK_TERMALL, CBLK_VSC | CBLK_SEGSYM | CBLK_RESET,
     CBLK_BYPASS | CBLK_RESET | CBLK_VSC,
+    CBLK_PTERM, CBLK_PTERM | CBLK_TERMALL, CBLK_PTERM | CBLK_BYPASS,
+    CBLK_PTERM | CBLK_BYPASS | CBLK_TERMALL,
+    CBLK_PTERM | CBLK_BYPASS | CBLK_RESET | CBLK_TERMALL | CBLK_VSC
+    | CBLK_SEGSYM,
 ])
 def test_roundtrip_mode_switches(style, rng):
     mag = rng.integers(0, 2048, size=(32, 24)).astype(np.int64)

@@ -546,9 +546,60 @@ def read_main_header(data: bytes, start: int = 0) -> MainHeader:
     return hdr
 
 
+def tile_parts_from_tlm(data: bytes, hdr: MainHeader) \
+        -> list[TilePartInfo] | None:
+    """Tile-part framing seeded from the TLM marker (A.4.6): jump from
+    part to part by signalled length instead of scanning, validating each
+    landing point's SOT against the TLM entry.  Returns None (caller
+    falls back to the scan) when TLM is absent or inconsistent — a TLM
+    written by a buggy encoder must never poison the decode."""
+    if not hdr.tlm:
+        return None
+    parts: list[TilePartInfo] = []
+    pos = hdr.main_header_end
+    n = len(data)
+    for (t, ln) in hdr.tlm:
+        if ln < 14 or pos + 12 > n:
+            return None
+        if struct.unpack(">H", data[pos:pos + 2])[0] != SOT:
+            return None
+        r = Reader(data, pos + 2)
+        lsot = r.u16()
+        isot = r.u16()
+        psot = r.u32()
+        tpsot = r.u8()
+        tnsot = r.u8()
+        if isot != t or (psot and psot != ln):
+            return None
+        hp = pos + 2 + lsot
+        data_start = None
+        while hp + 4 <= n:
+            m = struct.unpack(">H", data[hp:hp + 2])[0]
+            if m == SOD:
+                data_start = hp + 2
+                break
+            hp += 2 + struct.unpack(">H", data[hp + 2:hp + 4])[0]
+        if data_start is None:
+            return None
+        parts.append(TilePartInfo(tile_index=isot, part_index=tpsot,
+                                  num_parts=tnsot, header_start=pos,
+                                  data_start=data_start,
+                                  data_end=min(pos + ln, n)))
+        pos += ln
+    # the signalled parts must tile the stream up to EOC
+    if pos + 2 <= n and struct.unpack(">H", data[pos:pos + 2])[0] \
+            not in (EOC, SOT):
+        return None
+    return parts
+
+
 def read_tile_parts(data: bytes, hdr: MainHeader,
                     strict: bool = True) -> list[TilePartInfo]:
-    """Scan SOT..EOC, returning tile-part framing without parsing bodies."""
+    """Tile-part framing: TLM-seeded jumps when the marker is present and
+    consistent, else scan SOT..EOC without parsing bodies."""
+    parts = tile_parts_from_tlm(data, hdr)
+    if parts is not None:
+        return parts
     parts: list[TilePartInfo] = []
     pos = hdr.main_header_end
     n = len(data)

@@ -37,3 +37,32 @@ def test_jax_backend_lossy_matches_scalar():
     a = decompress(data).to_array()
     b = decompress(data, DecompressParams(backend="jax")).to_array()
     assert np.array_equal(a, b)
+
+
+def test_tlm_seeded_tile_part_framing():
+    """TLM-present streams frame tile-parts by signalled lengths; a
+    corrupt TLM falls back to the SOT scan with identical results."""
+    import numpy as np
+
+    from grok_tpu.api import compress, decompress
+    from grok_tpu.codestream import j2k
+    from grok_tpu.core.params import CompressParams
+    from grok_tpu.util.oracle import synthetic_image
+    img = synthetic_image(128, 128, 1, seed=4)
+    d = compress(img, CompressParams(num_resolutions=3, tile_w=64,
+                                     tile_h=64, write_tlm=True))
+    hdr = j2k.read_main_header(d)
+    assert hdr.tlm
+    via_tlm = j2k.tile_parts_from_tlm(d, hdr)
+    assert via_tlm is not None and len(via_tlm) == 4
+    hdr_noscan = j2k.read_main_header(d)
+    hdr_noscan.tlm = []
+    scan = j2k.read_tile_parts(d, hdr_noscan)
+    assert [(p.tile_index, p.data_start, p.data_end) for p in via_tlm] \
+        == [(p.tile_index, p.data_start, p.data_end) for p in scan]
+    bad = bytearray(d)
+    i = bad.find(b"\xff\x55")
+    bad[i + 8] ^= 0x40
+    hdr3 = j2k.read_main_header(bytes(bad))
+    assert j2k.tile_parts_from_tlm(bytes(bad), hdr3) is None
+    assert np.array_equal(decompress(bytes(bad)).to_array(), img)

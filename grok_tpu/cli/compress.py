@@ -67,6 +67,10 @@ def params_from_args(a) -> CompressParams:
     if a.precinct_dims:
         import re
         pairs = re.findall(r"\{(\d+),(\d+)\}", a.precinct_dims)
+        if not pairs:
+            raise SystemExit(
+                f"grk_compress: bad precinct spec {a.precinct_dims!r} "
+                "(expected {w,h}[,{w,h}...])")
         exps = [(int(w).bit_length() - 1, int(h).bit_length() - 1)
                 for (w, h) in pairs]
         while len(exps) < params.num_resolutions:

@@ -440,12 +440,56 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
     packet_list = list(iter_packets(geo.tcgs, geo.subsampling,
                                     geo.cod.num_layers, geo.cod.prog_order,
                                     geo.rect.x0, geo.rect.y0, pocs))
+    # PLT-seeded packet skipping: when per-packet lengths are signalled
+    # (and headers are in-stream), packets that cannot contribute —
+    # discarded resolutions, layers past the cap, precincts wholly
+    # outside the decode window — are jumped over without parsing.
+    # T2 state is per-precinct, so skipping every packet of an unneeded
+    # precinct is safe.  Lengths include SOP/EPH (they are part of the
+    # emitted packet).
+    plt_lens = None
+    if th.plt and not use_ppt and len(th.plt) == len(packet_list) and \
+            (dp.reduce or dp.window is not None or
+             (dp.max_layers and dp.max_layers < geo.cod.num_layers)):
+        plt_lens = th.plt
+        _win_pre: dict[tuple, bool] = {}
+
+        def _pkt_needed(pc) -> bool:
+            cs = geo.styles[pc.comp]
+            numres = cs.num_resolutions
+            rl = max(numres - dp.reduce, 1) if dp.reduce else numres
+            if pc.res >= rl:
+                return False
+            if dp.max_layers and pc.layer >= dp.max_layers:
+                return False
+            if dp.window is not None:
+                key = (pc.comp, pc.res, pc.prec)
+                if key not in _win_pre:
+                    dx, dy = geo.subsampling[pc.comp]
+                    sub = Rect(*dp.window).intersect(geo.rect) \
+                        .ceil_scale(dx, dy)
+                    need = False
+                    for orient, bp in ctxs[key].bands:
+                        if not bp.rect.intersect(band_window(
+                                sub, numres - 1, pc.res, orient)).empty:
+                            need = True
+                            break
+                    _win_pre[key] = need
+                if not _win_pre[key]:
+                    return False
+            return True
+
     pk_i = 0
     import copy as _copy
     while pk_i < len(packet_list):
         pc = packet_list[pk_i]
         pk_i += 1
         pkt_start = body_pos
+        if plt_lens is not None and not _pkt_needed(pc):
+            body_pos = pkt_start + plt_lens[pk_i - 1]
+            if body_pos > len(body):
+                break           # truncated: nothing further to decode
+            continue
         ctx = ctxs[(pc.comp, pc.res, pc.prec)]
         # in permissive mode with SOP resilience, snapshot the precinct
         # state so a corrupt packet can be rolled back before resyncing

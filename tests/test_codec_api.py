@@ -66,3 +66,28 @@ def test_tlm_seeded_tile_part_framing():
     hdr3 = j2k.read_main_header(bytes(bad))
     assert j2k.tile_parts_from_tlm(bytes(bad), hdr3) is None
     assert np.array_equal(decompress(bytes(bad)).to_array(), img)
+
+
+def test_plt_seeded_packet_skip():
+    """With PLT lengths, window/reduce/layer-limited decode skips
+    non-contributing packets without parsing; results must be identical
+    to the full parse."""
+    import numpy as np
+
+    from grok_tpu.api import compress, decompress
+    from grok_tpu.core.params import CompressParams, DecompressParams
+    from grok_tpu.util.oracle import synthetic_image
+    img = synthetic_image(256, 256, 1, seed=9)
+    kw = dict(num_resolutions=5, num_layers=3, rates=[8, 2, 0],
+              prec_w_exps=[6] * 5, prec_h_exps=[6] * 5)
+    d = compress(img, CompressParams(write_plt=True, **kw))
+    d0 = compress(img, CompressParams(**kw))
+    for dp_kw in (dict(window=(10, 10, 70, 70)), dict(reduce=2),
+                  dict(max_layers=1),
+                  dict(window=(200, 200, 256, 256), reduce=1,
+                       max_layers=2)):
+        a = decompress(d, DecompressParams(**dp_kw)).to_array()
+        b = decompress(d0, DecompressParams(**dp_kw)).to_array()
+        assert np.array_equal(a, b), dp_kw
+    # full decode unaffected
+    assert np.array_equal(decompress(d).to_array(), img)

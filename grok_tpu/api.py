@@ -406,4 +406,5 @@ def decompress(data: bytes,
     if meta is not None:
         img.icc_profile = meta.icc_profile
         img.capture_resolution = meta.capture_resolution
-    return img
+    from grok_tpu.pipeline.postproc import postprocess
+    return postprocess(img, meta, dp)

@@ -37,14 +37,38 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto")
     p.add_argument("-e", "--repetitions", type=int, default=1,
                    help="repeat decode (performance measurement)")
+    p.add_argument("-u", "--upsample", action="store_true",
+                   help="upsample subsampled components to the full grid")
+    p.add_argument("--force-rgb", action="store_true",
+                   help="promote grayscale output to RGB")
+    p.add_argument("--icc", dest="apply_icc", action="store_true",
+                   help="apply an embedded ICC profile (to sRGB)")
+    p.add_argument("-p", "--precision", type=int, default=None,
+                   help="force output precision (bits); values are "
+                        "shifted/clipped")
     p.add_argument("--trace", metavar="FILE",
                    help="write a perfetto-compatible stage trace")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
 
+def force_precision(img, prec: int):
+    """Shift every component to `prec` bits (grk_decompress -p)."""
+    import numpy as np
+    for c in img.components:
+        if c.prec == prec:
+            continue
+        if c.prec < prec:
+            c.data = np.asarray(c.data, np.int64) << (prec - c.prec)
+        else:
+            c.data = np.asarray(c.data, np.int64) >> (c.prec - prec)
+        c.data = c.data.astype(np.int32)
+        c.prec = prec
+    return img
+
+
 def decode_one(in_path: str, out_path: str, dp: DecompressParams,
-               reps: int, verbose: bool) -> int:
+               reps: int, verbose: bool, precision: int | None = None) -> int:
     from grok_tpu.util.imageio import write_image
     with open(in_path, "rb") as f:
         data = f.read()
@@ -54,6 +78,8 @@ def decode_one(in_path: str, out_path: str, dp: DecompressParams,
         t0 = time.perf_counter()
         img = decompress(data, dp)
         t_best = min(t_best, time.perf_counter() - t0)
+    if precision is not None:
+        img = force_precision(img, precision)
     write_image(out_path, img)
     if verbose:
         mp = img.w * img.h / 1e6
@@ -69,7 +95,8 @@ def main(argv=None) -> int:
         _trace.enable()
     dp = DecompressParams(reduce=a.reduce, max_layers=a.layers,
                           tile_index=a.tile, strict=not a.permissive,
-                          backend=a.backend)
+                          backend=a.backend, upsample=a.upsample,
+                          force_rgb=a.force_rgb, apply_icc=a.apply_icc)
     if a.region:
         dp.window = tuple(int(v) for v in a.region.split(","))
     if a.components:
@@ -89,7 +116,8 @@ def main(argv=None) -> int:
     if not a.in_file:
         print("error: -i or -batch required", file=sys.stderr)
         return 2
-    rc = decode_one(a.in_file, a.out_file, dp, a.repetitions, a.verbose)
+    rc = decode_one(a.in_file, a.out_file, dp, a.repetitions, a.verbose,
+                    a.precision)
     if a.trace:
         from grok_tpu.util import trace as _trace
         import json as _json

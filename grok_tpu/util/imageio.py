@@ -1,7 +1,7 @@
 """Image-format readers/writers for the CLI tools.
 
 Native implementations of the conformance-critical simple formats (PGX,
-PNM/PGM/PPM, RAW/RAWL); PNG/TIFF/JPEG/BMP via Pillow when present.
+PNM/PGM/PPM, PAM, RAW/RAWL); PNG/TIFF/JPEG/BMP via Pillow when present.
 
 Reference parity: [grok: src/bin/image_format/*.cpp — PGXFormat, PNMFormat,
 RAWFormat, TIFFFormat, PNGFormat...].
@@ -106,6 +106,57 @@ def write_pnm(path: str, img: Image):
         f.write(np.clip(arr, 0, maxval).astype(dt).tobytes())
 
 
+# -- PAM (P7) -----------------------------------------------------------------
+
+def read_pam(path: str) -> Image:
+    """Netpbm PAM (P7): arbitrary depth incl. GRAYSCALE_ALPHA/RGB_ALPHA."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] != b"P7":
+        raise ValueError(f"{path}: not a PAM (P7) file")
+    fields = {}
+    pos = data.index(b"\n") + 1
+    while True:
+        end = data.index(b"\n", pos)
+        line = data[pos:end].strip()
+        pos = end + 1
+        if not line or line.startswith(b"#"):
+            continue
+        if line == b"ENDHDR":
+            break
+        k, _, v = line.partition(b" ")
+        fields[k.decode()] = v.decode().strip()
+    w = int(fields["WIDTH"])
+    h = int(fields["HEIGHT"])
+    depth = int(fields["DEPTH"])
+    maxval = int(fields["MAXVAL"])
+    prec = maxval.bit_length()
+    dt = ">u2" if maxval > 255 else "u1"
+    arr = np.frombuffer(data, dtype=dt, count=w * h * depth, offset=pos)
+    arr = arr.reshape(h, w, depth).astype(np.int32)
+    comps = [Component(data=arr[:, :, i].copy(), prec=prec)
+             for i in range(depth)]
+    cs = ColorSpace.SRGB if depth >= 3 else ColorSpace.GRAY
+    return Image(components=comps, color_space=cs)
+
+
+def write_pam(path: str, img: Image):
+    comps = img.components
+    depth = len(comps)
+    prec = comps[0].prec
+    maxval = (1 << prec) - 1
+    tupltype = {1: "GRAYSCALE", 2: "GRAYSCALE_ALPHA", 3: "RGB",
+                4: "RGB_ALPHA"}.get(depth, "RGB")
+    arr = np.stack([c.data for c in comps], axis=-1)
+    dt = ">u2" if maxval > 255 else "u1"
+    hdr = (f"P7\nWIDTH {comps[0].w}\nHEIGHT {comps[0].h}\n"
+           f"DEPTH {depth}\nMAXVAL {maxval}\nTUPLTYPE {tupltype}\n"
+           f"ENDHDR\n")
+    with open(path, "wb") as f:
+        f.write(hdr.encode())
+        f.write(np.clip(arr, 0, maxval).astype(dt).tobytes())
+
+
 # -- RAW ----------------------------------------------------------------------
 
 def read_raw(path: str, w: int, h: int, ncomp: int, prec: int,
@@ -141,6 +192,8 @@ def read_image(path: str) -> Image:
         return read_pgx(path)
     if ext in (".pgm", ".ppm", ".pnm"):
         return read_pnm(path)
+    if ext == ".pam":
+        return read_pam(path)
     if ext in _PIL_EXTS:
         if not HAVE_PIL:
             raise RuntimeError("Pillow not available for " + ext)
@@ -156,6 +209,8 @@ def write_image(path: str, img: Image):
         return write_pgx(path, img)
     if ext in (".pgm", ".ppm", ".pnm"):
         return write_pnm(path, img)
+    if ext == ".pam":
+        return write_pam(path, img)
     if ext in _PIL_EXTS:
         if not HAVE_PIL:
             raise RuntimeError("Pillow not available for " + ext)

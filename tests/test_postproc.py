@@ -98,3 +98,23 @@ def test_apply_icc_srgb_and_garbage():
     d2 = compress(img2, CompressParams(num_resolutions=3, jp2=True))
     out2 = decompress(d2, DecompressParams(apply_icc=True))
     assert np.array_equal(out2.to_array(), px)    # graceful fallback
+
+
+def test_pam_io_and_initialize(tmp_path):
+    import grok_tpu
+    from grok_tpu.util.imageio import read_image, write_image
+    assert grok_tpu.initialize(2) in (True, False)
+    import os
+    assert os.environ.get("GROK_NUM_THREADS") == "2"
+    grok_tpu.initialize(0)
+    grok_tpu.deinitialize()
+    rng = np.random.default_rng(0)
+    for depth in (1, 2, 3, 4):
+        px = rng.integers(0, 256, (11, 13, depth)).astype(np.int32)
+        img = Image.from_array(px if depth > 1 else px[..., 0], prec=8)
+        p = str(tmp_path / f"t{depth}.pam")
+        write_image(p, img)
+        back = read_image(p)
+        assert len(back.components) == depth
+        for i in range(depth):
+            assert np.array_equal(back.components[i].data, px[..., i])

@@ -103,11 +103,16 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
 
     def kernel(data_ref, npass_ref, nbps_ref, ori_ref, wh_ref, mqtbl_ref,
                mag2_ref, neg_ref, sig_ref, vis_ref, val2_ref):
-        ori = ori_ref[0, :]
-        wv = wh_ref[0, :]
-        hv = wh_ref[1, :]
-        npass = npass_ref[0, :]
-        nbps = nbps_ref[0, :]
+        # EVERY traced vector in this kernel is kept >= 2D.  Mosaic's
+        # 1-D ("implicit dim") layout path aborts the compiler on this
+        # toolchain (layout.h:320 "arr.size() >= layout_rank") once 1-D
+        # values flow through chained decodes into scratch stores; with
+        # all lane registers shaped (1, LANES) the kernel lowers cleanly.
+        ori = ori_ref[...]
+        wv = wh_ref[0:1, :]
+        hv = wh_ref[1:2, :]
+        npass = npass_ref[...]
+        nbps = nbps_ref[...]
 
         sig_ref[...] = jnp.zeros((H + 2, W + 2, LANES), jnp.int32)
         vis_ref[...] = jnp.zeros((H, W, LANES), jnp.int32)
@@ -119,10 +124,12 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
         tiota = jax.lax.broadcasted_iota(jnp.int32, (47, 1), 0)
 
         def stage_load(bp):
-            """(64, LANES) staged window at each lane's 32-aligned base."""
+            """(64, LANES) staged window at each lane's 32-aligned base.
+
+            bp: (1, LANES)."""
             g0 = bp >> 5
-            sel0 = (giota == g0[None, None, :]).astype(jnp.int32)
-            sel1 = (giota == (g0 + 1)[None, None, :]).astype(jnp.int32)
+            sel0 = (giota == g0[None, :, :]).astype(jnp.int32)
+            sel1 = (giota == (g0 + 1)[None, :, :]).astype(jnp.int32)
             d = data_ref[...]
             lo = jnp.sum(d * sel0, axis=0)      # (32, LANES)
             hi = jnp.sum(d * sel1, axis=0)
@@ -130,9 +137,8 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
 
         def stage_read(stage, base, bp):
             """Byte pair at bp from the staged window: (cur, nxt)."""
-            idx = bp - base
-            sel = (siota == idx[None, :]).astype(jnp.int32)
-            v = jnp.sum(stage * sel, axis=0)
+            sel = (siota == (bp - base)).astype(jnp.int32)   # (64, LANES)
+            v = jnp.sum(stage * sel, axis=0, keepdims=True)  # (1, LANES)
             return (v >> 8) & 0xFF, v & 0xFF
 
         def bytein(mq, m):
@@ -179,11 +185,12 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
         def mq_decode(mqs, cx, active):
             (a, c, ct, bp, stage, base), ctx_st, ctx_mps = mqs
             oh = (jax.lax.broadcasted_iota(jnp.int32, (N_CTX, LANES), 0)
-                  == cx[None, :])
-            i = jnp.sum(jnp.where(oh, ctx_st, 0), axis=0)
-            mps = jnp.sum(jnp.where(oh, ctx_mps, 0), axis=0)
+                  == cx)
+            i = jnp.sum(jnp.where(oh, ctx_st, 0), axis=0, keepdims=True)
+            mps = jnp.sum(jnp.where(oh, ctx_mps, 0), axis=0, keepdims=True)
             packed = jnp.sum(
-                jnp.where(tiota == i[None, :], mqtbl_ref[...], 0), axis=0)
+                jnp.where(tiota == i, mqtbl_ref[...], 0), axis=0,
+                keepdims=True)
             qe = (packed >> 13) & 0xFFFF
             nmps = (packed >> 7) & 0x3F
             nlps = (packed >> 1) & 0x3F
@@ -210,9 +217,9 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             a = jnp.where(act * jnp.where(lps == 1, 1, 0) == 1, qe,
                           jnp.where(act == 1, a1, a))
             c = jnp.where(act * (1 - lps) == 1, c - (qe << 16), c)
-            updr = oh & (upd[None, :] == 1)
-            ctx_st = jnp.where(updr, new_i[None, :], ctx_st)
-            ctx_mps = jnp.where(updr, new_mps[None, :], ctx_mps)
+            updr = oh & (upd == 1)
+            ctx_st = jnp.where(updr, new_i, ctx_st)
+            ctx_mps = jnp.where(updr, new_mps, ctx_mps)
             mq = renorm((a, c, ct, bp, stage, base), upd == 1)
             return (mq, ctx_st, ctx_mps), jnp.where(act == 1, bit, 0)
 
@@ -222,20 +229,20 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
 
         def counts(y, x):
             n = (nbhd(y, x) != 0).astype(jnp.int32)
-            h = n[1, 0] + n[1, 2]
-            v = n[0, 1] + n[2, 1]
-            d = (n[0, 0] + n[0, 2] + n[2, 0] + n[2, 2])
+            h = n[1:2, 0, :] + n[1:2, 2, :]          # (1, LANES)
+            v = n[0:1, 1, :] + n[2:3, 1, :]
+            d = (n[0:1, 0, :] + n[0:1, 2, :] + n[2:3, 0, :] + n[2:3, 2, :])
             return h, v, d
 
         def signs(y, x):
             n = nbhd(y, x)
             s = jnp.where(n == 1, 1, jnp.where(n == 2, -1, 0))
-            hs = jnp.clip(s[1, 0] + s[1, 2], -1, 1)
-            vs = jnp.clip(s[0, 1] + s[2, 1], -1, 1)
+            hs = jnp.clip(s[1:2, 0, :] + s[1:2, 2, :], -1, 1)
+            vs = jnp.clip(s[0:1, 1, :] + s[2:3, 1, :], -1, 1)
             return hs, vs
 
         def sigc(y, x):
-            return sig_ref[y + 1, x + 1, :]
+            return sig_ref[y + 1, pl.ds(x + 1, 1), :]    # (1, LANES)
 
         wiota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
         wiota2 = jax.lax.broadcasted_iota(jnp.int32, (W + 2, 1), 0)
@@ -245,24 +252,25 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             # one dynamic row index + a vectorized column select lowers fine
             it = wiota2 if border else wiota
             row = ref[y, :, :]
-            sel = (it == x) & m[None, :]
+            sel = (it == x) & m
             ref[y, :, :] = jnp.where(sel, vals, row)
 
         def mark_sig(y, x, negb, bp, m):
             row_set(sig_ref, y + 1, x + 1,
-                    jnp.where(negb == 1, 2, 1)[None, :], m, True)
-            row_set(val2_ref, y, x, (jnp.int32(3) << bp)[None, None], m,
-                    False)
-            row_set(neg_ref, y, x, negb[None, :], m, False)
+                    jnp.where(negb == 1, 2, 1), m, True)
+            row_set(val2_ref, y, x,
+                    jnp.full((1, LANES), jnp.int32(3) << bp, jnp.int32),
+                    m, False)
+            row_set(neg_ref, y, x, negb, m, False)
 
         # -- initial MQ state ----------------------------------------------
-        bp0 = jnp.zeros((LANES,), jnp.int32)
+        bp0 = jnp.zeros((1, LANES), jnp.int32)
         stage, base = stage_load(bp0)
         cur, _ = stage_read(stage, base, bp0)
         c0 = cur << 16
-        mq0 = (jnp.full((LANES,), 0x8000, jnp.int32), c0,
-               jnp.zeros((LANES,), jnp.int32), bp0, stage, base)
-        mq0 = bytein(mq0, jnp.ones((LANES,), bool))
+        mq0 = (jnp.full((1, LANES), 0x8000, jnp.int32), c0,
+               jnp.zeros((1, LANES), jnp.int32), bp0, stage, base)
+        mq0 = bytein(mq0, jnp.ones((1, LANES), bool))
         a_, c_, ct_, bp_, stage, base = mq0
         mq0 = (a_, c_ << 7, ct_ - 7, bp_, stage, base)
         crow = jax.lax.broadcasted_iota(jnp.int32, (N_CTX, LANES), 0)
@@ -277,13 +285,17 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             return ((a, c, ct, bp, stage, base), cs, cm)
 
         # -- pass bodies ---------------------------------------------------
-        def spp_step(i, carry):
-            mqs, bp = carry
-            # 2 decodes/iteration -> up to 6 bytes; 4 iterations stay
+        # NOTE: refreshes are UNCONDITIONAL at the top of each unrolled
+        # column group.  The natural `lax.cond(i % k == 0, refresh, ...)`
+        # trips a Mosaic relayout bug on TPU (the cond join wants a
+        # lane-replicated layout the pass cannot produce:
+        # "Invalid relayout ... {*,0} -> {*,*}", and the same family as
+        # the layout.h:320 crash); a nested loop with the refresh always
+        # taken compiles cleanly and costs only the redundant one-hot
+        # granule sums.
+        def spp_step(col, dy, bp, mqs):
+            # 2 decodes/step -> up to 6 bytes; 4 steps per refresh stay
             # within the 31-byte refill budget of the staged window
-            mqs = jax.lax.cond(i % 4 == 0, refresh, lambda m: m, mqs)
-            dy = i % 4
-            col = i // 4
             x = col % W
             yr = (col // W) * 4 + dy
             k_lane = nbps - 1 - bp
@@ -291,7 +303,7 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
                 (x < wv) & (yr < hv)
             y = jnp.minimum(yr, H - 1)   # masked rows clamp in-bounds
             cur_sig = sigc(y, x) != 0
-            visv = vis_ref[y, x, :] != 0
+            visv = vis_ref[y, pl.ds(x, 1), :] != 0
             h, v, d = counts(y, x)
             zc = _zc_ctx_arith(ori, h, v, d)
             coded = act & ~cur_sig & ~visv & (zc != 0)
@@ -303,13 +315,9 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             mark_sig(y, x, sbit ^ xr, bp, became)
             row_set(vis_ref, y, x, jnp.ones((1, LANES), jnp.int32), coded,
                     False)
-            return (mqs, bp)
+            return mqs
 
-        def mrp_step(i, carry):
-            mqs, bp = carry
-            mqs = jax.lax.cond(i % 8 == 0, refresh, lambda m: m, mqs)
-            dy = i % 4
-            col = i // 4
+        def mrp_step(col, dy, bp, mqs):
             x = col % W
             yr = (col // W) * 4 + dy
             k_lane = nbps - 1 - bp
@@ -317,9 +325,9 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
                 (x < wv) & (yr < hv)
             y = jnp.minimum(yr, H - 1)
             cur_sig = sigc(y, x) != 0
-            visv = vis_ref[y, x, :] != 0
+            visv = vis_ref[y, pl.ds(x, 1), :] != 0
             coded = act & cur_sig & ~visv
-            v2 = val2_ref[y, x, :]
+            v2 = val2_ref[y, pl.ds(x, 1), :]
             was_ref = v2 >= (jnp.int32(8) << bp)
             h, v, d = counts(y, x)
             mr = jnp.where(was_ref, 16, jnp.where(h + v + d > 0, 15, 14))
@@ -328,17 +336,14 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             # left shifts)
             nv = v2 + (bit << (bp + 1)) - (jnp.int32(1) << (bp + 1)) \
                 + (jnp.int32(1) << bp)
-            row_set(val2_ref, y, x, nv[None, :], coded, False)
-            return (mqs, bp)
+            row_set(val2_ref, y, x, nv, coded, False)
+            return mqs
 
-        def cln_step(i, carry):
-            mqs, bp, rl_mode, has, r, became = carry
-            mqs = jax.lax.cond(i % 8 == 0, refresh, lambda m: m, mqs)
-            j = i % 11
-            col = i // 11
+        def cln_step(col, j, bp, carry):
+            mqs, rl_mode, has, r, became = carry
             x = col % W
             y0 = (col // W) * 4
-            dy = jnp.clip((j - 3) // 2, 0, 3)
+            dy = min(max((j - 3) // 2, 0), 3)
             y = jnp.minimum(y0 + dy, H - 1)
             k_lane = nbps - 1 - bp
             act = (k_lane >= 0) & (3 * k_lane < npass)
@@ -349,14 +354,16 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
 
             ys = jnp.minimum(y0, H - 4)
             seg = (sig_ref[pl.ds(ys, 6), pl.ds(x, 3), :] != 0)
-            nosig = jnp.sum(seg.astype(jnp.int32), axis=(0, 1)) == 0
+            nosig = jnp.sum(jnp.sum(seg.astype(jnp.int32), axis=0),
+                            axis=0, keepdims=True) == 0       # (1, LANES)
             visc = vis_ref[pl.ds(ys, 4), pl.ds(x, 1), :]
-            novis = jnp.sum(visc, axis=(0, 1)) == 0
+            novis = jnp.sum(jnp.sum(visc, axis=0), axis=0,
+                            keepdims=True) == 0
             full = (y0 + 4 <= hv) & (x < wv)
             rl_now = act & full & nosig & novis
 
             cur_sig = sigc(y, x) != 0
-            visv = vis_ref[y, x, :] != 0
+            visv = vis_ref[y, pl.ds(x, 1), :] != 0
             ok = act & (x < wv) & (y < hv)
             in_rl_skip = (rl_mode == 1) & ((has == 0)
                                            | ((has == 1) & (r >= dy)))
@@ -386,17 +393,39 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             mark_sig(y, x, bit ^ xr, bp, setm)
             became = jnp.where(is_sc, 0,
                                jnp.where(is_zc, new_became, became))
-            return (mqs, bp, rl_mode, has, r, became)
+            return (mqs, rl_mode, has, r, became)
 
         def plane_body(bp, mqs):
-            mqs, _ = jax.lax.fori_loop(0, n_stripes * W * 4, spp_step,
-                                       (mqs, bp))
-            mqs, _ = jax.lax.fori_loop(0, n_stripes * W * 4, mrp_step,
-                                       (mqs, bp))
-            zi = jnp.zeros((LANES,), jnp.int32)
-            carry = (mqs, bp, zi, zi, zi, zi)
-            carry = jax.lax.fori_loop(0, n_stripes * W * 11, cln_step,
-                                      carry)
+            def spp_col(col, mqs):
+                mqs = refresh(mqs)
+                for dy in range(4):
+                    mqs = spp_step(col, dy, bp, mqs)
+                return mqs
+            mqs = jax.lax.fori_loop(0, n_stripes * W, spp_col, mqs)
+
+            def mrp_col(col, mqs):
+                mqs = refresh(mqs)
+                for dy in range(4):
+                    mqs = mrp_step(col, dy, bp, mqs)
+                return mqs
+            mqs = jax.lax.fori_loop(0, n_stripes * W, mrp_col, mqs)
+
+            zi = jnp.zeros((1, LANES), jnp.int32)
+
+            def cln_col(col, carry):
+                # 11 slots/column; refresh twice to stay under the
+                # 31-byte staged-window budget (<=3 bytes per decision)
+                mqs, rl_mode, has, r, became = carry
+                carry = (refresh(mqs), rl_mode, has, r, became)
+                for j in range(6):
+                    carry = cln_step(col, j, bp, carry)
+                mqs, rl_mode, has, r, became = carry
+                carry = (refresh(mqs), rl_mode, has, r, became)
+                for j in range(6, 11):
+                    carry = cln_step(col, j, bp, carry)
+                return carry
+            carry = jax.lax.fori_loop(0, n_stripes * W, cln_col,
+                                      (mqs, zi, zi, zi, zi))
             mqs = carry[0]
             vis_ref[...] = jnp.zeros((H, W, LANES), jnp.int32)
             return mqs

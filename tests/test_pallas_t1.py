@@ -1,0 +1,47 @@
+"""Pallas T1 kernel: bit-exactness vs the scalar coder.
+
+Runs in interpret mode on the CPU suite (the Mosaic path is exercised on
+real TPU hardware — see docs/PERF.md; the kernel compiles and is
+bit-exact there since the all-2D layout rework).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from grok_tpu.t1.t1_scalar import encode_block
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("GROK_RUN_PALLAS_TESTS"),
+    reason="interpret-mode trace of the full kernel takes minutes; "
+           "set GROK_RUN_PALLAS_TESTS=1 (or run on TPU hardware)")
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_pallas_interpret_bit_exact(seed):
+    import jax.numpy as jnp
+
+    from grok_tpu.ops.pallas_t1 import pack_for_pallas, pallas_t1_decode
+    rng = np.random.default_rng(seed)
+    blocks, refs = [], []
+    for i in range(5):
+        mag = np.abs(rng.normal(0, [15, 80, 400][i % 3],
+                                (12, 12))).astype(np.int64)
+        mag[rng.random((12, 12)) < 0.4] = 0
+        neg = rng.random((12, 12)) < 0.5
+        enc = encode_block(mag, neg, i % 4, 0)
+        blocks.append(dict(data=enc.data, numpasses=len(enc.passes),
+                           numbps=enc.numbps, orient=i % 4, w=12, h=12))
+        refs.append((mag, neg))
+    data, npass, nbps, ori, wh, B = pack_for_pallas(blocks)
+    mag2, neg = pallas_t1_decode(
+        jnp.asarray(data), jnp.asarray(npass), jnp.asarray(nbps),
+        jnp.asarray(ori), jnp.asarray(wh), 12, 12, int(nbps.max()),
+        data.shape[0] * 32, True)
+    mag2 = np.asarray(mag2)
+    neg = np.asarray(neg)
+    for j, (m, n) in enumerate(refs):
+        assert np.array_equal(mag2[:, :, j] >> 1, m), f"lane {j} mag"
+        assert np.array_equal(neg[:, :, j][m > 0],
+                              n[m > 0].astype(np.int32)), f"lane {j} sign"

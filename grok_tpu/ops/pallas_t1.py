@@ -488,3 +488,23 @@ def pack_for_pallas(blocks: list[dict], L: int | None = None):
     data = np.ascontiguousarray(
         pairs.T.reshape(L // 32, 32, LANES)).astype(np.int32)
     return data, npass, nbps, ori, wh, B
+
+
+def decode_bucket_pallas(blocks: list[dict], W: int, H: int):
+    """decode_blocks-compatible adapter: one pallas launch per <=LANES
+    blocks of a (W, H) bucket.  Returns [(mag2 int64 (h, w), neg bool)].
+    Enable via GROK_T1_PALLAS=1 (TPU backends; the XLA kernel remains
+    the default device path)."""
+    import jax
+
+    data, npass, nbps, ori, wh, B = pack_for_pallas(blocks)
+    maxbp = -(-int(nbps.max()) // 4) * 4 if B else 4
+    mag2, neg = pallas_t1_decode(
+        jnp.asarray(data), jnp.asarray(npass), jnp.asarray(nbps),
+        jnp.asarray(ori), jnp.asarray(wh), W, H, maxbp,
+        data.shape[0] * 32, False)
+    mag2 = np.asarray(mag2)
+    neg = np.asarray(neg)
+    return [(mag2[:b["h"], :b["w"], j].astype(np.int64),
+             neg[:b["h"], :b["w"], j].astype(bool))
+            for j, b in enumerate(blocks)]

@@ -30,6 +30,7 @@ tests/test_t1_vec.py.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -455,7 +456,16 @@ def decode_blocks(blocks: list[dict], interpret: bool = False):
         key = (_pow2_at_least(b["w"]), _pow2_at_least(b["h"]))
         buckets.setdefault(key, []).append(i)
 
+    use_pallas = bool(os.environ.get("GROK_T1_PALLAS"))
     for (W, H), idxs in buckets.items():
+        if use_pallas:
+            from grok_tpu.ops.pallas_t1 import LANES, decode_bucket_pallas
+            for k in range(0, len(idxs), LANES):
+                chunk = idxs[k:k + LANES]
+                for i, res in zip(chunk, decode_bucket_pallas(
+                        [blocks[i] for i in chunk], W, H)):
+                    results[i] = res
+            continue
         B = len(idxs)
         maxlen = max(len(blocks[i]["data"]) for i in idxs)
         L = max(8, -(-maxlen // 64) * 64)

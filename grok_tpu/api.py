@@ -88,7 +88,8 @@ def _build_main_header(image: Image, params: CompressParams) -> MainHeader:
 
 def _main_header_bytes(hdr: MainHeader, params: CompressParams,
                        tlm_entries: list[tuple[int, int]] | None,
-                       ppm_chunks: list[bytes] | None = None) -> bytes:
+                       ppm_chunks: list[bytes] | None = None,
+                       plm_lists: list[list[int]] | None = None) -> bytes:
     out = bytearray(struct.pack(">H", j2k.SOC))
     out += j2k.write_siz(hdr.siz, hdr.rsiz, hdr.comps)
     out += j2k.write_cod(hdr.cod)
@@ -105,6 +106,8 @@ def _main_header_bytes(hdr: MainHeader, params: CompressParams,
         out += j2k.write_mct_set(hdr.custom_mct)
     if tlm_entries is not None:
         out += j2k.write_tlm(tlm_entries)
+    if plm_lists is not None:
+        out += j2k.write_plm(plm_lists)
     if ppm_chunks is not None:
         payload = bytearray(struct.pack(">B", 0))   # Zppm
         for chunk in ppm_chunks:
@@ -142,6 +145,7 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
 
     tiles_out: list[bytes] = []
     tlm_entries: list[tuple[int, int]] = []
+    plm_lists: list[list[int]] = []          # per tile-part, stream order
     ppm_chunks: list[bytes] = []
     from grok_tpu.codestream.profiles import validate_profile
     errs = validate_profile(params, siz.xsiz - siz.xosiz,
@@ -192,6 +196,7 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
                 struct.pack(">H", j2k.SOD) + res.body
             tiles_out.append(tp)
             tlm_entries.append((t, len(tp)))
+            plm_lists.append(list(res.packet_lens))
         else:
             # split the packet sequence across tile-parts at packet
             # boundaries (packets never straddle a tile-part boundary)
@@ -207,10 +212,12 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
                     struct.pack(">H", j2k.SOD) + bodyp
                 tiles_out.append(tp)
                 tlm_entries.append((t, len(tp)))
+                plm_lists.append(list(lens))
 
     mh = _main_header_bytes(hdr, params,
                             tlm_entries if params.write_tlm else None,
-                            ppm_chunks if params.write_ppm else None)
+                            ppm_chunks if params.write_ppm else None,
+                            plm_lists if params.write_plm else None)
     stream = mh + b"".join(tiles_out) + struct.pack(">H", j2k.EOC)
     if params.jp2:
         c0 = image.components[0]
@@ -254,9 +261,9 @@ class HeaderInfo:
     rsiz: int = 0
 
 
-def _locate_codestream(data: bytes):
+def _locate_codestream(data: bytes, permissive: bool = False):
     if jp2.is_jp2(data):
-        s, e, meta = jp2.parse_jp2(data)
+        s, e, meta = jp2.parse_jp2(data, permissive)
         return data[s:e], meta
     if jp2.is_j2k(data):
         return data, None
@@ -301,7 +308,7 @@ def decompress(data: bytes,
                dparams: DecompressParams | None = None) -> Image:
     """Decode a J2K codestream or JP2 file to an Image."""
     dp = dparams or DecompressParams()
-    cs, meta = _locate_codestream(data)
+    cs, meta = _locate_codestream(data, permissive=not dp.strict)
     hdr = j2k.read_main_header(cs)
     parts = j2k.read_tile_parts(cs, hdr, strict=dp.strict)
 
@@ -350,15 +357,28 @@ def decompress(data: bytes,
             n = r.u32()
             ppm_blobs[p.header_start] = r.take(min(n, r.remaining))
 
+    # PLM (A.4.6): main-header packet lengths, one list per tile-part in
+    # stream order — usable exactly like per-tile PLT for packet skipping
+    plm_by_start: dict[int, list[int]] = {}
+    if hdr.plm:
+        order = sorted(parts, key=lambda p: p.header_start)
+        if len(hdr.plm) == len(order):
+            for p, lens in zip(order, hdr.plm):
+                plm_by_start[p.header_start] = lens
+
     for t in tiles:
         th = TileHeader()
         chunks = []
         ppm_parts = []
+        plm_lens: list[int] = []
         for p in sorted(by_tile[t], key=lambda p: p.part_index):
             j2k.read_tile_part_header(cs, p, hdr, th)
             chunks.append(cs[p.data_start:p.data_end])
+            plm_lens += plm_by_start.get(p.header_start, [])
             if p.header_start in ppm_blobs:
                 ppm_parts.append(ppm_blobs[p.header_start])
+        if not th.plt and plm_lens:
+            th.plt = plm_lens
         if ppm_parts:
             th.ppt = b"".join(ppm_parts)
         body = b"".join(chunks)

@@ -129,6 +129,7 @@ class MainHeader:
     cap: tuple[int, list[int]] | None = None              # (Pcap, Scap list)
     custom_mct: object = None        # (N, N) float64 forward decorrelation
     tlm: list[tuple[int, int]] = field(default_factory=list)  # (tile, length)
+    plm: list[list[int]] = field(default_factory=list)  # per-part pkt lens
     ppm: bytes | None = None
     main_header_end: int = 0
 
@@ -326,6 +327,29 @@ def write_plt(lengths: list[int], zplt: int = 0) -> bytes:
     return _seg(PLT, payload)
 
 
+def write_plm(per_part_lengths: list[list[int]], zplm: int = 0) -> bytes:
+    """PLM (A.4.6): packet lengths in the MAIN header, one Nplm-prefixed
+    varint list per tile-part in stream order.  Returns b"" when any
+    tile-part's list exceeds the 255-byte Nplm field (caller falls back
+    to PLT / no index)."""
+    payload = struct.pack(">B", zplm)
+    for lens in per_part_lengths:
+        blob = b""
+        for ln in lens:
+            chunks = [ln & 0x7F]
+            v = ln >> 7
+            while v:
+                chunks.append((v & 0x7F) | 0x80)
+                v >>= 7
+            blob += bytes(reversed(chunks))
+        if len(blob) > 255:
+            return b""
+        payload += struct.pack(">B", len(blob)) + blob
+    if len(payload) + 4 > 65535:
+        return b""
+    return _seg(PLM, payload)
+
+
 # -- segment readers ----------------------------------------------------------
 
 class Reader:
@@ -431,6 +455,26 @@ def _read_poc(r: Reader, numcomps: int, nbytes: int) -> list[Poc]:
     return out
 
 
+def _read_plm(r: Reader, nbytes: int) -> list[list[int]]:
+    """Parse one PLM segment -> per-tile-part packet-length lists."""
+    r.u8()  # Zplm
+    consumed = 1
+    out: list[list[int]] = []
+    while consumed < nbytes:
+        n = r.u8()
+        consumed += 1 + n
+        lens: list[int] = []
+        v = 0
+        for _ in range(n):
+            byte = r.u8()
+            v = (v << 7) | (byte & 0x7F)
+            if not (byte & 0x80):
+                lens.append(v)
+                v = 0
+        out.append(lens)
+    return out
+
+
 def _read_plt(r: Reader, nbytes: int) -> list[int]:
     r.u8()  # Zplt
     out = []
@@ -525,6 +569,8 @@ def read_main_header(data: bytes, start: int = 0) -> MainHeader:
             hdr.cap = (pcap, scaps)
         elif marker == TLM:
             hdr.tlm += _read_tlm(seg, ln - 2)
+        elif marker == PLM:
+            hdr.plm += _read_plm(seg, ln - 2)
         elif marker == PPM:
             seg.u8()  # Zppm
             body = seg.take(seg.remaining)

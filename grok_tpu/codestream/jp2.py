@@ -135,7 +135,7 @@ def is_j2k(data: bytes) -> bool:
     return data[:2] == b"\xff\x4f"
 
 
-def _iter_boxes(data: bytes, pos: int, end: int):
+def _iter_boxes(data: bytes, pos: int, end: int, permissive: bool = False):
     while pos + 8 <= end:
         ln = struct.unpack(">I", data[pos:pos + 4])[0]
         tag = data[pos + 4:pos + 8]
@@ -146,6 +146,10 @@ def _iter_boxes(data: bytes, pos: int, end: int):
         elif ln == 0:
             ln = end - pos
         if ln < 8 or pos + ln > end:
+            if permissive and ln >= 8:
+                # truncated file: yield what is present and stop
+                yield tag, body_start, end
+                return
             raise JP2Error(f"bad box length {ln} for {tag!r}")
         yield tag, body_start, pos + ln
         pos += ln
@@ -206,16 +210,19 @@ def _parse_jp2h(data: bytes, start: int, end: int, meta: JP2Meta):
                     meta.display_resolution = (vr, hr)
 
 
-def parse_jp2(data: bytes) -> tuple[int, int, JP2Meta]:
+def parse_jp2(data: bytes,
+              permissive: bool = False) -> tuple[int, int, JP2Meta]:
     """Locate the codestream inside a JP2 file.
 
-    Returns (codestream_start, codestream_end, meta).
+    Returns (codestream_start, codestream_end, meta).  With permissive,
+    a truncated final box (usually jp2c) is clamped to the file end so
+    partial files still decode what is present.
     """
     if not is_jp2(data):
         raise JP2Error("not a JP2 file (bad signature box)")
     meta = JP2Meta()
     cs_span = None
-    for tag, s, e in _iter_boxes(data, 12, len(data)):
+    for tag, s, e in _iter_boxes(data, 12, len(data), permissive):
         if tag == b"ftyp":
             if data[s:s + 4] not in (b"jp2 ", b"jpx ", b"jph "):
                 raise JP2Error(f"unsupported brand {data[s:s+4]!r}")

@@ -92,6 +92,7 @@ class CompressParams:
     eph: bool = False
     write_tlm: bool = False
     write_plt: bool = False
+    write_plm: bool = False     # packet lengths in the MAIN header (A.4.6)
     write_ppm: bool = False     # packed packet headers in the main header
     comment: str | None = None
     rsiz: RsizProfile = RsizProfile.NONE

@@ -91,3 +91,29 @@ def test_plt_seeded_packet_skip():
         assert np.array_equal(a, b), dp_kw
     # full decode unaffected
     assert np.array_equal(decompress(d).to_array(), img)
+
+
+def test_plm_main_header_packet_lengths():
+    """PLM (A.4.6): packet lengths signalled in the MAIN header drive
+    the same packet skipping as PLT; oracle still decodes the stream."""
+    import numpy as np
+
+    from grok_tpu.api import compress, decompress
+    from grok_tpu.codestream import j2k
+    from grok_tpu.core.params import CompressParams, DecompressParams
+    from grok_tpu.util.oracle import oracle_decode, synthetic_image
+    img = synthetic_image(256, 256, 1, seed=9)
+    kw = dict(num_resolutions=5, num_layers=2, rates=[4, 0],
+              prec_w_exps=[6] * 5, prec_h_exps=[6] * 5,
+              tile_w=128, tile_h=128)
+    d = compress(img, CompressParams(write_plm=True, **kw))
+    d0 = compress(img, CompressParams(**kw))
+    hdr = j2k.read_main_header(d)
+    assert len(hdr.plm) == 4                 # one list per tile-part
+    assert np.array_equal(decompress(d).to_array(), img)
+    for dpkw in (dict(window=(10, 10, 70, 70)), dict(reduce=2),
+                 dict(max_layers=1)):
+        a = decompress(d, DecompressParams(**dpkw)).to_array()
+        b = decompress(d0, DecompressParams(**dpkw)).to_array()
+        assert np.array_equal(a, b), dpkw
+    assert np.array_equal(oracle_decode(d), img)

@@ -139,3 +139,15 @@ def test_sop_resync_localizes_corruption():
     assert any("resync" in m for m in msgs)
     from grok_tpu.util.oracle import psnr
     assert psnr(out, img) > 20.0       # one packet lost, not the stream
+
+
+def test_truncated_jp2_container_permissive():
+    """A JP2 cut mid-jp2c must decode what is present with strict=False
+    and raise cleanly with strict=True."""
+    img = synthetic_image(96, 96, 1, seed=5)
+    d = compress(img, CompressParams(num_resolutions=4, jp2=True))
+    cut = d[:len(d) * 2 // 3]
+    out = decompress(cut, DecompressParams(strict=False))
+    assert out.to_array().shape == (96, 96)
+    with pytest.raises(Exception):
+        decompress(cut)

@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="0=off, 1=RCT/ICT, 2=custom")
     p.add_argument("-PLT", action="store_true", help="write PLT markers")
     p.add_argument("-TLM", action="store_true", help="write TLM markers")
+    p.add_argument("-PLM", action="store_true",
+                   help="write PLM (main-header packet lengths)")
     p.add_argument("-B", "--backend",
                    choices=["auto", "scalar", "jax", "native"], default="auto")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -86,6 +88,7 @@ def params_from_args(a) -> CompressParams:
     params.comment = a.comment
     params.write_plt = a.PLT
     params.write_tlm = a.TLM
+    params.write_plm = a.PLM
     params.backend = a.backend
     if a.mct is not None:
         params.mct = MCTMode(a.mct)

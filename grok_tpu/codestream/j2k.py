@@ -130,6 +130,7 @@ class MainHeader:
     custom_mct: object = None        # (N, N) float64 forward decorrelation
     tlm: list[tuple[int, int]] = field(default_factory=list)  # (tile, length)
     plm: list[list[int]] = field(default_factory=list)  # per-part pkt lens
+    crg: list[tuple[int, int]] = field(default_factory=list)  # (Xcrg, Ycrg)
     ppm: bytes | None = None
     main_header_end: int = 0
 
@@ -325,6 +326,14 @@ def write_plt(lengths: list[int], zplt: int = 0) -> bytes:
             v >>= 7
         payload += bytes(reversed(chunks))
     return _seg(PLT, payload)
+
+
+def write_crg(offsets: list[tuple[int, int]]) -> bytes:
+    """CRG (A.4.7): per-component registration offsets, 16-bit fractions
+    of the sample grid (informational)."""
+    payload = b"".join(struct.pack(">HH", x & 0xFFFF, y & 0xFFFF)
+                       for (x, y) in offsets)
+    return _seg(CRG, payload)
 
 
 def write_plm(per_part_lengths: list[list[int]], zplm: int = 0) -> bytes:
@@ -571,6 +580,9 @@ def read_main_header(data: bytes, start: int = 0) -> MainHeader:
             hdr.tlm += _read_tlm(seg, ln - 2)
         elif marker == PLM:
             hdr.plm += _read_plm(seg, ln - 2)
+        elif marker == CRG:
+            for _ in range((ln - 2) // 4):
+                hdr.crg.append((seg.u16(), seg.u16()))
         elif marker == PPM:
             seg.u8()  # Zppm
             body = seg.take(seg.remaining)

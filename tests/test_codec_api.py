@@ -117,3 +117,20 @@ def test_plm_main_header_packet_lengths():
         b = decompress(d0, DecompressParams(**dpkw)).to_array()
         assert np.array_equal(a, b), dpkw
     assert np.array_equal(oracle_decode(d), img)
+
+
+def test_crg_marker_roundtrip():
+    """CRG (A.4.7) parses into hdr.crg and never disturbs decode."""
+    import numpy as np
+
+    from grok_tpu.api import compress, decompress
+    from grok_tpu.codestream import j2k
+    from grok_tpu.core.params import CompressParams
+    from grok_tpu.util.oracle import synthetic_image
+    img = synthetic_image(48, 48, 1, seed=0)
+    d = compress(img, CompressParams(num_resolutions=3))
+    siz_end = 4 + int.from_bytes(d[4:6], "big")
+    d2 = d[:siz_end] + j2k.write_crg([(32768, 16384)]) + d[siz_end:]
+    hdr = j2k.read_main_header(d2)
+    assert hdr.crg == [(32768, 16384)]
+    assert np.array_equal(decompress(d2).to_array(), img)

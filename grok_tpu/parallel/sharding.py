@@ -198,3 +198,115 @@ def decode_blocks_sharded(blocks: list[dict], mesh, W: int, H: int):
     return [(mag2[i, :b["h"], :b["w"]].astype(np.int64),
              neg[i, :b["h"], :b["w"]])
             for i, b in enumerate(blocks)]
+
+
+# ---------------------------------------------------------------------------
+# Full 2D level inverse, row-sharded: the giant-tile decode building block
+# ---------------------------------------------------------------------------
+
+def make_inv53_2d_sharded(mesh, rows_per_shard: int, width: int):
+    """One full inverse 5/3 level over a row-sharded (R, W) interleaved
+    array (even abs row/col = low-pass), bit-exact vs the host kernel.
+
+    Horizontal lifting is local (each shard owns whole rows); vertical
+    lifting exchanges a 2-row halo with each neighbor over ICI via
+    ppermute — SURVEY §2.1's "DWT tile-boundary extension sample"
+    exchange.  Oracle order (Annex F): horizontal first, then vertical.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.devices.size
+    axis = "tiles"
+    W = width
+
+    def h_inverse(rows):
+        # in-place interleaved horizontal lifting on (rows, W) int32:
+        # even abs columns are low-pass.  Whole-sample symmetric ext.
+        def ext2(a):
+            left = a[:, 1:3][:, ::-1]
+            right = a[:, -3:-1][:, ::-1]
+            return jnp.concatenate([left, a, right], axis=1)
+        # computing e at every position is exact: odd positions only ever
+        # read e at even neighbors, and e at the extension slots equals
+        # the mirrored interior e by symmetry of the lifting expression
+        ya = ext2(rows)
+        e = ya[:, 1:-1] - ((ya[:, :-2] + ya[:, 2:] + 2) >> 2)
+        o = ya[:, 2:-2] + ((e[:, :-2] + e[:, 2:]) >> 1)
+        jpar = jnp.arange(W) % 2
+        return jnp.where(jpar[None, :] == 0, e[:, 1:-1], o)
+
+    def local(block):
+        idx = jax.lax.axis_index(axis)
+        hrows = h_inverse(block)
+        up = jax.lax.ppermute(hrows[-2:, :], axis,
+                              [(i, (i + 1) % n) for i in range(n)])
+        down = jax.lax.ppermute(hrows[:2, :], axis,
+                                [(i, (i - 1) % n) for i in range(n)])
+        top_ext = hrows[1:3, :][::-1]
+        bot_ext = hrows[-3:-1, :][::-1]
+        up = jnp.where(idx == 0, top_ext, up)
+        down = jnp.where(idx == n - 1, bot_ext, down)
+        ext = jnp.concatenate([up, hrows, down], axis=0)
+        base = idx * rows_per_shard - 2
+        rows = ext.shape[0]
+        e = ext[1:-1, :] - ((ext[:-2, :] + ext[2:, :] + 2) >> 2)
+        o = ext[2:-2, :] + ((e[:-2, :] + e[2:, :]) >> 1)
+        jpar = (jnp.arange(rows - 4) + base + 2) % 2
+        return jnp.where(jpar[:, None] == 0, e[1:-1, :], o)
+
+    fn = shard_map(local, mesh=mesh, in_specs=P(axis, None),
+                   out_specs=P(axis, None))
+    return jax.jit(fn)
+
+
+def decode_tile_sharded(blocks: list[dict], band_meta: dict, mesh,
+                        tc_rect, num_resolutions: int):
+    """Giant-tile decode across the mesh: T1 block batch sharded over
+    chips, then the (expensive) finest inverse-DWT levels row-sharded
+    with ppermute halos; coarse levels run on host (negligible work).
+
+    blocks: pipeline job dicts (single-component tile, 5/3, pow2 dims,
+    uniform code-block size W=H).  band_meta: {(res, orient): rect}.
+    Returns the reconstructed (h, w) int64 array, bit-exact vs the
+    host pipeline.
+    """
+    import numpy as np
+
+    from grok_tpu.transform import dwt_np
+
+    W = max(b["w"] for b in blocks)
+    H = max(b["h"] for b in blocks)
+    res = decode_blocks_sharded(blocks, mesh, W, H)
+
+    # dequant (reversible: mag2 >> 1, sign) + band placement on host
+    bands_arr = {}
+    for (r, o), rect in band_meta.items():
+        bands_arr[(r, o)] = np.zeros((rect.h, rect.w), np.int64)
+    for b, (mag2, neg) in zip(blocks, res):
+        rect = band_meta[(b["res"], b["orient"])]
+        v = np.where(neg, -(mag2 >> 1), mag2 >> 1)
+        bands_arr[(b["res"], b["orient"])][
+            b["by"]:b["by"] + b["h"], b["bx"]:b["bx"] + b["w"]] = v
+
+    nl = num_resolutions - 1
+    cur = bands_arr[(0, 0)]
+    n = mesh.devices.size
+    for r in range(1, num_resolutions):
+        rect = tc_rect.ceil_scale(1 << (nl - r), 1 << (nl - r))
+        hl, lh, hh = (bands_arr[(r, o)] for o in (1, 2, 3))
+        if rect.h % (2 * n) == 0 and rect.h >= 4 * n and rect.w >= 4:
+            # interleave subbands into canvas layout, shard by rows
+            inter = np.empty((rect.h, rect.w), np.int64)
+            inter[0::2, 0::2] = cur
+            inter[0::2, 1::2] = hl
+            inter[1::2, 0::2] = lh
+            inter[1::2, 1::2] = hh
+            fn = make_inv53_2d_sharded(mesh, rect.h // n, rect.w)
+            sharded = shard_tile_batch(inter.astype(np.int32), mesh)
+            cur = np.asarray(fn(sharded)).astype(np.int64)
+        else:
+            cur = dwt_np.inv_2d_level(cur, hl, lh, hh, rect, False)
+    return cur

@@ -63,3 +63,70 @@ def test_sharded_t1_block_decode_bit_exact(mesh):
     for (mag, neg), (m2, dn) in zip(refs, res):
         assert np.array_equal(m2 >> 1, mag)
         assert np.array_equal(dn[mag > 0], neg[mag > 0])
+
+
+def test_full_2d_level_sharded_bit_exact(mesh):
+    from grok_tpu.parallel.sharding import (make_inv53_2d_sharded,
+                                            shard_tile_batch)
+    from grok_tpu.transform import dwt_np
+    rng = np.random.default_rng(5)
+    R, W = 64, 48
+    ll = rng.integers(-500, 500, (R // 2, W // 2)).astype(np.int64)
+    hl = rng.integers(-500, 500, (R // 2, W // 2)).astype(np.int64)
+    lh = rng.integers(-500, 500, (R // 2, W // 2)).astype(np.int64)
+    hh = rng.integers(-500, 500, (R // 2, W // 2)).astype(np.int64)
+    ref = dwt_np.inv_2d_level(ll, hl, lh, hh, Rect(0, 0, W, R), False)
+    inter = np.empty((R, W), np.int64)
+    inter[0::2, 0::2] = ll
+    inter[0::2, 1::2] = hl
+    inter[1::2, 0::2] = lh
+    inter[1::2, 1::2] = hh
+    fn = make_inv53_2d_sharded(mesh, R // 8, W)
+    out = np.asarray(fn(shard_tile_batch(inter.astype(np.int32), mesh)))
+    assert np.array_equal(out, ref)
+
+
+def test_decode_tile_sharded_end_to_end(mesh):
+    """Giant-tile decode composition: sharded T1 + sharded DWT levels
+    equals the host multilevel synthesis, bit-exact."""
+    from grok_tpu.core.geometry import Rect as R_
+    from grok_tpu.parallel.sharding import decode_tile_sharded
+    from grok_tpu.t1.t1_scalar import encode_block
+    from grok_tpu.transform import dwt_np
+    rng = np.random.default_rng(9)
+    N = 64
+    numres = 3
+    nl = numres - 1
+    tc = R_(0, 0, N, N)
+    # synth bands, encode each band's blocks (16x16 cblks)
+    band_meta = {}
+    bands_ref = {}
+    blocks = []
+    for r in range(numres):
+        size = N >> (nl if r == 0 else nl - r + 1)
+        orients = (0,) if r == 0 else (1, 2, 3)
+        for o in orients:
+            br = R_(0, 0, size, size)
+            band_meta[(r, o)] = br
+            vals = rng.integers(-400, 400, (br.h, br.w)).astype(np.int64)
+            bands_ref[(r, o)] = vals
+            cb = 16
+            for by in range(0, br.h, cb):
+                for bx in range(0, br.w, cb):
+                    sub = vals[by:by + cb, bx:bx + cb]
+                    mag = np.abs(sub)
+                    neg = sub < 0
+                    enc = encode_block(mag, neg, o, 0)
+                    blocks.append(dict(
+                        data=enc.data, numpasses=len(enc.passes),
+                        numbps=enc.numbps, orient=o,
+                        w=sub.shape[1], h=sub.shape[0],
+                        res=r, bx=bx, by=by))
+    out = decode_tile_sharded(blocks, band_meta, mesh, tc, numres)
+    # host reference
+    bands = [bands_ref[(0, 0)]]
+    for r in range(1, numres):
+        bands.append((bands_ref[(r, 1)], bands_ref[(r, 2)],
+                      bands_ref[(r, 3)]))
+    ref = dwt_np.inv_multilevel(bands, tc, numres, False)
+    assert np.array_equal(out, ref)

@@ -88,7 +88,9 @@ def dump_codestream(data: bytes, out=sys.stdout, verbose: bool = False):
 
     parts = j2k.read_tile_parts(cs, hdr, strict=False)
     w(f"Tile parts: {len(parts)}\n")
+    by_tile: dict[int, list] = {}
     for p in parts:
+        by_tile.setdefault(p.tile_index, []).append(p)
         w(f"  tile {p.tile_index} part {p.part_index}/{p.num_parts}: "
           f"header@{p.header_start} data [{p.data_start},{p.data_end}) "
           f"({p.data_end - p.data_start} bytes)\n")
@@ -100,6 +102,52 @@ def dump_codestream(data: bytes, out=sys.stdout, verbose: bool = False):
                   f"(sum {sum(th.plt)})\n")
             if th.ppt is not None:
                 w(f"    PPT: {len(th.ppt)} header bytes\n")
+    if verbose:
+        for t in sorted(by_tile):
+            w(f"Packet index (tile {t}):\n")
+            try:
+                for (i, pc, off, ln) in tile_packet_index(cs, hdr,
+                                                          by_tile[t], t):
+                    w(f"  pkt {i}: L{pc.layer} r{pc.res} c{pc.comp} "
+                      f"p{pc.prec} @ {off} ({ln} bytes)\n")
+            except Exception as e:
+                w(f"  <packet parse stopped: {type(e).__name__}>\n")
+
+
+def tile_packet_index(cs: bytes, hdr, parts, t: int):
+    """Walk one tile's packet sequence, yielding
+    (index, PacketCoord, body_offset, length) — the reference's
+    packet-index dump [grok: GrkDump packet listing]."""
+    from grok_tpu.codestream.bitio import BitReader
+    from grok_tpu.pipeline.tile import TileGeometry
+    from grok_tpu.t2.packet import EPH_MARKER, SOP_MARKER
+    from grok_tpu.t2.progression import iter_packets
+
+    th = j2k.TileHeader()
+    body = b""
+    for p in sorted(parts, key=lambda p: p.part_index):
+        j2k.read_tile_part_header(cs, p, hdr, th)
+        body += cs[p.data_start:p.data_end]
+    geo = TileGeometry.build(hdr, t, th)
+    ctxs = geo.make_contexts()
+    pos = 0
+    pocs = (th.pocs or hdr.pocs) or None
+    for i, pc in enumerate(iter_packets(
+            geo.tcgs, geo.subsampling, geo.cod.num_layers,
+            geo.cod.prog_order, geo.rect.x0, geo.rect.y0, pocs)):
+        start = pos
+        if geo.cod.sop and body[pos:pos + 2] == SOP_MARKER:
+            pos += 6
+        br = BitReader(body, pos)
+        blen = ctxs[(pc.comp, pc.res, pc.prec)].decode_packet(
+            br, pc.layer, 0)
+        pos = br.pos
+        if geo.cod.eph and body[pos:pos + 2] == EPH_MARKER:
+            pos += 2
+        pos += blen
+        if pos > len(body):
+            break
+        yield i, pc, start, pos - start
 
 
 def dump_json(data: bytes) -> dict:

@@ -34,6 +34,7 @@ from grok_tpu.t2.progression import iter_packets
 from grok_tpu.t2.rate import Hull, allocate_layers, convex_hull
 from grok_tpu import native as _native
 from grok_tpu.transform import dwt_np, mct_np
+from grok_tpu.util.msg import warn
 from grok_tpu.util.trace import count, trace
 
 
@@ -222,6 +223,7 @@ def encode_tile(image: Image, geo: TileGeometry,
     num_layers = geo.cod.num_layers
 
     # collect per-block encode jobs
+    _roi_warned: set[int] = set()
     ejobs: list[dict] = []
     for c, tcg in enumerate(geo.tcgs):
         quant = geo.quants[c]
@@ -255,6 +257,16 @@ def encode_tile(image: Image, geo: TileGeometry,
                     if not bw.empty:
                         sl = (slice(bw.y0 - bg.rect.y0, bw.y1 - bg.rect.y0),
                               slice(bw.x0 - bg.rect.x0, bw.x1 - bg.rect.x0))
+                        bgmax = mag.max(initial=0)
+                        if bgmax >> roi_shift and c not in _roi_warned:
+                            # Maxshift requires s >= background bitplane
+                            # count, else the decoder's threshold test
+                            # cannot separate ROI from background
+                            _roi_warned.add(c)
+                            warn(f"RGN shift {roi_shift} < background "
+                                 f"magnitude bits "
+                                 f"({int(bgmax).bit_length()}); decode "
+                                 "will be ambiguous (raise -R shift)")
                         mag = mag.copy()
                         mag[sl] = mag[sl] << roi_shift
                 for p in range(rg.num_precincts):

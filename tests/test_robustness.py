@@ -151,3 +151,19 @@ def test_truncated_jp2_container_permissive():
     assert out.to_array().shape == (96, 96)
     with pytest.raises(Exception):
         decompress(cut)
+
+
+def test_dump_packet_index_matches_plt():
+    from grok_tpu.cli.dump import tile_packet_index
+    from grok_tpu.codestream import j2k
+    img = synthetic_image(128, 128, 1, seed=3)
+    d = compress(img, CompressParams(num_resolutions=4, num_layers=2,
+                                     rates=[8, 0], write_plt=True))
+    hdr = j2k.read_main_header(d)
+    parts = j2k.read_tile_parts(d, hdr)
+    th = j2k.TileHeader()
+    j2k.read_tile_part_header(d, parts[0], hdr, th)
+    idx = list(tile_packet_index(d, hdr, parts, 0))
+    assert [ln for (_, _, _, ln) in idx] == th.plt
+    assert sum(ln for (_, _, _, ln) in idx) == \
+        parts[0].data_end - parts[0].data_start

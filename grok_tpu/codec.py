@@ -1,10 +1,16 @@
 """Object-lifecycle codec API: the grk_decompress_init / read_header /
 set_window / decompress / decompress_tile flow (upstream surface verified
 in SURVEY.md §1.1), with a decoded-tile cache for multi-call access
-[grok: src/lib/core/cache/TileCache].
+[grok: src/lib/core/cache/TileCache] and memory-mapped file sources
+[grok: util/ MemStream / mapped-file helpers]: opening by path maps the
+file instead of reading it, so TLM-seeded tile access touches only the
+pages of the requested tile-parts.
 """
 
 from __future__ import annotations
+
+import mmap
+import os
 
 import numpy as np
 
@@ -25,8 +31,16 @@ class Decompressor:
         img  = dec.decompress()              # everything (reuses the cache)
     """
 
-    def __init__(self, data: bytes, params: DecompressParams | None = None):
+    def __init__(self, data, params: DecompressParams | None = None):
+        """data: a bytes-like codestream/JP2, or a filesystem path (the
+        file is memory-mapped, not read)."""
         self.params = params or DecompressParams()
+        self._mm = self._fh = None
+        if isinstance(data, (str, os.PathLike)):
+            self._fh = open(data, "rb")
+            self._mm = mmap.mmap(self._fh.fileno(), 0,
+                                 access=mmap.ACCESS_READ)
+            data = self._mm
         self._cs, self._meta = _locate_codestream(data)
         self._hdr = j2k.read_main_header(self._cs)
         self._parts = j2k.read_tile_parts(self._cs, self._hdr,
@@ -81,3 +95,18 @@ class Decompressor:
 
     def cache_info(self) -> dict:
         return {"tiles_cached": len(self._cache)}
+
+    def close(self):
+        """Release the mapped file (no-op for bytes sources)."""
+        if self._mm is not None:
+            self._mm.close()
+            self._mm = None
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

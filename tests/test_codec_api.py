@@ -134,3 +134,24 @@ def test_crg_marker_roundtrip():
     hdr = j2k.read_main_header(d2)
     assert hdr.crg == [(32768, 16384)]
     assert np.array_equal(decompress(d2).to_array(), img)
+
+
+def test_decompressor_mmap_path_source(tmp_path):
+    """Opening by path memory-maps the file; tile access + full decode
+    match the bytes-source decoder; close() releases the mapping."""
+    import numpy as np
+
+    from grok_tpu.api import compress
+    from grok_tpu.codec import Decompressor
+    from grok_tpu.core.params import CompressParams
+    from grok_tpu.util.oracle import synthetic_image
+    img = synthetic_image(192, 192, 1, seed=8)
+    d = compress(img, CompressParams(num_resolutions=3, tile_w=64,
+                                     tile_h=64, write_tlm=True))
+    p = tmp_path / "t.j2k"
+    p.write_bytes(d)
+    with Decompressor(str(p)) as dec:
+        assert dec.num_tiles == 9
+        out = dec.decompress_tile(4)
+        assert np.array_equal(out[0], img[64:128, 64:128])
+        assert np.array_equal(dec.decompress().to_array(), img)

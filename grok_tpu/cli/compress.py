@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write PLM (main-header packet lengths)")
     p.add_argument("-B", "--backend",
                    choices=["auto", "scalar", "jax", "native"], default="auto")
+    p.add_argument("-F", "--raw-format",
+                   help="raw input descriptor w,h,ncomp,prec[,s|u] "
+                        "(for .raw big-endian / .rawl little-endian)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -106,8 +109,21 @@ def params_from_args(a) -> CompressParams:
 
 
 def encode_one(in_path: str, out_path: str, params: CompressParams,
-               verbose: bool) -> int:
-    img = read_image(in_path)
+               verbose: bool, raw_format: str | None = None) -> int:
+    ext = os.path.splitext(in_path)[1].lower()
+    if ext in (".raw", ".rawl"):
+        if not raw_format:
+            print("error: raw input needs -F w,h,ncomp,prec[,s|u]",
+                  file=sys.stderr)
+            return 2
+        from grok_tpu.util.imageio import read_raw
+        parts = raw_format.split(",")
+        w, h, nc, prec = (int(v) for v in parts[:4])
+        sgnd = len(parts) > 4 and parts[4].strip().lower() == "s"
+        img = read_raw(in_path, w, h, nc, prec, sgnd,
+                       little_endian=ext == ".rawl")
+    else:
+        img = read_image(in_path)
     params.jp2 = out_path.lower().endswith((".jp2", ".jph"))
     t0 = time.perf_counter()
     data = compress(img, params)
@@ -156,7 +172,8 @@ def main(argv=None) -> int:
     if not a.in_file:
         print("error: -i or -batch required", file=sys.stderr)
         return 2
-    return encode_one(a.in_file, a.out_file, params, a.verbose)
+    return encode_one(a.in_file, a.out_file, params, a.verbose,
+                      a.raw_format)
 
 
 if __name__ == "__main__":

@@ -157,7 +157,9 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
         frac = (geo.rect.w * geo.rect.h) / max(total_pixels, 1)
         targets: list[float | None] = []
         for l in range(params.num_layers):
-            if params.rates and params.rates[l] > 0:
+            # ratio <= 1 means "all remaining passes" (lossless intent),
+            # matching the reference tools' -r 1 convention
+            if params.rates and params.rates[l] > 1:
                 budget = raw_bytes / params.rates[l] - header_overhead
                 targets.append(max(budget, 100.0) * frac)
             else:

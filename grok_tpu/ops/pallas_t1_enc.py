@@ -1,0 +1,533 @@
+"""Pallas TPU kernel: batched Tier-1 (EBCOT/MQ) block ENCODE.
+
+The encode mirror of ops/pallas_t1.py: 128 MQ encoder state machines
+advance in lockstep inside one Mosaic program.  Per-lane codeword bytes
+are written through a 64-byte staged window (the VPU has no per-lane
+scatter) that is flushed/rebased unconditionally at each column group —
+the same discipline as the decoder's staged reads, and for the same
+Mosaic reasons (no lax.cond joins; every traced vector >= 2D; int32
+masks — see CLAUDE.md and ops/pallas_t1.py).
+
+Contract matches ops/t1_enc.t1_encode_batch (default code-block style,
+single segment): returns byte buffers + conservative per-pass rate
+watermarks + the significance-type map; the host wrapper reconstructs
+exact PCRD distortions (t1_enc._pass_distortions).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grok_tpu.ops.pallas_t1 import (_MQ_PACKED, _sc_ctx_arith,
+                                    _zc_ctx_arith)
+
+LANES = 128
+CTX_RL = 17
+CTX_UNI = 18
+N_CTX = 19
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def pallas_t1_encode(mag, neg, orient, numbps, msbmap,
+                     W: int, H: int, maxbp: int, L: int,
+                     interpret: bool = False):
+    """Encode a batch of LANES code-blocks with one Pallas kernel.
+
+    mag/neg/msbmap: (H, W, LANES) int32 (msbmap: MSB plane, -1 if 0).
+    orient/numbps: (1, LANES) int32.  L: output bytes per lane (multiple
+    of 32; index 0 is the carry sentinel).
+    Returns (out (G, 32, LANES) int32 bytes, lengths (1, LANES),
+             rates (R8, LANES) watermarks [R8 = 3*maxbp padded to 8],
+             sigtype (H, W, LANES) int32).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = L // 32
+    n_stripes = (H + 3) // 4
+    npass_max = 3 * maxbp
+    R8 = -(-npass_max // 8) * 8
+    mq_tbl = jnp.asarray(_MQ_PACKED).reshape(47, 1)
+
+    def kernel(mag_ref, neg_ref, ori_ref, nbps_ref, msb_ref, mqtbl_ref,
+               out_ref, len_ref, rates_ref, sigtype_ref,
+               sig_ref, vis_ref, stage_ref, base_ref):
+        ori = ori_ref[...]
+        nbps = nbps_ref[...]
+
+        out_ref[...] = jnp.zeros((G, 32, LANES), jnp.int32)
+        rates_ref[...] = jnp.zeros((R8, LANES), jnp.int32)
+        sigtype_ref[...] = jnp.zeros((H, W, LANES), jnp.int32)
+        sig_ref[...] = jnp.zeros((H + 2, W + 2, LANES), jnp.int32)
+        vis_ref[...] = jnp.zeros((H, W, LANES), jnp.int32)
+        stage_ref[...] = jnp.zeros((64, LANES), jnp.int32)
+        base_ref[...] = jnp.zeros((1, LANES), jnp.int32)
+
+        giota = jax.lax.broadcasted_iota(jnp.int32, (G, 1, 1), 0)
+        siota = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
+        tiota = jax.lax.broadcasted_iota(jnp.int32, (47, 1), 0)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (R8, 1), 0)
+        wiota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        wiota2 = jax.lax.broadcasted_iota(jnp.int32, (W + 2, 1), 0)
+
+        # -- staged output window ------------------------------------------
+        # stage_ref holds bytes [base, base+64) for every lane; base is
+        # carried as a register.  restage(): scatter the stage back into
+        # out_ref (one-hot over granules), then reload at bp's granule.
+        def restage(bp):
+            g_old = base_ref[...] >> 5
+            sel0 = (giota == g_old[None, :, :]).astype(jnp.int32)
+            sel1 = (giota == (g_old + 1)[None, :, :]).astype(jnp.int32)
+            d = out_ref[...]
+            lo = stage_ref[0:32, :][None, :, :]
+            hi = stage_ref[32:64, :][None, :, :]
+            d = jnp.where(sel0 == 1, lo, d)
+            d = jnp.where(sel1 == 1, hi, d)
+            out_ref[...] = d
+            g_new = bp >> 5
+            s0 = (giota == g_new[None, :, :]).astype(jnp.int32)
+            s1 = (giota == (g_new + 1)[None, :, :]).astype(jnp.int32)
+            lo2 = jnp.sum(d * s0, axis=0)
+            hi2 = jnp.sum(d * s1, axis=0)
+            stage_ref[...] = jnp.concatenate([lo2, hi2], axis=0)
+            base_ref[...] = g_new << 5
+
+        def out_get(bp):
+            sel = (siota == (bp - base_ref[...])).astype(jnp.int32)
+            return jnp.sum(stage_ref[...] * sel, axis=0, keepdims=True)
+
+        def out_set(bp, val, m):
+            sel = (siota == (bp - base_ref[...])) & m
+            stage_ref[...] = jnp.where(sel, val, stage_ref[...])
+
+        # -- MQ encoder (C.2.5/6/8), all (1, LANES) int32 ------------------
+        def byteout(st, m):
+            a, c, ct, bp = st
+            cur = out_get(bp)
+            is_ff = (cur == 0xFF).astype(jnp.int32)
+            nocarry = (c < 0x8000000).astype(jnp.int32)
+            mi = m.astype(jnp.int32)
+            carry = mi * (1 - is_ff) * (1 - nocarry)
+            out_set(bp, cur + 1, carry == 1)
+            cur2 = jnp.where(carry == 1, cur + 1, cur)
+            now_ff = (cur2 == 0xFF).astype(jnp.int32)
+            emit7 = mi * jnp.where(
+                is_ff == 1, 1, (1 - nocarry) * now_ff)
+            c_pre = jnp.where(
+                (mi * (1 - is_ff) * (1 - nocarry) * now_ff) == 1,
+                c & 0x7FFFFFF, c)
+            bp2 = jnp.where(mi == 1, bp + 1, bp)
+            val = jnp.where(emit7 == 1, c_pre >> 20, c_pre >> 19)
+            out_set(bp2, val & 0xFF, m)
+            c2 = jnp.where(emit7 == 1, c_pre & 0xFFFFF, c_pre & 0x7FFFF)
+            c3 = jnp.where(mi == 1, c2, c)
+            ct3 = jnp.where(mi == 1, jnp.where(emit7 == 1, 7, 8), ct)
+            return (a, c3, ct3, bp2)
+
+        def nbits_to_msb(a):
+            n = jnp.zeros_like(a)
+            v = jnp.maximum(a, 1)
+            n = n + jnp.where(v < 0x100, 8, 0)
+            v = jnp.where(v < 0x100, v << 8, v)
+            n = n + jnp.where(v < 0x1000, 4, 0)
+            v = jnp.where(v < 0x1000, v << 4, v)
+            n = n + jnp.where(v < 0x4000, 2, 0)
+            v = jnp.where(v < 0x4000, v << 2, v)
+            n = n + jnp.where(v < 0x8000, 1, 0)
+            return n
+
+        def enc_renorm(st, need):
+            a, c, ct, bp = st
+            n = jnp.where(need, nbits_to_msb(a), 0)
+            for _ in range(3):
+                m = (n > 0).astype(jnp.int32)
+                s = jnp.minimum(n, ct) * m
+                a = jnp.where(m == 1, (a << s) & 0xFFFF, a)
+                c = jnp.where(m == 1, (c << s) & 0xFFFFFFF, c)
+                ct = ct - s
+                n = n - s
+                fire = (m == 1) & (ct == 0)
+                a, c, ct, bp = byteout((a, c, ct, bp), fire)
+            return (a, c, ct, bp)
+
+        def mq_encode(mqs, d, cx, active):
+            (a, c, ct, bp), ctx_st, ctx_mps = mqs
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (N_CTX, LANES), 0)
+                  == cx)
+            i = jnp.sum(jnp.where(oh, ctx_st, 0), axis=0, keepdims=True)
+            mps = jnp.sum(jnp.where(oh, ctx_mps, 0), axis=0,
+                          keepdims=True)
+            packed = jnp.sum(
+                jnp.where(tiota == i, mqtbl_ref[...], 0), axis=0,
+                keepdims=True)
+            qe = (packed >> 13) & 0xFFFF
+            nmps = (packed >> 7) & 0x3F
+            nlps = (packed >> 1) & 0x3F
+            sw = packed & 1
+
+            a1 = (a - qe) & 0xFFFF
+            msb = ((a1 & 0x8000) != 0).astype(jnp.int32)
+            small = (a1 < qe).astype(jnp.int32)
+            is_mps = (d == mps).astype(jnp.int32)
+            act = active.astype(jnp.int32)
+
+            add_c = jnp.where(is_mps == 1, msb | (1 - small), small)
+            c = jnp.where((act * add_c) == 1, c + qe, c)
+            set_a_qe = jnp.where(is_mps == 1, (1 - msb) * small,
+                                 1 - small)
+            a = jnp.where(act == 1, jnp.where(set_a_qe == 1, qe, a1), a)
+
+            renorm_needed = jnp.where(is_mps == 1, 1 - msb, 1)
+            upd = act * renorm_needed
+            new_i = jnp.where(is_mps == 1, nmps, nlps)
+            flip = (1 - is_mps) * sw
+            new_mps = jnp.where(flip == 1, 1 - mps, mps)
+            updr = oh & (upd == 1)
+            ctx_st = jnp.where(updr, new_i, ctx_st)
+            ctx_mps = jnp.where(updr, new_mps, ctx_mps)
+            mq = enc_renorm((a, c, ct, bp), upd == 1)
+            return (mq, ctx_st, ctx_mps)
+
+        # -- flag helpers (mirror pallas_t1) -------------------------------
+        def nbhd(y, x):
+            return sig_ref[pl.ds(y, 3), pl.ds(x, 3), :]
+
+        def counts(y, x):
+            n = (nbhd(y, x) != 0).astype(jnp.int32)
+            h = n[1:2, 0, :] + n[1:2, 2, :]
+            v = n[0:1, 1, :] + n[2:3, 1, :]
+            d = (n[0:1, 0, :] + n[0:1, 2, :] + n[2:3, 0, :]
+                 + n[2:3, 2, :])
+            return h, v, d
+
+        def signs(y, x):
+            n = nbhd(y, x)
+            s = jnp.where(n == 1, 1, jnp.where(n == 2, -1, 0))
+            hs = jnp.clip(s[1:2, 0, :] + s[1:2, 2, :], -1, 1)
+            vs = jnp.clip(s[0:1, 1, :] + s[2:3, 1, :], -1, 1)
+            return hs, vs
+
+        def row_set(ref, y, x, vals, m, border):
+            it = wiota2 if border else wiota
+            row = ref[y, :, :]
+            sel = (it == x) & m
+            ref[y, :, :] = jnp.where(sel, vals, row)
+
+        def mark_sig(y, x, negb, stype, m):
+            row_set(sig_ref, y + 1, x + 1,
+                    jnp.where(negb == 1, 2, 1), m, True)
+            row_set(sigtype_ref, y, x,
+                    jnp.full((1, LANES), stype, jnp.int32), m, False)
+
+        def magbit(y, x, bp):
+            return (mag_ref[y, pl.ds(x, 1), :] >> bp) & 1
+
+        def negbit(y, x):
+            return neg_ref[y, pl.ds(x, 1), :]
+
+        # -- initial state --------------------------------------------------
+        # derive the zero template from a VMEM load: plain constants get
+        # a lane-replicated Mosaic layout that the fori-loop join cannot
+        # reconcile with the loop body's tiled values ("Invalid relayout
+        # {0,0} -> {*,*}")
+        z2 = nbps * 0
+        crow = jax.lax.broadcasted_iota(jnp.int32, (N_CTX, LANES), 0)
+        ctx_st0 = jnp.where(crow == CTX_UNI, 46,
+                            jnp.where(crow == CTX_RL, 3,
+                                      jnp.where(crow == 0, 4, 0)))
+        mqs = ((z2 + 0x8000, z2, z2 + 12, z2), ctx_st0,
+               jnp.zeros((N_CTX, LANES), jnp.int32))
+
+        def record(passno, mqs):
+            # conservative per-pass rate watermark: bytes so far + 5
+            bp = mqs[0][3]
+            oh = (riota == passno)
+            rates_ref[...] = jnp.where(oh, bp + 5, rates_ref[...])
+
+        # -- pass bodies (unconditional restage per column group) ----------
+        def spp_step(col, dy, bp, mqs):
+            x = col % W
+            yr = (col // W) * 4 + dy
+            k_lane = nbps - 1 - bp
+            act = (k_lane >= 1) & (x < W) & (yr < H)
+            y = jnp.minimum(yr, H - 1)
+            cur_sig = sig_ref[y + 1, pl.ds(x + 1, 1), :] != 0
+            visv = vis_ref[y, pl.ds(x, 1), :] != 0
+            h, v, d = counts(y, x)
+            zc = _zc_ctx_arith(ori, h, v, d)
+            coded = act & ~cur_sig & ~visv & (zc != 0)
+            bit = magbit(y, x, bp)
+            mqs = mq_encode(mqs, bit, zc, coded)
+            became = coded & (bit == 1)
+            hs, vs = signs(y, x)
+            sc, xr = _sc_ctx_arith(hs, vs)
+            nb = negbit(y, x)
+            mqs = mq_encode(mqs, nb ^ xr, sc, became)
+            mark_sig(y, x, nb, 1, became)
+            row_set(vis_ref, y, x, jnp.ones((1, LANES), jnp.int32),
+                    coded, False)
+            return mqs
+
+        def mrp_step(col, dy, bp, mqs):
+            x = col % W
+            yr = (col // W) * 4 + dy
+            k_lane = nbps - 1 - bp
+            act = (k_lane >= 1) & (yr < H)
+            y = jnp.minimum(yr, H - 1)
+            cur_sig = sig_ref[y + 1, pl.ds(x + 1, 1), :] != 0
+            visv = vis_ref[y, pl.ds(x, 1), :] != 0
+            coded = act & cur_sig & ~visv
+            msb = msb_ref[y, pl.ds(x, 1), :]
+            ref_before = (msb > bp + 1).astype(jnp.int32)
+            h, v, d = counts(y, x)
+            mr = jnp.where(ref_before == 1, 16,
+                           jnp.where(h + v + d > 0, 15, 14))
+            bit = magbit(y, x, bp)
+            mqs = mq_encode(mqs, bit, mr, coded)
+            return mqs
+
+        def cln_step(col, j, bp, carry):
+            mqs, rl_mode, has, r, became = carry
+            x = col % W
+            y0 = (col // W) * 4
+            dy = min(max((j - 3) // 2, 0), 3)
+            y = jnp.minimum(y0 + dy, H - 1)
+            k_lane = nbps - 1 - bp
+            act = k_lane >= 0
+            is_rl = j == 0
+            is_uni = (j == 1) | (j == 2)
+            is_zc = (j >= 3) & ((j - 3) % 2 == 0)
+            is_sc = (j >= 3) & ((j - 3) % 2 == 1)
+
+            ys = jnp.minimum(y0, H - 4)
+            seg = (sig_ref[pl.ds(ys, 6), pl.ds(x, 3), :] != 0)
+            nosig = jnp.sum(jnp.sum(seg.astype(jnp.int32), axis=0),
+                            axis=0, keepdims=True) == 0
+            visc = vis_ref[pl.ds(ys, 4), pl.ds(x, 1), :]
+            novis = jnp.sum(jnp.sum(visc, axis=0), axis=0,
+                            keepdims=True) == 0
+            full = (jnp.zeros((1, LANES), jnp.int32)
+                    + (y0 + 4 <= H).astype(jnp.int32)) == 1
+            rl_now = act & full & nosig & novis
+
+            mcol = mag_ref[pl.ds(ys, 4), pl.ds(x, 1), :]   # (4,1,LANES)
+            b0 = (mcol[0:1, 0, :] >> bp) & 1
+            b1 = (mcol[1:2, 0, :] >> bp) & 1
+            b2 = (mcol[2:3, 0, :] >> bp) & 1
+            b3 = (mcol[3:4, 0, :] >> bp) & 1
+            any1 = (b0 + b1 + b2 + b3) > 0
+            rfirst = jnp.where(b0 == 1, 0,
+                               jnp.where(b1 == 1, 1,
+                                         jnp.where(b2 == 1, 2, 3)))
+
+            cur_sig = sig_ref[y + 1, pl.ds(x + 1, 1), :] != 0
+            visv = vis_ref[y, pl.ds(x, 1), :] != 0
+            in_rl_skip = (rl_mode == 1) & ((has == 0)
+                                           | ((has == 1) & (r >= dy)))
+            h, v, d = counts(y, x)
+            zc = _zc_ctx_arith(ori, h, v, d)
+            hs, vs = signs(y, x)
+            sc, xr = _sc_ctx_arith(hs, vs)
+            normal = is_zc & act & ~cur_sig & ~visv & ~in_rl_skip
+            first = is_sc & (has == 1) & (r == dy)
+
+            bit_zc = magbit(y, x, bp)
+            nb = negbit(y, x)
+            cx = jnp.where(is_rl, CTX_RL,
+                           jnp.where(is_uni, CTX_UNI,
+                                     jnp.where(is_zc, zc, sc)))
+            setm = is_sc & ((became == 1) | first)
+            d_bit = jnp.where(is_rl, jnp.where(any1, 1, 0),
+                              jnp.where(j == 1, (r >> 1) & 1,
+                                        jnp.where(j == 2, r & 1,
+                                                  jnp.where(is_zc, bit_zc,
+                                                            nb ^ xr))))
+            rl_i = rl_now.astype(jnp.int32)
+            norm_i = normal.astype(jnp.int32)
+            setm_i = setm.astype(jnp.int32)
+            act_i = jnp.where(is_rl, rl_i,
+                              jnp.where(is_uni, has,
+                                        jnp.where(is_zc, norm_i, setm_i)))
+            mqs = mq_encode(mqs, d_bit, cx, act_i == 1)
+
+            rl_mode = jnp.where(is_rl, rl_i, rl_mode)
+            has = jnp.where(is_rl, rl_i * any1.astype(jnp.int32), has)
+            r = jnp.where(is_rl, rfirst, r)
+            new_became = norm_i * bit_zc
+            mark_sig(y, x, nb, 2, setm)
+            became = jnp.where(is_sc, 0,
+                               jnp.where(is_zc, new_became, became))
+            return (mqs, rl_mode, has, r, became)
+
+        def restage_mqs(mqs):
+            restage(mqs[0][3])
+            return mqs
+
+        def plane_body(bp, mqs):
+            k_lane = nbps - 1 - bp
+
+            def spp_col(col, mqs):
+                mqs = restage_mqs(mqs)
+                for dy in range(4):
+                    mqs = spp_step(col, dy, bp, mqs)
+                return mqs
+            mqs = jax.lax.fori_loop(0, n_stripes * W, spp_col, mqs)
+            record(3 * k_lane - 2, mqs)
+
+            def mrp_col(col, mqs):
+                mqs = restage_mqs(mqs)
+                for dy in range(4):
+                    mqs = mrp_step(col, dy, bp, mqs)
+                return mqs
+            mqs = jax.lax.fori_loop(0, n_stripes * W, mrp_col, mqs)
+            record(3 * k_lane - 1, mqs)
+
+            z = nbps * 0
+
+            def cln_col(col, carry):
+                mqs, rl_mode, has, r, became = carry
+                carry = (restage_mqs(mqs), rl_mode, has, r, became)
+                for j in range(6):
+                    carry = cln_step(col, j, bp, carry)
+                mqs, rl_mode, has, r, became = carry
+                carry = (restage_mqs(mqs), rl_mode, has, r, became)
+                for j in range(6, 11):
+                    carry = cln_step(col, j, bp, carry)
+                return carry
+            carry = jax.lax.fori_loop(0, n_stripes * W, cln_col,
+                                      (mqs, z, z, z, z))
+            mqs = carry[0]
+            record(3 * k_lane, mqs)
+            vis_ref[...] = jnp.zeros((H, W, LANES), jnp.int32)
+            return mqs
+
+        for bp_static in range(maxbp - 1, -1, -1):
+            mqs = plane_body(bp_static, mqs)
+
+        # -- FLUSH (C.2.9), masked on lanes with data ----------------------
+        active = nbps > 0
+        (a, c, ct, bp), _, _ = mqs
+        tempc = c + a
+        c1 = c | 0xFFFF
+        c1 = jnp.where(c1 >= tempc, c1 - 0x8000, c1)
+        c1 = jnp.where(active, c1, c)
+        st = (a, (c1 << ct) & 0xFFFFFFF, ct, bp)
+        st = byteout(st, active)
+        a, c2, ct2, bp2 = st
+        st = (a, (c2 << ct2) & 0xFFFFFFF, ct2, bp2)
+        st = byteout(st, active)
+        a, c3, ct3, bp3 = st
+        last = out_get(bp3)
+        bp4 = jnp.where(active & (last != 0xFF), bp3 + 1, bp3)
+        restage(bp4)                  # final flush of the stage
+        len_ref[...] = jnp.maximum(bp4 - 1, 0)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((G, 32, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((R8, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((H, W, LANES), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(4)),
+        scratch_shapes=[
+            pltpu.VMEM((H + 2, W + 2, LANES), jnp.int32),
+            pltpu.VMEM((H, W, LANES), jnp.int32),
+            pltpu.VMEM((64, LANES), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(mag, neg, orient, numbps, msbmap, mq_tbl)
+    return out
+
+
+def pack_for_pallas_enc(blocks: list[dict]):
+    """Arrange encode jobs (mag/neg/orient/style==0) for the kernel.
+
+    Returns (mag, neg, msbmap (H,W,LANES) i32, orient, numbps (1,LANES),
+    W, H, maxbp, L)."""
+    B = len(blocks)
+    assert B <= LANES
+    H, W = blocks[0]["mag"].shape
+    assert H >= 4, "pallas encode bucket needs H >= 4 (stripe slices)"
+    mag = np.zeros((H, W, LANES), np.int32)
+    neg = np.zeros((H, W, LANES), np.int32)
+    msb = np.full((H, W, LANES), -1, np.int32)
+    ori = np.zeros((1, LANES), np.int32)
+    nbps = np.zeros((1, LANES), np.int32)
+    for j, b in enumerate(blocks):
+        m = np.asarray(b["mag"], np.int64)
+        assert m.shape == (H, W), "encode bucket must be exact-shape"
+        mag[:, :, j] = m
+        neg[:, :, j] = np.asarray(b["neg"], np.int32)
+        ori[0, j] = b["orient"]
+        mx = int(m.max()) if m.size else 0
+        nbps[0, j] = mx.bit_length()
+        nz = m > 0
+        bl = np.zeros((H, W), np.int32)
+        mm = m.copy()
+        while (mm > 0).any():
+            bl[mm > 0] += 1
+            mm >>= 1
+        msb[:, :, j] = np.where(nz, bl - 1, -1)
+    maxbp = int(nbps.max()) if B else 1
+    maxbp = max(maxbp, 1)
+    # output budget: 2 bytes/px/lane upper bound, 32-aligned, +2 granules
+    L = max(96, -(-(2 * H * W + 64) // 32) * 32)
+    return mag, neg, msb, ori, nbps, W, H, maxbp, L
+
+
+def encode_bucket_pallas(blocks: list[dict]) -> list:
+    """encode_blocks-compatible adapter: one pallas launch per <=LANES
+    exact-shape blocks.  Returns EncodedBlock list (exact PCRD
+    distortions reconstructed on host, same as the XLA path)."""
+    from grok_tpu.ops.t1_enc import _pass_distortions
+    from grok_tpu.t1.t1_scalar import (EncodedBlock, PassInfo,
+                                       pass_schedule)
+
+    mag, neg, msb, ori, nbps, W, H, maxbp, L = pack_for_pallas_enc(blocks)
+    maxbp4 = -(-maxbp // 4) * 4          # stable jit cache
+    out, lens, rates, sigtype = pallas_t1_encode(
+        jnp.asarray(mag), jnp.asarray(neg), jnp.asarray(ori),
+        jnp.asarray(nbps), jnp.asarray(msb), W, H, maxbp4, L, False)
+    out = np.asarray(out)
+    lens = np.asarray(lens)
+    rates = np.asarray(rates)
+    sigtype = np.asarray(sigtype)
+    results = []
+    for j, b in enumerate(blocks):
+        numbps = int(nbps[0, j])
+        if numbps == 0:
+            results.append(EncodedBlock())
+            continue
+        total = int(lens[0, j])
+        data = out[:, :, j].reshape(-1)[1:1 + total] \
+            .astype(np.uint8).tobytes()
+        sched = pass_schedule(numbps)
+        npasses = len(sched)
+        dists = _pass_distortions(np.asarray(b["mag"], np.int64),
+                                  sigtype[:, :, j], numbps)
+        lane_rates = []
+        for passno, (ptype, bp) in enumerate(sched):
+            k = numbps - 1 - bp
+            idx = 3 * k + (ptype - 2 if ptype != 2 else 0)
+            lane_rates.append(int(rates[idx, j]))
+        lane_rates = [min(rr, total) for rr in lane_rates]
+        for t in range(1, npasses):
+            lane_rates[t] = max(lane_rates[t], lane_rates[t - 1])
+        lane_rates[-1] = total
+        passes = [PassInfo(rate=lane_rates[t], dist=float(dists[t]),
+                           term=(t == npasses - 1))
+                  for t in range(npasses)]
+        results.append(EncodedBlock(data=data, numbps=numbps,
+                                    passes=passes, seg_lens=[total],
+                                    seg_passes=[npasses]))
+    return results

@@ -416,7 +416,18 @@ def encode_blocks(blocks: list[dict]) -> list[EncodedBlock]:
             continue
         buckets.setdefault((b["w"], b["h"]), []).append(i)
 
+    import os
+    use_pallas = bool(os.environ.get("GROK_T1_PALLAS"))
     for (w, h), idxs in buckets.items():
+        if use_pallas and h >= 4:
+            from grok_tpu.ops.pallas_t1_enc import (LANES,
+                                                    encode_bucket_pallas)
+            for k in range(0, len(idxs), LANES):
+                chunk = idxs[k:k + LANES]
+                for i, res in zip(chunk, encode_bucket_pallas(
+                        [blocks[i] for i in chunk])):
+                    results[i] = res
+            continue
         B = len(idxs)
         mag = np.zeros((B, h, w), dtype=np.int32)
         neg = np.zeros((B, h, w), dtype=bool)

@@ -166,6 +166,21 @@ class PrecinctCtx:
 
     def encode_packet(self, layer: int) -> tuple[bytes, bytes]:
         """Emit (header_bits_flushed, body) for one layer."""
+        if layer == 0:
+            # The inclusion tag tree must know EVERY block's
+            # first-inclusion layer before any bit is emitted: interior
+            # nodes are shared, so encoding an early not-yet-included
+            # block against a min() that later siblings would lower
+            # desynchronizes the emitted prefix from the decoder's view.
+            for band_i, (_orient, bp) in enumerate(self.bands):
+                tree = self.incl[band_i]
+                for cblk_i, geo in enumerate(bp.cblks):
+                    st = self.eblocks[band_i][cblk_i]
+                    x, y = geo.idx_in_prec
+                    lc = st.layer_cum
+                    first = next((l for l, v in enumerate(lc) if v > 0),
+                                 1 << 20)
+                    tree.set_value(x, y, first)
         bw = BitWriter()
         bw.write_bit(1)  # packet non-empty (zero-inclusion handled per block)
         body = bytearray()
@@ -178,10 +193,8 @@ class PrecinctCtx:
                     else st.passes_written
                 newpasses = total - st.passes_written
                 x, y = geo.idx_in_prec
-                # inclusion
+                # inclusion (tree values pre-set at layer 0)
                 if st.passes_written == 0:
-                    if newpasses > 0:
-                        incl.set_value(x, y, layer)
                     incl.encode(bw, x, y, layer + 1)
                 else:
                     bw.write_bit(1 if newpasses > 0 else 0)

@@ -117,3 +117,17 @@ def test_precincts_rpcl_eph_oracle_both_ways():
         prec_w_exps=[6] * 4, prec_h_exps=[6] * 4, eph=True))
     assert np.array_equal(decompress(d).to_array(), img)
     assert np.array_equal(oracle_decode(d), img)
+
+
+def test_deferred_inclusion_small_blocks_multilayer():
+    """Regression: multi-block precincts where early blocks defer to a
+    later layer — the inclusion tag tree must be fully populated before
+    the first packet's bits are emitted (shared interior nodes)."""
+    for cblk, layers, rates in ((4, 2, [8, 0]), (4, 3, [16, 4, 0]),
+                                (5, 2, [8, 0])):
+        img = synthetic_image(64, 64, 1, seed=12)
+        d = compress(img, CompressParams(
+            num_resolutions=3, cblk_w_exp=cblk, cblk_h_exp=cblk,
+            num_layers=layers, rates=rates))
+        assert np.array_equal(decompress(d).to_array(), img), (cblk, rates)
+        assert np.array_equal(oracle_decode(d), img), (cblk, rates)

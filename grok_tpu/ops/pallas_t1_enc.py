@@ -31,15 +31,19 @@ CTX_UNI = 18
 N_CTX = 19
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
-def pallas_t1_encode(mag, neg, orient, numbps, msbmap,
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def pallas_t1_encode(mneg, orient, numbps,
                      W: int, H: int, maxbp: int, L: int,
                      interpret: bool = False):
     """Encode a batch of LANES code-blocks with one Pallas kernel.
 
-    mag/neg/msbmap: (H, W, LANES) int32 (msbmap: MSB plane, -1 if 0).
-    orient/numbps: (1, LANES) int32.  L: output bytes per lane (multiple
-    of 32; index 0 is the carry sentinel).
+    mneg: (H, W, LANES) int32 = (mag << 1) | neg — sign packed into
+    bit 0 to halve the VMEM input footprint (64x64 x 128 lanes must fit
+    the 16 MB scoped-vmem budget).  orient/numbps: (1, LANES) int32.
+    L: output bytes per lane (multiple of 32; index 0 = carry sentinel).
+    The refined-before test derives from mneg in-kernel
+    (msb > bp+1  <=>  mag >= 1 << (bp+2)); the per-position visited
+    flag lives in bit 2 of the significance scratch.
     Returns (out (G, 32, LANES) int32 bytes, lengths (1, LANES),
              rates (R8, LANES) watermarks [R8 = 3*maxbp padded to 8],
              sigtype (H, W, LANES) int32).
@@ -53,9 +57,9 @@ def pallas_t1_encode(mag, neg, orient, numbps, msbmap,
     R8 = -(-npass_max // 8) * 8
     mq_tbl = jnp.asarray(_MQ_PACKED).reshape(47, 1)
 
-    def kernel(mag_ref, neg_ref, ori_ref, nbps_ref, msb_ref, mqtbl_ref,
+    def kernel(mneg_ref, ori_ref, nbps_ref, mqtbl_ref,
                out_ref, len_ref, rates_ref, sigtype_ref,
-               sig_ref, vis_ref, stage_ref, base_ref):
+               sig_ref, stage_ref, base_ref):
         ori = ori_ref[...]
         nbps = nbps_ref[...]
 
@@ -63,7 +67,6 @@ def pallas_t1_encode(mag, neg, orient, numbps, msbmap,
         rates_ref[...] = jnp.zeros((R8, LANES), jnp.int32)
         sigtype_ref[...] = jnp.zeros((H, W, LANES), jnp.int32)
         sig_ref[...] = jnp.zeros((H + 2, W + 2, LANES), jnp.int32)
-        vis_ref[...] = jnp.zeros((H, W, LANES), jnp.int32)
         stage_ref[...] = jnp.zeros((64, LANES), jnp.int32)
         base_ref[...] = jnp.zeros((1, LANES), jnp.int32)
 
@@ -197,7 +200,7 @@ def pallas_t1_encode(mag, neg, orient, numbps, msbmap,
             return sig_ref[pl.ds(y, 3), pl.ds(x, 3), :]
 
         def counts(y, x):
-            n = (nbhd(y, x) != 0).astype(jnp.int32)
+            n = ((nbhd(y, x) & 3) != 0).astype(jnp.int32)
             h = n[1:2, 0, :] + n[1:2, 2, :]
             v = n[0:1, 1, :] + n[2:3, 1, :]
             d = (n[0:1, 0, :] + n[0:1, 2, :] + n[2:3, 0, :]
@@ -205,7 +208,7 @@ def pallas_t1_encode(mag, neg, orient, numbps, msbmap,
             return h, v, d
 
         def signs(y, x):
-            n = nbhd(y, x)
+            n = nbhd(y, x) & 3
             s = jnp.where(n == 1, 1, jnp.where(n == 2, -1, 0))
             hs = jnp.clip(s[1:2, 0, :] + s[1:2, 2, :], -1, 1)
             vs = jnp.clip(s[0:1, 1, :] + s[2:3, 1, :], -1, 1)
@@ -218,16 +221,23 @@ def pallas_t1_encode(mag, neg, orient, numbps, msbmap,
             ref[y, :, :] = jnp.where(sel, vals, row)
 
         def mark_sig(y, x, negb, stype, m):
+            # preserves bit 2 (visited): callers only mark not-visited
+            # positions, so a plain value write is safe
             row_set(sig_ref, y + 1, x + 1,
                     jnp.where(negb == 1, 2, 1), m, True)
             row_set(sigtype_ref, y, x,
                     jnp.full((1, LANES), stype, jnp.int32), m, False)
 
+        def vis_set(y, x, m):
+            row = sig_ref[y + 1, :, :]
+            sel = (wiota2 == x + 1) & m
+            sig_ref[y + 1, :, :] = jnp.where(sel, row | 4, row)
+
         def magbit(y, x, bp):
-            return (mag_ref[y, pl.ds(x, 1), :] >> bp) & 1
+            return (mneg_ref[y, pl.ds(x, 1), :] >> (bp + 1)) & 1
 
         def negbit(y, x):
-            return neg_ref[y, pl.ds(x, 1), :]
+            return mneg_ref[y, pl.ds(x, 1), :] & 1
 
         # -- initial state --------------------------------------------------
         # derive the zero template from a VMEM load: plain constants get
@@ -255,8 +265,9 @@ def pallas_t1_encode(mag, neg, orient, numbps, msbmap,
             k_lane = nbps - 1 - bp
             act = (k_lane >= 1) & (x < W) & (yr < H)
             y = jnp.minimum(yr, H - 1)
-            cur_sig = sig_ref[y + 1, pl.ds(x + 1, 1), :] != 0
-            visv = vis_ref[y, pl.ds(x, 1), :] != 0
+            cell = sig_ref[y + 1, pl.ds(x + 1, 1), :]
+            cur_sig = (cell & 3) != 0
+            visv = (cell & 4) != 0
             h, v, d = counts(y, x)
             zc = _zc_ctx_arith(ori, h, v, d)
             coded = act & ~cur_sig & ~visv & (zc != 0)
@@ -268,8 +279,7 @@ def pallas_t1_encode(mag, neg, orient, numbps, msbmap,
             nb = negbit(y, x)
             mqs = mq_encode(mqs, nb ^ xr, sc, became)
             mark_sig(y, x, nb, 1, became)
-            row_set(vis_ref, y, x, jnp.ones((1, LANES), jnp.int32),
-                    coded, False)
+            vis_set(y, x, coded)
             return mqs
 
         def mrp_step(col, dy, bp, mqs):
@@ -278,11 +288,12 @@ def pallas_t1_encode(mag, neg, orient, numbps, msbmap,
             k_lane = nbps - 1 - bp
             act = (k_lane >= 1) & (yr < H)
             y = jnp.minimum(yr, H - 1)
-            cur_sig = sig_ref[y + 1, pl.ds(x + 1, 1), :] != 0
-            visv = vis_ref[y, pl.ds(x, 1), :] != 0
+            cell = sig_ref[y + 1, pl.ds(x + 1, 1), :]
+            cur_sig = (cell & 3) != 0
+            visv = (cell & 4) != 0
             coded = act & cur_sig & ~visv
-            msb = msb_ref[y, pl.ds(x, 1), :]
-            ref_before = (msb > bp + 1).astype(jnp.int32)
+            ref_before = (mneg_ref[y, pl.ds(x, 1), :]
+                          >= (1 << (bp + 3))).astype(jnp.int32)
             h, v, d = counts(y, x)
             mr = jnp.where(ref_before == 1, 16,
                            jnp.where(h + v + d > 0, 15, 14))
@@ -304,28 +315,30 @@ def pallas_t1_encode(mag, neg, orient, numbps, msbmap,
             is_sc = (j >= 3) & ((j - 3) % 2 == 1)
 
             ys = jnp.minimum(y0, H - 4)
-            seg = (sig_ref[pl.ds(ys, 6), pl.ds(x, 3), :] != 0)
+            seg = ((sig_ref[pl.ds(ys, 6), pl.ds(x, 3), :] & 3) != 0)
             nosig = jnp.sum(jnp.sum(seg.astype(jnp.int32), axis=0),
                             axis=0, keepdims=True) == 0
-            visc = vis_ref[pl.ds(ys, 4), pl.ds(x, 1), :]
+            visc = (sig_ref[pl.ds(ys + 1, 4), pl.ds(x + 1, 1), :]
+                    & 4) >> 2
             novis = jnp.sum(jnp.sum(visc, axis=0), axis=0,
                             keepdims=True) == 0
             full = (jnp.zeros((1, LANES), jnp.int32)
                     + (y0 + 4 <= H).astype(jnp.int32)) == 1
             rl_now = act & full & nosig & novis
 
-            mcol = mag_ref[pl.ds(ys, 4), pl.ds(x, 1), :]   # (4,1,LANES)
-            b0 = (mcol[0:1, 0, :] >> bp) & 1
-            b1 = (mcol[1:2, 0, :] >> bp) & 1
-            b2 = (mcol[2:3, 0, :] >> bp) & 1
-            b3 = (mcol[3:4, 0, :] >> bp) & 1
+            mcol = mneg_ref[pl.ds(ys, 4), pl.ds(x, 1), :]  # (4,1,LANES)
+            b0 = (mcol[0:1, 0, :] >> (bp + 1)) & 1
+            b1 = (mcol[1:2, 0, :] >> (bp + 1)) & 1
+            b2 = (mcol[2:3, 0, :] >> (bp + 1)) & 1
+            b3 = (mcol[3:4, 0, :] >> (bp + 1)) & 1
             any1 = (b0 + b1 + b2 + b3) > 0
             rfirst = jnp.where(b0 == 1, 0,
                                jnp.where(b1 == 1, 1,
                                          jnp.where(b2 == 1, 2, 3)))
 
-            cur_sig = sig_ref[y + 1, pl.ds(x + 1, 1), :] != 0
-            visv = vis_ref[y, pl.ds(x, 1), :] != 0
+            cell2 = sig_ref[y + 1, pl.ds(x + 1, 1), :]
+            cur_sig = (cell2 & 3) != 0
+            visv = (cell2 & 4) != 0
             in_rl_skip = (rl_mode == 1) & ((has == 0)
                                            | ((has == 1) & (r >= dy)))
             h, v, d = counts(y, x)
@@ -402,7 +415,7 @@ def pallas_t1_encode(mag, neg, orient, numbps, msbmap,
                                       (mqs, z, z, z, z))
             mqs = carry[0]
             record(3 * k_lane, mqs)
-            vis_ref[...] = jnp.zeros((H, W, LANES), jnp.int32)
+            sig_ref[...] = sig_ref[...] & 3     # clear visited bits
             return mqs
 
         for bp_static in range(maxbp - 1, -1, -1):
@@ -435,54 +448,44 @@ def pallas_t1_encode(mag, neg, orient, numbps, msbmap,
                    jax.ShapeDtypeStruct((1, LANES), jnp.int32),
                    jax.ShapeDtypeStruct((R8, LANES), jnp.int32),
                    jax.ShapeDtypeStruct((H, W, LANES), jnp.int32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in range(4)),
         scratch_shapes=[
             pltpu.VMEM((H + 2, W + 2, LANES), jnp.int32),
-            pltpu.VMEM((H, W, LANES), jnp.int32),
             pltpu.VMEM((64, LANES), jnp.int32),
             pltpu.VMEM((1, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(mag, neg, orient, numbps, msbmap, mq_tbl)
+    )(mneg, orient, numbps, mq_tbl)
     return out
 
 
 def pack_for_pallas_enc(blocks: list[dict]):
     """Arrange encode jobs (mag/neg/orient/style==0) for the kernel.
 
-    Returns (mag, neg, msbmap (H,W,LANES) i32, orient, numbps (1,LANES),
-    W, H, maxbp, L)."""
+    Returns (mneg (H,W,LANES) i32 [= mag<<1 | neg], orient,
+    numbps (1,LANES), W, H, maxbp, L)."""
     B = len(blocks)
     assert B <= LANES
     H, W = blocks[0]["mag"].shape
     assert H >= 4, "pallas encode bucket needs H >= 4 (stripe slices)"
-    mag = np.zeros((H, W, LANES), np.int32)
-    neg = np.zeros((H, W, LANES), np.int32)
-    msb = np.full((H, W, LANES), -1, np.int32)
+    mneg = np.zeros((H, W, LANES), np.int32)
     ori = np.zeros((1, LANES), np.int32)
     nbps = np.zeros((1, LANES), np.int32)
     for j, b in enumerate(blocks):
         m = np.asarray(b["mag"], np.int64)
         assert m.shape == (H, W), "encode bucket must be exact-shape"
-        mag[:, :, j] = m
-        neg[:, :, j] = np.asarray(b["neg"], np.int32)
+        mneg[:, :, j] = (m << 1) | np.asarray(b["neg"], np.int64)
         ori[0, j] = b["orient"]
         mx = int(m.max()) if m.size else 0
         nbps[0, j] = mx.bit_length()
-        nz = m > 0
-        bl = np.zeros((H, W), np.int32)
-        mm = m.copy()
-        while (mm > 0).any():
-            bl[mm > 0] += 1
-            mm >>= 1
-        msb[:, :, j] = np.where(nz, bl - 1, -1)
     maxbp = int(nbps.max()) if B else 1
     maxbp = max(maxbp, 1)
-    # output budget: 2 bytes/px/lane upper bound, 32-aligned, +2 granules
-    L = max(96, -(-(2 * H * W + 64) // 32) * 32)
-    return mag, neg, msb, ori, nbps, W, H, maxbp, L
+    # output budget: ~1.1 byte/px + slack (VMEM-bounded); the adapter
+    # falls back to the XLA path if any lane comes within 64 bytes of L
+    L = max(96, -(-(H * W + H * W // 8 + 256) // 32) * 32)
+    return mneg, ori, nbps, W, H, maxbp, L
 
 
 def encode_bucket_pallas(blocks: list[dict]) -> list:
@@ -493,13 +496,23 @@ def encode_bucket_pallas(blocks: list[dict]) -> list:
     from grok_tpu.t1.t1_scalar import (EncodedBlock, PassInfo,
                                        pass_schedule)
 
-    mag, neg, msb, ori, nbps, W, H, maxbp, L = pack_for_pallas_enc(blocks)
+    mneg, ori, nbps, W, H, maxbp, L = pack_for_pallas_enc(blocks)
     maxbp4 = -(-maxbp // 4) * 4          # stable jit cache
     out, lens, rates, sigtype = pallas_t1_encode(
-        jnp.asarray(mag), jnp.asarray(neg), jnp.asarray(ori),
-        jnp.asarray(nbps), jnp.asarray(msb), W, H, maxbp4, L, False)
+        jnp.asarray(mneg), jnp.asarray(ori),
+        jnp.asarray(nbps), W, H, maxbp4, L, False)
     out = np.asarray(out)
     lens = np.asarray(lens)
+    if int(lens.max()) >= L - 64:
+        # output budget overrun risk: redo this bucket on the XLA path
+        from grok_tpu.ops import t1_enc as _xla
+        import os
+        env = os.environ.pop("GROK_T1_PALLAS", None)
+        try:
+            return _xla.encode_blocks(blocks)
+        finally:
+            if env is not None:
+                os.environ["GROK_T1_PALLAS"] = env
     rates = np.asarray(rates)
     sigtype = np.asarray(sigtype)
     results = []

@@ -45,3 +45,29 @@ def test_pallas_interpret_bit_exact(seed):
         assert np.array_equal(mag2[:, :, j] >> 1, m), f"lane {j} mag"
         assert np.array_equal(neg[:, :, j][m > 0],
                               n[m > 0].astype(np.int32)), f"lane {j} sign"
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_pallas_encoder_interpret_bit_exact(seed):
+    import jax.numpy as jnp
+
+    from grok_tpu.ops.pallas_t1_enc import (pack_for_pallas_enc,
+                                            pallas_t1_encode)
+    rng = np.random.default_rng(seed)
+    blocks, refs = [], []
+    for i in range(4):
+        mag = np.abs(rng.normal(0, 4, (8, 8))).astype(np.int64)
+        mag[rng.random((8, 8)) < 0.4] = 0
+        neg = rng.random((8, 8)) < 0.5
+        blocks.append(dict(mag=mag, neg=neg, orient=i % 4, style=0))
+        refs.append(encode_block(mag, neg, i % 4, 0))
+    mneg, ori, nbps, W, H, maxbp, L = pack_for_pallas_enc(blocks)
+    out, lens, rates, sigtype = pallas_t1_encode(
+        jnp.asarray(mneg), jnp.asarray(ori), jnp.asarray(nbps),
+        W, H, maxbp, L, True)
+    out = np.asarray(out)
+    lens = np.asarray(lens)
+    for j, ref in enumerate(refs):
+        got = out[:, :, j].reshape(-1)[1:1 + lens[0, j]] \
+            .astype(np.uint8).tobytes()
+        assert got == ref.data, f"lane {j}"

@@ -417,7 +417,8 @@ def encode_blocks(blocks: list[dict]) -> list[EncodedBlock]:
         buckets.setdefault((b["w"], b["h"]), []).append(i)
 
     import os
-    use_pallas = bool(os.environ.get("GROK_T1_PALLAS"))
+    use_pallas = bool(os.environ.get("GROK_T1_PALLAS")) and \
+        jax.default_backend() in ("tpu", "axon")
     for (w, h), idxs in buckets.items():
         if use_pallas and h >= 4:
             from grok_tpu.ops.pallas_t1_enc import (LANES,

@@ -217,6 +217,11 @@ def dump_json(data: bytes) -> dict:
                        for reg, com in hdr.comments]
     if hdr.tlm:
         doc["tlm"] = [{"tile": t, "bytes": ln} for t, ln in hdr.tlm]
+    if hdr.plm:
+        doc["plm"] = [{"tile_part": i, "num_packets": len(lens),
+                       "sum": sum(lens)} for i, lens in enumerate(hdr.plm)]
+    if hdr.crg:
+        doc["crg"] = [{"xcrg": x, "ycrg": y} for (x, y) in hdr.crg]
 
     parts = j2k.read_tile_parts(cs, hdr, strict=False)
     doc["tile_parts"] = []

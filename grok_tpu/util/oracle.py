@@ -35,6 +35,7 @@ def oracle_encode(arr: np.ndarray, *, irreversible: bool = False,
                   progression: str = "LRCP",
                   codeblock_size: tuple[int, int] | None = None,
                   precinct_size: tuple[int, int] | None = None,
+                  layer_rates: list[float] | None = None,
                   jp2: bool = False) -> bytes:
     """Encode uint8 gray/RGB array with OpenJPEG; returns codestream bytes.
 
@@ -50,6 +51,9 @@ def oracle_encode(arr: np.ndarray, *, irreversible: bool = False,
     if rate is not None:
         kwargs["quality_mode"] = "rates"
         kwargs["quality_layers"] = [rate]
+    elif layer_rates is not None:
+        kwargs["quality_mode"] = "rates"
+        kwargs["quality_layers"] = layer_rates
     if tile_size is not None:
         kwargs["tile_size"] = tile_size
     if codeblock_size is not None:

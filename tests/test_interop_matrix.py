@@ -48,3 +48,30 @@ def test_metrics_blob():
         assert blob["counters"].get("blocks", 0) > 0
     finally:
         trace.enable(False)
+
+
+def test_we_decode_openjpeg_layered_small_cblks():
+    """Oracle-encoded quality-layer streams with many small blocks per
+    precinct exercise deferred first-inclusion on OUR decoder side."""
+    img = synthetic_image(128, 128, 1, seed=7)
+    data = oracle_encode(img, num_resolutions=3, codeblock_size=(16, 16),
+                         layer_rates=[40, 1])
+    assert np.array_equal(decompress(data).to_array(), img)
+    # layer-limited decode degrades, doesn't crash
+    part = decompress(data, DecompressParams(max_layers=1)).to_array()
+    assert part.shape == img.shape
+
+
+def test_oracle_decodes_our_layered_small_cblks():
+    img = synthetic_image(128, 128, 1, seed=8)
+    d = compress(img, CompressParams(num_resolutions=3, cblk_w_exp=4,
+                                     cblk_h_exp=4, num_layers=2,
+                                     rates=[8, 0]))
+    assert np.array_equal(oracle_decode(d), img)
+
+
+def test_we_decode_openjpeg_multitile_layers():
+    img = synthetic_image(160, 160, 3, seed=9)
+    data = oracle_encode(img, num_resolutions=3, tile_size=(80, 80),
+                         layer_rates=[20, 1])
+    assert np.array_equal(decompress(data).to_array(), img)

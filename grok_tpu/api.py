@@ -31,6 +31,16 @@ def _build_main_header(image: Image, params: CompressParams) -> MainHeader:
                   xtosiz=params.tile_off_x, ytosiz=params.tile_off_y)
     comps = [CompInfo(prec=c.prec, sgnd=c.sgnd, dx=c.dx, dy=c.dy)
              for c in image.components]
+    # Reversible coefficients live in int32 buffers end to end (dwt_np /
+    # ops/dwt / native); cap input precision so RCT (+1 bit), DWT band gain
+    # (+2 bits over the levels) and the T1 sign-magnitude shift can never
+    # overflow 31 bits.  [grok: SIZ Ssiz supports up to 38, but the
+    # reference's int32 pipeline has the same practical bound.]
+    for c in comps:
+        if c.prec > 27:
+            raise ValueError(
+                f"component precision {c.prec} exceeds the supported "
+                "27-bit bound for the int32 coefficient pipeline")
 
     mct_mode = params.mct
     if mct_mode is None:

@@ -96,7 +96,7 @@ def make_inv53_vertical_sharded(mesh, rows_per_shard: int, width: int):
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = mesh.devices.size
@@ -215,7 +215,7 @@ def make_inv53_2d_sharded(mesh, rows_per_shard: int, width: int):
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n = mesh.devices.size

@@ -40,9 +40,17 @@ def convex_hull(rates: np.ndarray, dists: np.ndarray) -> Hull:
         dd = float(dists[i]) - d_prev
         if dr <= 0:
             if dd > 0 and idx:
-                # free distortion: fold into previous point
+                # free distortion: extend the previous hull point to include
+                # this zero-rate pass and recompute its slope to absorb the
+                # added distortion reduction.
                 d_prev = float(dists[i])
-                slope[-1] = np.inf if slope[-1] == np.inf else slope[-1]
+                idx[-1] = i
+                if len(idx) >= 2:
+                    r0, d0 = float(rates[idx[-2]]), float(dists[idx[-2]])
+                else:
+                    r0, d0 = 0.0, 0.0
+                dr_prev = float(rates[i]) - r0
+                slope[-1] = (d_prev - d0) / dr_prev if dr_prev > 0 else np.inf
             continue
         s = dd / dr
         while idx and s >= slope[-1]:

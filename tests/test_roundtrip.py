@@ -276,6 +276,9 @@ class TestAdvancedFeatures:
             assert np.array_equal(decompress(d).to_array(), img), be
             streams.add(d)
         assert len(streams) == 1          # byte-identical backends
+        # the oracle decodes the full 0x3F (PTERM|SEGSYM|VSC|TERMALL|
+        # RESET|BYPASS) stream exactly, plus a RESET|VSC-only control
+        assert np.array_equal(oracle_decode(streams.pop()), img)
         d = compress(img, CompressParams(num_resolutions=4,
                                          cblk_style=0x14))
         assert np.array_equal(oracle_decode(d), img)

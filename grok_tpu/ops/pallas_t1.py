@@ -5,20 +5,35 @@ decisions for all lanes run inside a single compiled Mosaic program with
 hardware loops — none of the per-op dispatch overhead that caps the XLA
 fallback (ops/t1_dec.py).
 
-Layout: lanes = blocks, shape (1, 128) per scalar register row; flag
-state as (H+2, W+2, 128) / (H, W, 128) VMEM scratch.  Per-lane compressed
-bytes can't be fetched with hardware addressing (the VPU has no per-lane
-gather), so the kernel keeps a 64-byte staged window per lane, refreshed
-every 8 decision slots with a one-hot granule reduction over the (G, 32,
-128)-arranged codeword buffer — amortized to ~tens of cycles per slot.
+Design (round-2 rework):
 
-Context formation (ZC/SC/MR) is arithmetized from the normative rules
-(no table gathers); the 47-state MQ table is packed into one int32 row
-resolved with a single one-hot reduction.
+- **Packed flag words** (the same idea that doubled the native host
+  decoder): one int32 per coefficient carries the significance of all 8
+  neighbours, the signs of the 4 orthogonal ones, and the self
+  sig/visited/refined/negative bits.  Context formation is ONE point load
+  plus ~12 bit ops — the round-1 kernel's 18 unaligned neighbourhood
+  loads per decision are gone.  Updates are full-row column-selects
+  (Mosaic cannot read-modify-write at two traced indices).
+- **Byte-pair staging** (unchanged from round 1 — the one structure
+  Mosaic's layout inference accepts): each lane stages a 64-byte window
+  of (byte, next) pairs as loop-carried values, reloaded with two
+  one-hot granule sums per column group.  Rolling/word-bank variants
+  all hit unimplemented sublane-broadcast relayouts in Mosaic.
+- **Class-split context banks**, loop-carried as register values (not
+  VMEM scratch — scratch round-trips per decision are ~3x slower): ZC
+  (9), SC (5), MR (3), RL (1), UNI (1); each decode's one-hot only
+  spans its class and RL/UNI decodes index no bank at all.
+- **Sublane batching**: every lane register is (S, 128); with S=8 (block
+  dims <= 32) one launch decodes 1024 blocks and each VPU op carries
+  8x128 lanes.  S=1 keeps 3D arrays for 64x64 blocks (VMEM bound).
 
 Same contract as ops/t1_dec.t1_decode_batch: default code-block style,
 single codeword segment; bit-exact vs the scalar coder
-(tests/test_pallas_t1.py).
+(tests/test_pallas_t1.py, and on TPU hardware).
+
+Reference parity: the batched device path replaces the per-block
+thread-pool T1 of the reference [grok: src/lib/core/t1/t1_part1/,
+plugin batch API]; MQ decode per ISO 15444-1 Annex C, passes per D.
 """
 
 from __future__ import annotations
@@ -32,15 +47,23 @@ import numpy as np
 from grok_tpu.t1.mq import MQ_NLPS, MQ_NMPS, MQ_QE, MQ_SWITCH
 
 LANES = 128
-CTX_RL = 17
-CTX_UNI = 18
-N_CTX = 19
+
+# flag word bits (coefficient-relative neighbourhood state)
+F_NW, F_N, F_NE = 1 << 0, 1 << 1, 1 << 2
+F_W, F_E = 1 << 3, 1 << 4
+F_SW, F_S, F_SE = 1 << 5, 1 << 6, 1 << 7
+F_SGN_N, F_SGN_E, F_SGN_S, F_SGN_W = 1 << 8, 1 << 9, 1 << 10, 1 << 11
+F_SIG, F_VIS, F_MU, F_NEG = 1 << 12, 1 << 13, 1 << 14, 1 << 15
+F_ANYSIG = 0xFF          # any neighbour significant
 
 # packed MQ table row: (qe << 13) | (nmps << 7) | (nlps << 1) | switch
 _MQ_PACKED = np.asarray(
     (MQ_QE.astype(np.int64) << 13) | (MQ_NMPS.astype(np.int64) << 7)
     | (MQ_NLPS.astype(np.int64) << 1) | MQ_SWITCH.astype(np.int64),
     dtype=np.int32)
+
+# bank order inside the carried tuple: (st, mps) pairs
+ZC, SC, MR, RL, UNI = 0, 2, 4, 6, 8
 
 
 def _zc_ctx_arith(orient, h, v, d):
@@ -52,7 +75,6 @@ def _zc_ctx_arith(orient, h, v, d):
     swap = orient == 1
     hh = jnp.where(swap, v, h)
     vv = jnp.where(swap, h, v)
-    # non-HH bands
     nh = jnp.where(
         hh == 2, 8,
         jnp.where(hh == 1,
@@ -74,7 +96,8 @@ def _zc_ctx_arith(orient, h, v, d):
 
 
 def _sc_ctx_arith(hs, vs):
-    """Sign-coding (context, xor) from clamped sums (Table D.2)."""
+    """Sign-coding (absolute context 9..13, xor) from clamped sums
+    (Table D.2) — used by the encoder kernel (pallas_t1_enc)."""
     ctx = jnp.where(hs == 0,
                     jnp.where(vs == 0, 9, 10),
                     jnp.where(vs * hs == 1, 13,
@@ -83,64 +106,91 @@ def _sc_ctx_arith(hs, vs):
     return ctx, xor
 
 
+def _sc_from_flags(f):
+    """Sign-coding (local context 0..4, xor) from a flag word."""
+    hc = ((f >> 4) & 1) * (1 - 2 * ((f >> 9) & 1)) + \
+        ((f >> 3) & 1) * (1 - 2 * ((f >> 11) & 1))
+    vc = ((f >> 1) & 1) * (1 - 2 * ((f >> 8) & 1)) + \
+        ((f >> 6) & 1) * (1 - 2 * ((f >> 10) & 1))
+    hs = jnp.clip(hc, -1, 1)
+    vs = jnp.clip(vc, -1, 1)
+    ctx = jnp.where(hs == 0,
+                    jnp.where(vs == 0, 0, 1),
+                    jnp.where(vs * hs == 1, 4,
+                              jnp.where(vs == 0, 3, 2)))
+    xor = jnp.where(hs == -1, 1,
+                    jnp.where((hs == 0) & (vs == -1), 1, 0))
+    return ctx, xor
+
+
 @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def pallas_t1_decode(data, numpasses, numbps, orient, wh,
-                     W: int, H: int, maxbp: int, L: int,
+                     W: int, H: int, maxbp: int, S: int,
                      interpret: bool = False):
-    """Decode a batch of LANES code-blocks with one Pallas kernel.
+    """Decode a batch of S*128 code-blocks with one Pallas kernel.
 
-    data: (G, 32, LANES) int32, byte-pair-packed ((b<<8)|next) codewords
-    arranged in 32-byte granules, 0xFF-padded per lane beyond each length.
-    numpasses/numbps/orient: (1, LANES) int32; wh: (2, LANES) int32.
-    Returns (mag2 (H, W, LANES) int32, neg (H, W, LANES) int32).
+    data: (G, 32, [S,] LANES) int32 byte-pair-packed ((b<<8)|next)
+    codewords in 32-byte granules, 0xFF-padded per lane beyond each
+    length, with >=2 spare granules.
+    numpasses/numbps/orient: (1|S, LANES) int32; wh: (2, [S,] LANES).
+    Returns signed mag2 (H, W, [S,] LANES) int32 (negative = sign bit).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     G = data.shape[0]
     n_stripes = (H + 3) // 4
-    mq_tbl = jnp.asarray(_MQ_PACKED).reshape(47, 1)
+    arr_tail = (S, LANES) if S > 1 else (LANES,)
+    nd = len(arr_tail)
+    lane_sh = (S, LANES) if S > 1 else (1, LANES)
+    kd = S == 1                        # keepdims for axis-0 reductions
+    mq_tbl = jnp.asarray(_MQ_PACKED).reshape((47,) + (1,) * nd)
+
+    def iota_for(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * nd, 0)
 
     def kernel(data_ref, npass_ref, nbps_ref, ori_ref, wh_ref, mqtbl_ref,
-               mag2_ref, neg_ref, sig_ref, vis_ref, val2_ref):
-        # EVERY traced vector in this kernel is kept >= 2D.  Mosaic's
-        # 1-D ("implicit dim") layout path aborts the compiler on this
-        # toolchain (layout.h:320 "arr.size() >= layout_rank") once 1-D
-        # values flow through chained decodes into scratch stores; with
-        # all lane registers shaped (1, LANES) the kernel lowers cleanly.
-        ori = ori_ref[...]
-        wv = wh_ref[0:1, :]
-        hv = wh_ref[1:2, :]
-        npass = npass_ref[...]
-        nbps = nbps_ref[...]
+               out_ref, flags_ref):
+        if S == 1:
+            ori = ori_ref[...]                 # (1, L)
+            npass = npass_ref[...]
+            nbps = nbps_ref[...]
+            wv = wh_ref[0:1]
+            hv = wh_ref[1:2]
+        else:
+            ori = ori_ref[...]                 # (S, L)
+            npass = npass_ref[...]
+            nbps = nbps_ref[...]
+            wv = wh_ref[0]
+            hv = wh_ref[1]
 
-        sig_ref[...] = jnp.zeros((H + 2, W + 2, LANES), jnp.int32)
-        vis_ref[...] = jnp.zeros((H, W, LANES), jnp.int32)
-        val2_ref[...] = jnp.zeros((H, W, LANES), jnp.int32)
-        neg_ref[...] = jnp.zeros((H, W, LANES), jnp.int32)
+        flags_ref[...] = jnp.zeros((H + 2, W + 2) + arr_tail, jnp.int32)
+        out_ref[...] = jnp.zeros((H, W) + arr_tail, jnp.int32)
 
-        giota = jax.lax.broadcasted_iota(jnp.int32, (G, 1, 1), 0)
-        siota = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
-        tiota = jax.lax.broadcasted_iota(jnp.int32, (47, 1), 0)
+        giota = jax.lax.broadcasted_iota(
+            jnp.int32, (G,) + (1,) * (nd + 1), 0)
+        siota = iota_for(64)
+        tiota = iota_for(47)
 
         def stage_load(bp):
-            """(64, LANES) staged window at each lane's 32-aligned base.
-
-            bp: (1, LANES)."""
+            """(64, [S,] L) staged byte-pair window at each lane's
+            32-aligned base (two one-hot granule sums — the round-1
+            staging structure, the one Mosaic lowers cleanly)."""
             g0 = bp >> 5
-            sel0 = (giota == g0[None, :, :]).astype(jnp.int32)
-            sel1 = (giota == (g0 + 1)[None, :, :]).astype(jnp.int32)
+            sel0 = (giota == g0[None]).astype(jnp.int32)
+            sel1 = (giota == (g0 + 1)[None]).astype(jnp.int32)
             d = data_ref[...]
-            lo = jnp.sum(d * sel0, axis=0)      # (32, LANES)
+            lo = jnp.sum(d * sel0, axis=0)
             hi = jnp.sum(d * sel1, axis=0)
             return jnp.concatenate([lo, hi], axis=0), (g0 << 5)
 
         def stage_read(stage, base, bp):
             """Byte pair at bp from the staged window: (cur, nxt)."""
-            sel = (siota == (bp - base)).astype(jnp.int32)   # (64, LANES)
-            v = jnp.sum(stage * sel, axis=0, keepdims=True)  # (1, LANES)
+            sel = (siota == (bp - base)).astype(jnp.int32)
+            v = jnp.sum(stage * sel, axis=0, keepdims=kd)
             return (v >> 8) & 0xFF, v & 0xFF
 
+        # MQ register tuple: (a, c, ct, bp, stage, base)
         def bytein(mq, m):
             a, c, ct, bp, stage, base = mq
             cur, nxt = stage_read(stage, base, bp)
@@ -155,7 +205,6 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
                     jnp.where(m, bp_new, bp), stage, base)
 
         def nbits_to_msb(a):
-            # 16 - bit_length(a) for a in [1, 0xFFFF], branch-free
             n = jnp.zeros_like(a)
             v = a
             n = n + jnp.where(v < 0x100, 8, 0)
@@ -182,28 +231,25 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
                 n = n - s
             return (a, c, ct, bp, stage, base)
 
-        def mq_decode(mqs, cx, active):
-            (a, c, ct, bp, stage, base), ctx_st, ctx_mps = mqs
-            oh = (jax.lax.broadcasted_iota(jnp.int32, (N_CTX, LANES), 0)
-                  == cx)
-            i = jnp.sum(jnp.where(oh, ctx_st, 0), axis=0, keepdims=True)
-            mps = jnp.sum(jnp.where(oh, ctx_mps, 0), axis=0, keepdims=True)
-            packed = jnp.sum(
-                jnp.where(tiota == i, mqtbl_ref[...], 0), axis=0,
-                keepdims=True)
+        def mq_core(mq, i, mps, act):
+            """One MQ decision given gathered state (i, mps).
+
+            Returns (mq', bit, new_i, new_mps, upd); the caller scatters
+            the state update back to its bank where upd == 1."""
+            a, c, ct, bp, stage, base = mq
+            packed = jnp.sum(jnp.where(tiota == i, mqtbl_ref[...], 0),
+                             axis=0, keepdims=kd)
             qe = (packed >> 13) & 0xFFFF
             nmps = (packed >> 7) & 0x3F
             nlps = (packed >> 1) & 0x3F
             sw = packed & 1
 
-            # int32 0/1 masks everywhere: Mosaic cannot lower select_n on
-            # i1 vectors
             a1 = (a - qe) & 0xFFFF
             chigh = (c >> 16) & 0xFFFF
             lps = (chigh < qe).astype(jnp.int32)
             small = (a1 < qe).astype(jnp.int32)
             msb = ((a1 & 0x8000) != 0).astype(jnp.int32)
-            act = active.astype(jnp.int32)
+            act = act.astype(jnp.int32)
 
             renorm_needed = lps | (1 - msb)
             is_mps = jnp.where(lps == 1, small, msb | (1 - small))
@@ -214,133 +260,171 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             new_mps = jnp.where(flip == 1, 1 - mps, mps)
 
             upd = act * renorm_needed
-            a = jnp.where(act * jnp.where(lps == 1, 1, 0) == 1, qe,
+            a = jnp.where(act * lps == 1, qe,
                           jnp.where(act == 1, a1, a))
             c = jnp.where(act * (1 - lps) == 1, c - (qe << 16), c)
-            updr = oh & (upd == 1)
-            ctx_st = jnp.where(updr, new_i, ctx_st)
-            ctx_mps = jnp.where(updr, new_mps, ctx_mps)
             mq = renorm((a, c, ct, bp, stage, base), upd == 1)
-            return (mq, ctx_st, ctx_mps), jnp.where(act == 1, bit, 0)
+            return mq, jnp.where(act == 1, bit, 0), new_i, new_mps, upd
 
-        # -- flag access helpers (scalar y/x; lanes vectorized) ------------
-        def nbhd(y, x):
-            return sig_ref[pl.ds(y, 3), pl.ds(x, 3), :]
+        def bank_dec(st, bi, n, cxl, act):
+            """Decode with carried bank (bi) state selected by cxl."""
+            mq, banks = st
+            stv, mpsv = banks[bi], banks[bi + 1]
+            sel = iota_for(n) == cxl
+            i = jnp.sum(jnp.where(sel, stv, 0), axis=0, keepdims=kd)
+            mps = jnp.sum(jnp.where(sel, mpsv, 0), axis=0, keepdims=kd)
+            mq, bit, new_i, new_mps, upd = mq_core(mq, i, mps, act)
+            updr = sel & (upd == 1)
+            stv = jnp.where(updr, new_i, stv)
+            mpsv = jnp.where(updr, new_mps, mpsv)
+            banks = banks[:bi] + (stv, mpsv) + banks[bi + 2:]
+            return (mq, banks), bit
 
-        def counts(y, x):
-            n = (nbhd(y, x) != 0).astype(jnp.int32)
-            h = n[1:2, 0, :] + n[1:2, 2, :]          # (1, LANES)
-            v = n[0:1, 1, :] + n[2:3, 1, :]
-            d = (n[0:1, 0, :] + n[0:1, 2, :] + n[2:3, 0, :] + n[2:3, 2, :])
-            return h, v, d
+        def reg_dec(st, bi, act):
+            """Decode with a single-context carried bank (RL / UNI)."""
+            mq, banks = st
+            i, mps = banks[bi], banks[bi + 1]      # lane_sh
+            mq, bit, new_i, new_mps, upd = mq_core(mq, i, mps, act)
+            i = jnp.where(upd == 1, new_i, i)
+            mps = jnp.where(upd == 1, new_mps, mps)
+            banks = banks[:bi] + (i, mps) + banks[bi + 2:]
+            return (mq, banks), bit
 
-        def signs(y, x):
-            n = nbhd(y, x)
-            s = jnp.where(n == 1, 1, jnp.where(n == 2, -1, 0))
-            hs = jnp.clip(s[1:2, 0, :] + s[1:2, 2, :], -1, 1)
-            vs = jnp.clip(s[0:1, 1, :] + s[2:3, 1, :], -1, 1)
-            return hs, vs
+        def refresh(st):
+            (a, c, ct, bp, stage, base), banks = st
+            stage, base = stage_load(bp)
+            return ((a, c, ct, bp, stage, base), banks)
 
-        def sigc(y, x):
-            return sig_ref[y + 1, pl.ds(x + 1, 1), :]    # (1, LANES)
+        # -- flag helpers --------------------------------------------------
+        wiota = iota_for(W)
+        wiota2 = iota_for(W + 2)
 
-        wiota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-        wiota2 = jax.lax.broadcasted_iota(jnp.int32, (W + 2, 1), 0)
+        def fread(y, x):
+            """Flag word of coefficient (y, x), shaped lane_sh."""
+            v = flags_ref[y + 1, pl.ds(x + 1, 1)]
+            if S == 1:
+                return v                 # (1, L)
+            return jnp.sum(v, axis=0)    # (1, S, L) -> (S, L)
 
-        def row_set(ref, y, x, vals, m, border):
-            # Mosaic crashes on read-modify-write at two traced indices;
-            # one dynamic row index + a vectorized column select lowers fine
-            it = wiota2 if border else wiota
-            row = ref[y, :, :]
-            sel = (it == x) & m
-            ref[y, :, :] = jnp.where(sel, vals, row)
+        def vread(y, x):
+            v = out_ref[y, pl.ds(x, 1)]
+            if S == 1:
+                return v
+            return jnp.sum(v, axis=0)
 
-        def mark_sig(y, x, negb, bp, m):
-            row_set(sig_ref, y + 1, x + 1,
-                    jnp.where(negb == 1, 2, 1), m, True)
-            row_set(val2_ref, y, x,
-                    jnp.full((1, LANES), jnp.int32(3) << bp, jnp.int32),
-                    m, False)
-            row_set(neg_ref, y, x, negb, m, False)
+        def row_patterns(x, m, pats):
+            """OR-pattern row: columns x+k get value pats[k] where m.
+
+            Conditions are built full-shape ((W+2, [S,] L)) via compare &
+            mask — the only sublane-broadcast form Mosaic lowers."""
+            out = None
+            for k, p in pats:
+                v = jnp.where((wiota2 == x + k) & m, p, 0)
+                out = v if out is None else out | v
+            return out
+
+        def val_set(y, x, vals, m):
+            row = out_ref[y]
+            sel = (wiota == x) & m
+            out_ref[y] = jnp.where(sel, vals, row)
+
+        def mark_sig(y, x, negb, m, vis_m=None):
+            """Set (y, x) significant with sign negb where m (bool).
+
+            vis_m: mask of lanes whose centre sample also gets VIS in the
+            same row op (used by SPP for every coded sample)."""
+            top = row_patterns(x, m, [
+                (0, F_SE), (1, F_S | (negb << 10)), (2, F_SW)])
+            flags_ref[y] = flags_ref[y] | top
+            ctr = row_patterns(x, m, [
+                (0, F_E | (negb << 9)),
+                (1, F_SIG | (negb << 15)),
+                (2, F_W | (negb << 11))])
+            if vis_m is not None:
+                ctr = ctr | row_patterns(x, vis_m, [(1, F_VIS)])
+            flags_ref[y + 1] = flags_ref[y + 1] | ctr
+            bot = row_patterns(x, m, [
+                (0, F_NE), (1, F_N | (negb << 8)), (2, F_NW)])
+            flags_ref[y + 2] = flags_ref[y + 2] | bot
 
         # -- initial MQ state ----------------------------------------------
-        bp0 = jnp.zeros((1, LANES), jnp.int32)
-        stage, base = stage_load(bp0)
-        cur, _ = stage_read(stage, base, bp0)
-        c0 = cur << 16
-        mq0 = (jnp.full((1, LANES), 0x8000, jnp.int32), c0,
-               jnp.zeros((1, LANES), jnp.int32), bp0, stage, base)
-        mq0 = bytein(mq0, jnp.ones((1, LANES), bool))
-        a_, c_, ct_, bp_, stage, base = mq0
-        mq0 = (a_, c_ << 7, ct_ - 7, bp_, stage, base)
-        crow = jax.lax.broadcasted_iota(jnp.int32, (N_CTX, LANES), 0)
-        ctx_st0 = jnp.where(crow == CTX_UNI, 46,
-                            jnp.where(crow == CTX_RL, 3,
-                                      jnp.where(crow == 0, 4, 0)))
-        mqs0 = (mq0, ctx_st0, jnp.zeros((N_CTX, LANES), jnp.int32))
+        bp0 = jnp.zeros(lane_sh, jnp.int32)
+        stage0, base0 = stage_load(bp0)
+        cur0, _ = stage_read(stage0, base0, bp0)
+        mq0 = (jnp.full(lane_sh, 0x8000, jnp.int32), cur0 << 16,
+               jnp.zeros(lane_sh, jnp.int32), bp0, stage0, base0)
+        mq0 = bytein(mq0, jnp.ones(lane_sh, bool))
+        a_, c_, ct_, bp_, stage_, base_ = mq0
+        mq0 = (a_, c_ << 7, ct_ - 7, bp_, stage_, base_)
 
-        def refresh(mqs):
-            (a, c, ct, bp, stage, base), cs, cm = mqs
-            stage, base = stage_load(bp)
-            return ((a, c, ct, bp, stage, base), cs, cm)
+        # context banks: ZC ctx0 starts at state 4, RL at 3, UNI at 46
+        zi9 = jnp.zeros((9,) + arr_tail, jnp.int32)
+        full9 = jax.lax.broadcasted_iota(jnp.int32, (9,) + arr_tail, 0)
+        banks0 = (
+            jnp.where(full9 == 0, 4, zi9),                      # zc st
+            zi9,                                                # zc mps
+            jnp.zeros((5,) + arr_tail, jnp.int32),              # sc st
+            jnp.zeros((5,) + arr_tail, jnp.int32),              # sc mps
+            jnp.zeros((3,) + arr_tail, jnp.int32),              # mr st
+            jnp.zeros((3,) + arr_tail, jnp.int32),              # mr mps
+            jnp.full(lane_sh, 3, jnp.int32),                    # rl st
+            jnp.zeros(lane_sh, jnp.int32),                      # rl mps
+            jnp.full(lane_sh, 46, jnp.int32),                   # uni st
+            jnp.zeros(lane_sh, jnp.int32),                      # uni mps
+        )
+        st0 = (mq0, banks0)
 
         # -- pass bodies ---------------------------------------------------
-        # NOTE: refreshes are UNCONDITIONAL at the top of each unrolled
-        # column group.  The natural `lax.cond(i % k == 0, refresh, ...)`
-        # trips a Mosaic relayout bug on TPU (the cond join wants a
-        # lane-replicated layout the pass cannot produce:
-        # "Invalid relayout ... {*,0} -> {*,*}", and the same family as
-        # the layout.h:320 crash); a nested loop with the refresh always
-        # taken compiles cleanly and costs only the redundant one-hot
-        # granule sums.
-        def spp_step(col, dy, bp, mqs):
-            # 2 decodes/step -> up to 6 bytes; 4 steps per refresh stay
-            # within the 31-byte refill budget of the staged window
+        def spp_step(col, dy, bp, st):
             x = col % W
             yr = (col // W) * 4 + dy
             k_lane = nbps - 1 - bp
             act = (k_lane >= 1) & (3 * k_lane - 2 < npass) & \
                 (x < wv) & (yr < hv)
-            y = jnp.minimum(yr, H - 1)   # masked rows clamp in-bounds
-            cur_sig = sigc(y, x) != 0
-            visv = vis_ref[y, pl.ds(x, 1), :] != 0
-            h, v, d = counts(y, x)
+            y = jnp.minimum(yr, H - 1)
+            f = fread(y, x)
+            coded = act & ((f & (F_SIG | F_VIS)) == 0) & \
+                ((f & F_ANYSIG) != 0)
+            h = ((f >> 3) & 1) + ((f >> 4) & 1)
+            v = ((f >> 1) & 1) + ((f >> 6) & 1)
+            d = ((f >> 0) & 1) + ((f >> 2) & 1) + ((f >> 5) & 1) + \
+                ((f >> 7) & 1)
             zc = _zc_ctx_arith(ori, h, v, d)
-            coded = act & ~cur_sig & ~visv & (zc != 0)
-            mqs, bit = mq_decode(mqs, zc, coded)
+            st, bit = bank_dec(st, ZC, 9, zc, coded)
             became = coded & (bit == 1)
-            hs, vs = signs(y, x)
-            sc, xr = _sc_ctx_arith(hs, vs)
-            mqs, sbit = mq_decode(mqs, sc, became)
-            mark_sig(y, x, sbit ^ xr, bp, became)
-            row_set(vis_ref, y, x, jnp.ones((1, LANES), jnp.int32), coded,
-                    False)
-            return mqs
+            sc, xr = _sc_from_flags(f)
+            st, sbit = bank_dec(st, SC, 5, sc, became)
+            negb = sbit ^ xr
+            # VIS for every coded sample rides the centre-row op
+            mark_sig(y, x, negb, became, vis_m=coded)
+            val_set(y, x,
+                    jnp.full(lane_sh, jnp.int32(3) << bp, jnp.int32),
+                    became)
+            return st
 
-        def mrp_step(col, dy, bp, mqs):
+        def mrp_step(col, dy, bp, st):
             x = col % W
             yr = (col // W) * 4 + dy
             k_lane = nbps - 1 - bp
             act = (k_lane >= 1) & (3 * k_lane - 1 < npass) & \
                 (x < wv) & (yr < hv)
             y = jnp.minimum(yr, H - 1)
-            cur_sig = sigc(y, x) != 0
-            visv = vis_ref[y, pl.ds(x, 1), :] != 0
-            coded = act & cur_sig & ~visv
-            v2 = val2_ref[y, pl.ds(x, 1), :]
-            was_ref = v2 >= (jnp.int32(8) << bp)
-            h, v, d = counts(y, x)
-            mr = jnp.where(was_ref, 16, jnp.where(h + v + d > 0, 15, 14))
-            mqs, bit = mq_decode(mqs, mr, coded)
-            # val2 += (b-1)*2^(bp+1) + 2^bp  (b in {0,1}; avoid negative
-            # left shifts)
+            f = fread(y, x)
+            coded = act & ((f & F_SIG) != 0) & ((f & F_VIS) == 0)
+            was_ref = (f & F_MU) != 0
+            anysig = (f & F_ANYSIG) != 0
+            mr = jnp.where(was_ref, 2, jnp.where(anysig, 1, 0))
+            st, bit = bank_dec(st, MR, 3, mr, coded)
+            v2 = vread(y, x)
             nv = v2 + (bit << (bp + 1)) - (jnp.int32(1) << (bp + 1)) \
                 + (jnp.int32(1) << bp)
-            row_set(val2_ref, y, x, nv, coded, False)
-            return mqs
+            val_set(y, x, nv, coded)
+            flags_ref[y + 1] = flags_ref[y + 1] | \
+                row_patterns(x, coded, [(1, F_MU)])
+            return st
 
         def cln_step(col, j, bp, carry):
-            mqs, rl_mode, has, r, became = carry
+            st, rl_mode, has, r, became = carry
             x = col % W
             y0 = (col // W) * 4
             dy = min(max((j - 3) // 2, 0), 3)
@@ -350,161 +434,189 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             is_rl = j == 0
             is_uni = (j == 1) | (j == 2)
             is_zc = (j >= 3) & ((j - 3) % 2 == 0)
-            is_sc = (j >= 3) & ((j - 3) % 2 == 1)
 
-            ys = jnp.minimum(y0, H - 4)
-            seg = (sig_ref[pl.ds(ys, 6), pl.ds(x, 3), :] != 0)
-            nosig = jnp.sum(jnp.sum(seg.astype(jnp.int32), axis=0),
-                            axis=0, keepdims=True) == 0       # (1, LANES)
-            visc = vis_ref[pl.ds(ys, 4), pl.ds(x, 1), :]
-            novis = jnp.sum(jnp.sum(visc, axis=0), axis=0,
-                            keepdims=True) == 0
-            full = (y0 + 4 <= hv) & (x < wv)
-            rl_now = act & full & nosig & novis
+            if is_rl:
+                # full stripe-column RL eligibility: no sig neighbours,
+                # none significant or visited, full 4-row stripe in-block
+                ys = jnp.maximum(jnp.minimum(y0, H - 4), 0)
+                m0 = fread(jnp.minimum(ys, H - 1), x)
+                m1 = fread(jnp.minimum(ys + 1, H - 1), x)
+                m2 = fread(jnp.minimum(ys + 2, H - 1), x)
+                m3 = fread(jnp.minimum(ys + 3, H - 1), x)
+                any_state = (m0 | m1 | m2 | m3) & \
+                    (F_ANYSIG | F_SIG | F_VIS)
+                full = (y0 + 4 <= hv) & (x < wv)
+                rl_now = act & full & (any_state == 0)
+                st, bit = reg_dec(st, RL, rl_now)
+                rl_i = rl_now.astype(jnp.int32)
+                return (st, rl_i, rl_i * bit, r, became)
 
-            cur_sig = sigc(y, x) != 0
-            visv = vis_ref[y, pl.ds(x, 1), :] != 0
-            ok = act & (x < wv) & (y < hv)
-            in_rl_skip = (rl_mode == 1) & ((has == 0)
-                                           | ((has == 1) & (r >= dy)))
-            h, v, d = counts(y, x)
-            zc = _zc_ctx_arith(ori, h, v, d)
-            hs, vs = signs(y, x)
-            sc, xr = _sc_ctx_arith(hs, vs)
-            normal = is_zc & ok & ~cur_sig & ~visv & ~in_rl_skip
-            first = is_sc & (has == 1) & (r == dy)
+            if is_uni:
+                st, bit = reg_dec(st, UNI, has == 1)
+                r = jnp.where(j == 1, bit << 1, r | bit)
+                return (st, rl_mode, has, r, became)
 
-            cx = jnp.where(is_rl, CTX_RL,
-                           jnp.where(is_uni, CTX_UNI,
-                                     jnp.where(is_zc, zc, sc)))
-            rl_i = rl_now.astype(jnp.int32)
-            norm_i = normal.astype(jnp.int32)
-            bf_i = ((became == 1) | first).astype(jnp.int32)
-            act_i = jnp.where(is_rl, rl_i,
-                              jnp.where(is_uni, has,
-                                        jnp.where(is_zc, norm_i, bf_i)))
-            mqs, bit = mq_decode(mqs, cx, act_i == 1)
+            f = fread(y, x)
+            if is_zc:
+                cur_sig = (f & F_SIG) != 0
+                visv = (f & F_VIS) != 0
+                ok = act & (x < wv) & (y0 + dy < hv)
+                in_rl_skip = (rl_mode == 1) & \
+                    ((has == 0) | ((has == 1) & (r >= dy)))
+                h = ((f >> 3) & 1) + ((f >> 4) & 1)
+                v = ((f >> 1) & 1) + ((f >> 6) & 1)
+                d = ((f >> 0) & 1) + ((f >> 2) & 1) + ((f >> 5) & 1) + \
+                    ((f >> 7) & 1)
+                zc = _zc_ctx_arith(ori, h, v, d)
+                normal = ok & ~cur_sig & ~visv & ~in_rl_skip
+                st, bit = bank_dec(st, ZC, 9, zc, normal)
+                became = normal.astype(jnp.int32) * bit
+                return (st, rl_mode, has, r, became)
 
-            rl_mode = jnp.where(is_rl, rl_i, rl_mode)
-            has = jnp.where(is_rl, rl_i * bit, has)
-            r = jnp.where(j == 1, bit << 1, jnp.where(j == 2, r | bit, r))
-            new_became = norm_i * bit
-            setm = is_sc & ((became == 1) | first)
-            mark_sig(y, x, bit ^ xr, bp, setm)
-            became = jnp.where(is_sc, 0,
-                               jnp.where(is_zc, new_became, became))
-            return (mqs, rl_mode, has, r, became)
+            # sign-coding slot
+            first = (has == 1) & (r == dy)
+            code_sc = (became == 1) | first
+            sc, xr = _sc_from_flags(f)
+            st, bit = bank_dec(st, SC, 5, sc, code_sc)
+            mark_sig(y, x, bit ^ xr, code_sc)
+            val_set(y, x,
+                    jnp.full(lane_sh, jnp.int32(3) << bp, jnp.int32),
+                    code_sc)
+            zi = jnp.zeros(lane_sh, jnp.int32)
+            return (st, rl_mode, has, r, zi)
 
-        def plane_body(bp, mqs):
-            def spp_col(col, mqs):
-                mqs = refresh(mqs)
+        def plane_body(bp, st):
+            def spp_col(col, st):
+                st = refresh(st)
                 for dy in range(4):
-                    mqs = spp_step(col, dy, bp, mqs)
-                return mqs
-            mqs = jax.lax.fori_loop(0, n_stripes * W, spp_col, mqs)
+                    st = spp_step(col, dy, bp, st)
+                return st
+            st = jax.lax.fori_loop(0, n_stripes * W, spp_col, st)
 
-            def mrp_col(col, mqs):
-                mqs = refresh(mqs)
+            def mrp_col(col, st):
+                st = refresh(st)
                 for dy in range(4):
-                    mqs = mrp_step(col, dy, bp, mqs)
-                return mqs
-            mqs = jax.lax.fori_loop(0, n_stripes * W, mrp_col, mqs)
+                    st = mrp_step(col, dy, bp, st)
+                return st
+            st = jax.lax.fori_loop(0, n_stripes * W, mrp_col, st)
 
-            zi = jnp.zeros((1, LANES), jnp.int32)
+            zi = jnp.zeros(lane_sh, jnp.int32)
 
             def cln_col(col, carry):
-                # 11 slots/column; refresh twice to stay under the
-                # 31-byte staged-window budget (<=3 bytes per decision)
-                mqs, rl_mode, has, r, became = carry
-                carry = (refresh(mqs), rl_mode, has, r, became)
+                st, rl_mode, has, r, became = carry
+                carry = (refresh(st), rl_mode, has, r, became)
                 for j in range(6):
                     carry = cln_step(col, j, bp, carry)
-                mqs, rl_mode, has, r, became = carry
-                carry = (refresh(mqs), rl_mode, has, r, became)
+                st, rl_mode, has, r, became = carry
+                carry = (refresh(st), rl_mode, has, r, became)
                 for j in range(6, 11):
                     carry = cln_step(col, j, bp, carry)
                 return carry
             carry = jax.lax.fori_loop(0, n_stripes * W, cln_col,
-                                      (mqs, zi, zi, zi, zi))
-            mqs = carry[0]
-            vis_ref[...] = jnp.zeros((H, W, LANES), jnp.int32)
-            return mqs
+                                      (st, zi, zi, zi, zi))
+            st = carry[0]
+            # clear VIS everywhere (end of plane)
+            flags_ref[...] = flags_ref[...] & ~F_VIS
+            return st
 
-        # plane loop unrolled in Python: Mosaic crashes on the nested
-        # fori_loop (layout check), and a constant bp folds the shifts
-        mqs = mqs0
+        st = st0
         for bp_static in range(maxbp - 1, -1, -1):
-            mqs = plane_body(bp_static, mqs)
-        mag2_ref[...] = val2_ref[...]
+            st = plane_body(bp_static, st)
+
+        # apply signs: out = mag2 * (1 - 2*neg)
+        core = flags_ref[1:H + 1, 1:W + 1]
+        neg = (core & F_NEG) != 0
+        out_ref[...] = jnp.where(neg, -out_ref[...], out_ref[...])
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     out = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((H, W, LANES), jnp.int32),
-                   jax.ShapeDtypeStruct((H, W, LANES), jnp.int32)),
+        out_shape=jax.ShapeDtypeStruct((H, W) + arr_tail, jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((H + 2, W + 2, LANES), jnp.int32),
-            pltpu.VMEM((H, W, LANES), jnp.int32),
-            pltpu.VMEM((H, W, LANES), jnp.int32),
+            pltpu.VMEM((H + 2, W + 2) + arr_tail, jnp.int32),   # flags
         ],
         interpret=interpret,
     )(data, numpasses, numbps, orient, wh, mq_tbl)
     return out
 
 
-def pack_for_pallas(blocks: list[dict], L: int | None = None):
+def sublanes_for(W: int, H: int) -> int:
+    """Sublane batch S for a (W, H) bucket, bounded by VMEM.
+
+    Budget per lane: flags (H+2)(W+2) + out H*W int32 words; with
+    S*128 lanes the total must stay well under the ~16 MB core VMEM."""
+    words = (H + 2) * (W + 2) + H * W
+    return 8 if words * 8 * 128 * 4 <= 11 * 2 ** 20 else 1
+
+
+def pack_for_pallas(blocks: list[dict], S: int, L: int | None = None):
     """Arrange block descriptors for pallas_t1_decode.
 
-    Returns (data (G,32,LANES) i32, numpasses, numbps, orient (1,LANES),
-    wh (2,LANES), count).  Pads the lane dim to LANES and codewords with
-    0xFF (the C.3.4 end-of-data byte).
-    """
+    Returns (data (G,32,[S,]LANES) i32 byte pairs, numpasses, numbps,
+    orient (1|S,LANES), wh (2,[S,]LANES), count).  Pads the lane dim and
+    codewords with 0xFF (the C.3.4 end-of-data byte)."""
     B = len(blocks)
-    assert B <= LANES
+    NL = S * LANES
+    assert B <= NL
     maxlen = max((len(b["data"]) for b in blocks), default=1)
     if L is None:
-        # two spare 0xFF granules past the longest codeword so the staged
-        # window (granules g, g+1) never reads outside the buffer
-        L = max(96, -(-(maxlen + 40) // 32) * 32)
-    raw = np.full((LANES, L + 1), 0xFF, dtype=np.uint8)
-    npass = np.zeros((1, LANES), np.int32)
-    nbps = np.zeros((1, LANES), np.int32)
-    ori = np.zeros((1, LANES), np.int32)
-    wh = np.ones((2, LANES), np.int32)
+        # >=2 spare 0xFF granules past the longest codeword so the
+        # staged window (granules g, g+1) never reads outside the buffer
+        L = max(96, -(-(maxlen + 72) // 32) * 32)
+    raw = np.full((NL, L + 1), 0xFF, dtype=np.uint8)
+    npass = np.zeros((NL,), np.int32)
+    nbps = np.zeros((NL,), np.int32)
+    ori = np.zeros((NL,), np.int32)
+    wh = np.ones((2, NL), np.int32)
     for j, b in enumerate(blocks):
         d = b["data"]
         raw[j, :len(d)] = np.frombuffer(d, dtype=np.uint8)
-        npass[0, j] = b["numpasses"]
-        nbps[0, j] = b["numbps"]
-        ori[0, j] = b["orient"]
+        npass[j] = b["numpasses"]
+        nbps[j] = b["numbps"]
+        ori[j] = b["orient"]
         wh[0, j] = b["w"]
         wh[1, j] = b["h"]
     pairs = (raw[:, :L].astype(np.int32) << 8) | raw[:, 1:L + 1]
-    data = np.ascontiguousarray(
-        pairs.T.reshape(L // 32, 32, LANES)).astype(np.int32)
+    # (NL, L) -> (G, 32, [S,] LANES); lane j = s*LANES + l
+    G = L // 32
+    if S > 1:
+        data = np.ascontiguousarray(
+            pairs.reshape(S, LANES, G, 32).transpose(2, 3, 0, 1))
+        npass = npass.reshape(S, LANES)
+        nbps = nbps.reshape(S, LANES)
+        ori = ori.reshape(S, LANES)
+        wh = wh.reshape(2, S, LANES)
+    else:
+        data = np.ascontiguousarray(
+            pairs.reshape(LANES, G, 32).transpose(1, 2, 0))
+        npass = npass.reshape(1, LANES)
+        nbps = nbps.reshape(1, LANES)
+        ori = ori.reshape(1, LANES)
     return data, npass, nbps, ori, wh, B
 
 
-def decode_bucket_pallas(blocks: list[dict], W: int, H: int):
-    """decode_blocks-compatible adapter: one pallas launch per <=LANES
+def decode_bucket_pallas(blocks: list[dict], W: int, H: int,
+                         interpret: bool = False):
+    """decode_blocks-compatible adapter: one pallas launch per <=S*128
     blocks of a (W, H) bucket.  Returns [(mag2 int64 (h, w), neg bool)].
     Enable via GROK_T1_PALLAS=1 (TPU backends; the XLA kernel remains
     the default device path)."""
-    import jax
-
-    data, npass, nbps, ori, wh, B = pack_for_pallas(blocks)
+    S = min(sublanes_for(W, H), -(-len(blocks) // LANES))
+    data, npass, nbps, ori, wh, B = pack_for_pallas(blocks, S)
     maxbp = -(-int(nbps.max()) // 4) * 4 if B else 4
-    mag2, neg = pallas_t1_decode(
+    out = pallas_t1_decode(
         jnp.asarray(data), jnp.asarray(npass), jnp.asarray(nbps),
-        jnp.asarray(ori), jnp.asarray(wh), W, H, maxbp,
-        data.shape[0] * 32, False)
-    mag2 = np.asarray(mag2)
-    neg = np.asarray(neg)
-    return [(mag2[:b["h"], :b["w"], j].astype(np.int64),
-             neg[:b["h"], :b["w"], j].astype(bool))
-            for j, b in enumerate(blocks)]
+        jnp.asarray(ori), jnp.asarray(wh), W, H, maxbp, S, interpret)
+    out = np.asarray(out)
+    res = []
+    for j, b in enumerate(blocks):
+        if S > 1:
+            v = out[:b["h"], :b["w"], j // LANES, j % LANES]
+        else:
+            v = out[:b["h"], :b["w"], j]
+        res.append((np.abs(v).astype(np.int64), v < 0))
+    return res

@@ -460,9 +460,11 @@ def decode_blocks(blocks: list[dict], interpret: bool = False):
         jax.default_backend() in ("tpu", "axon")
     for (W, H), idxs in buckets.items():
         if use_pallas:
-            from grok_tpu.ops.pallas_t1 import LANES, decode_bucket_pallas
-            for k in range(0, len(idxs), LANES):
-                chunk = idxs[k:k + LANES]
+            from grok_tpu.ops.pallas_t1 import (LANES, decode_bucket_pallas,
+                                                sublanes_for)
+            step = sublanes_for(W, H) * LANES
+            for k in range(0, len(idxs), step):
+                chunk = idxs[k:k + step]
                 for i, res in zip(chunk, decode_bucket_pallas(
                         [blocks[i] for i in chunk], W, H)):
                     results[i] = res

@@ -20,9 +20,7 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.mark.parametrize("seed", [0])
 def test_pallas_interpret_bit_exact(seed):
-    import jax.numpy as jnp
-
-    from grok_tpu.ops.pallas_t1 import pack_for_pallas, pallas_t1_decode
+    from grok_tpu.ops.pallas_t1 import decode_bucket_pallas
     rng = np.random.default_rng(seed)
     blocks, refs = [], []
     for i in range(5):
@@ -34,17 +32,10 @@ def test_pallas_interpret_bit_exact(seed):
         blocks.append(dict(data=enc.data, numpasses=len(enc.passes),
                            numbps=enc.numbps, orient=i % 4, w=12, h=12))
         refs.append((mag, neg))
-    data, npass, nbps, ori, wh, B = pack_for_pallas(blocks)
-    mag2, neg = pallas_t1_decode(
-        jnp.asarray(data), jnp.asarray(npass), jnp.asarray(nbps),
-        jnp.asarray(ori), jnp.asarray(wh), 12, 12, int(nbps.max()),
-        data.shape[0] * 32, True)
-    mag2 = np.asarray(mag2)
-    neg = np.asarray(neg)
-    for j, (m, n) in enumerate(refs):
-        assert np.array_equal(mag2[:, :, j] >> 1, m), f"lane {j} mag"
-        assert np.array_equal(neg[:, :, j][m > 0],
-                              n[m > 0].astype(np.int32)), f"lane {j} sign"
+    res = decode_bucket_pallas(blocks, 12, 12, interpret=True)
+    for j, ((mag2, neg), (m, n)) in enumerate(zip(res, refs)):
+        assert np.array_equal(mag2 >> 1, m), f"lane {j} mag"
+        assert np.array_equal(neg[m > 0], n[m > 0]), f"lane {j} sign"
 
 
 @pytest.mark.parametrize("seed", [0])

@@ -56,10 +56,14 @@ def _build_main_header(image: Image, params: CompressParams) -> MainHeader:
     prec_exps = None
     if params.prec_w_exps:
         prec_exps = list(zip(params.prec_w_exps, params.prec_h_exps))
+    cblk_style = params.cblk_style
+    if params.ht:
+        from grok_tpu.core.params import CBLK_HT
+        cblk_style |= CBLK_HT
     cs = CodingStyleComp(num_resolutions=params.num_resolutions,
                          cblk_w_exp=params.cblk_w_exp,
                          cblk_h_exp=params.cblk_h_exp,
-                         cblk_style=params.cblk_style,
+                         cblk_style=cblk_style,
                          irreversible=params.irreversible,
                          prec_exps=prec_exps)
     cod = CodingStyle(prog_order=params.prog_order,
@@ -67,6 +71,12 @@ def _build_main_header(image: Image, params: CompressParams) -> MainHeader:
                       sop=params.sop, eph=params.eph, comp=cs)
 
     hdr = MainHeader(siz=siz, rsiz=int(params.rsiz), comps=comps, cod=cod)
+    if params.ht:
+        # CAP (A.5.2 / ISO 15444-15): Pcap bit for Part 15 capabilities
+        # + one Ccap15 entry (0 = HT-only code-blocks, defaults);
+        # Rsiz bit 14 signals CAP-extended capabilities
+        hdr.cap = (1 << (32 - 15), [0])
+        hdr.rsiz |= 0x4000
     if mct_mode == MCTMode.CUSTOM:
         hdr.custom_mct = np.asarray(params.custom_mct, dtype=float)
         hdr.rsiz |= 0x8000 | 0x0100      # Part-2 extended + MCT extension
@@ -102,6 +112,8 @@ def _main_header_bytes(hdr: MainHeader, params: CompressParams,
                        plm_lists: list[list[int]] | None = None) -> bytes:
     out = bytearray(struct.pack(">H", j2k.SOC))
     out += j2k.write_siz(hdr.siz, hdr.rsiz, hdr.comps)
+    if hdr.cap is not None:
+        out += j2k.write_cap(*hdr.cap)
     out += j2k.write_cod(hdr.cod)
     for c, cs in hdr.coc.items():
         out += j2k.write_coc(c, len(hdr.comps), cs)

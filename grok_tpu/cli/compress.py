@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="9/7 + ICT (lossy)")
     p.add_argument("-M", "--mode", type=int, default=0,
                    help="code-block style mode switches (bitmask)")
+    p.add_argument("-HT", "--htj2k", action="store_true",
+                   help="HTJ2K (Part 15) block coder — experimental "
+                        "self-consistent tables, see t1ht docs")
     p.add_argument("-S", "--sop", action="store_true", help="SOP markers")
     p.add_argument("-E", "--eph", action="store_true", help="EPH markers")
     p.add_argument("-R", "--roi", help="ROI: comp,shift (Maxshift)")
@@ -85,6 +88,7 @@ def params_from_args(a) -> CompressParams:
     params.prog_order = ProgOrder[a.progression_order]
     params.irreversible = a.irreversible
     params.cblk_style = a.mode
+    params.ht = a.htj2k
     params.sop = a.sop
     params.eph = a.eph
     params.num_guard_bits = a.guard_bits

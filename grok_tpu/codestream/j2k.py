@@ -536,6 +536,10 @@ def read_main_header(data: bytes, start: int = 0) -> MainHeader:
         if not (0xFF00 <= marker <= 0xFFFF):
             raise CodestreamError(f"bad marker 0x{marker:04X}")
         ln = r.u16()
+        if r.pos + ln - 2 > len(r.data):
+            raise CodestreamError(
+                f"marker {marker_name(marker)} length {ln} exceeds "
+                "available data (truncated codestream)")
         seg = Reader(r.data, r.pos, r.pos + ln - 2)
         r.pos += ln - 2
         if marker == SIZ:
@@ -710,6 +714,10 @@ def read_tile_part_header(data: bytes, part: TilePartInfo, hdr: MainHeader,
     while r.pos < part.data_start - 2:
         marker = r.u16()
         ln = r.u16()
+        if r.pos + ln - 2 > len(r.data):
+            raise CodestreamError(
+                f"marker {marker_name(marker)} length {ln} exceeds "
+                "available data (truncated tile-part header)")
         seg = Reader(r.data, r.pos, r.pos + ln - 2)
         r.pos += ln - 2
         if marker == COD:

@@ -34,6 +34,7 @@ CBLK_TERMALL = 0x04      # terminate on each coding pass
 CBLK_VSC = 0x08          # vertically stripe-causal context
 CBLK_PTERM = 0x10        # predictable termination
 CBLK_SEGSYM = 0x20       # segmentation symbols
+CBLK_HT = 0x40           # HTJ2K (Part 15) block coder (SPcod/SPcoc bit 6)
 
 
 class RsizProfile(IntEnum):
@@ -123,6 +124,10 @@ class CompressParams:
             raise ValueError("need a precinct exponent per resolution")
         if not (0 <= self.num_guard_bits <= 7):
             raise ValueError("guard bits must be in [0, 7]")
+        if self.ht and self.cblk_style & ~CBLK_HT:
+            raise ValueError(
+                "HTJ2K is a distinct block coder: Part-1 mode switches "
+                "(BYPASS/RESET/TERMALL/VSC/PTERM/SEGSYM) do not apply")
 
 
 @dataclass

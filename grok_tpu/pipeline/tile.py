@@ -25,7 +25,7 @@ from grok_tpu.codestream.j2k import (CodingStyle, CodingStyleComp, MainHeader,
 from grok_tpu.core.geometry import (BAND_LL, Rect, SizGrid, TileCompGeom,
                                     build_tilecomp_geometry)
 from grok_tpu.core.image import Image
-from grok_tpu.core.params import DecompressParams
+from grok_tpu.core.params import CBLK_HT, DecompressParams
 from grok_tpu.core.quant import (QSTYLE_NONE, Quantizer, band_level,
                                  band_norm, dequantize_band, quantize_band)
 from grok_tpu.t1.t1_scalar import decode_block, encode_block
@@ -293,6 +293,14 @@ def encode_tile(image: Image, geo: TileGeometry,
                                                   for i in dev_idx])):
                 encs[i] = e
     with trace("t1_encode", backend=backend):
+        ht_idx = [i for i, j in enumerate(ejobs)
+                  if j["style"] & CBLK_HT and encs[i] is None]
+        if ht_idx:
+            from grok_tpu.t1ht import ht_encode_block
+            for i in ht_idx:
+                j = ejobs[i]
+                encs[i] = ht_encode_block(j["mag"], j["neg"], j["orient"],
+                                          j["style"])
         rest = [i for i, e in enumerate(encs) if e is None]
         if backend in ("native", "jax") and rest and _native.available():
             for i, e in zip(rest, _native.encode_tile_blocks(
@@ -632,7 +640,8 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
         return run_device_decode(jobs, geo, hdr, dp)
 
     count("blocks", len(jobs))
-    if dp.backend == "native" and jobs:
+    any_ht = any(j["style"] & CBLK_HT for j in jobs)
+    if dp.backend == "native" and jobs and not any_ht:
         from grok_tpu import native as _native
         if _native.available():
             return _decode_tile_native(jobs, geo, hdr, dp)
@@ -652,7 +661,12 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
         use_native = _native.available()
     for i, j in enumerate(jobs):
         if results[i] is None:
-            if use_native:
+            if j["style"] & CBLK_HT:
+                from grok_tpu.t1ht import ht_decode_block
+                results[i] = ht_decode_block(
+                    j["data"], j["seg_lens"], j["numpasses"], j["numbps"],
+                    j["orient"], j["w"], j["h"], j["style"], dp.strict)
+            elif use_native:
                 results[i] = _native.decode_block(
                     j["data"], j["seg_lens"], j["numpasses"], j["numbps"],
                     j["orient"], j["w"], j["h"], j["style"])

@@ -19,8 +19,9 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from grok_tpu.codestream.bitio import BitReader, BitWriter
-from grok_tpu.core.params import (CBLK_BYPASS, CBLK_PTERM, CBLK_RESET,
-                                  CBLK_SEGSYM, CBLK_TERMALL, CBLK_VSC)
+from grok_tpu.core.params import (CBLK_BYPASS, CBLK_HT, CBLK_PTERM,
+                                  CBLK_RESET, CBLK_SEGSYM, CBLK_TERMALL,
+                                  CBLK_VSC)
 from grok_tpu.t1.luts import mr_context, sc_context, zc_context
 from grok_tpu.t1.mq import CTX_RL, CTX_UNI, MQDecoder, MQEncoder
 
@@ -49,6 +50,10 @@ def segment_pass_counts(numpasses: int, style: int) -> list[int]:
     """
     if numpasses <= 0:
         return []
+    if style & CBLK_HT:
+        # HT passes (Cleanup, SigProp, MagRef) each terminate their own
+        # codeword segment (ISO 15444-15 pass structure)
+        return [1] * numpasses
     if style & CBLK_TERMALL:
         return [1] * numpasses
     if style & CBLK_BYPASS:

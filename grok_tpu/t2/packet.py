@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 
 from grok_tpu.codestream.bitio import BitReader, BitWriter
 from grok_tpu.core.geometry import BandPrecinctGeom
-from grok_tpu.core.params import CBLK_BYPASS, CBLK_TERMALL
+from grok_tpu.core.params import CBLK_BYPASS, CBLK_HT, CBLK_TERMALL
 from grok_tpu.t1.t1_scalar import EncodedBlock
 from grok_tpu.t2.tagtree import TagTree
 
@@ -34,6 +34,8 @@ def floorlog2(x: int) -> int:
 def max_seg_passes(style: int, segno: int) -> int:
     """Pass capacity of codeword segment `segno` (mirrors
     t1_scalar.segment_pass_counts)."""
+    if style & CBLK_HT:
+        return 1            # every HT pass terminates its own segment
     if style & CBLK_TERMALL:
         return 1
     if style & CBLK_BYPASS:

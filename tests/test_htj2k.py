@@ -1,0 +1,204 @@
+"""HTJ2K (Part 15) block coder tests — self-consistent path.
+
+The normative CxtVLC tables are unavailable offline (t1ht docs), so there
+is no external oracle: the contract tested here is encoder<->decoder
+bit-exactness, segment structure, and API/codestream integration.
+"""
+
+import numpy as np
+import pytest
+
+from grok_tpu import CompressParams, DecompressParams, compress, decompress
+from grok_tpu.core.params import CBLK_HT
+from grok_tpu.t1ht import ht_decode_block, ht_encode_block
+from grok_tpu.t1ht.mel import MELDecoder, MELEncoder
+from grok_tpu.t1ht.tables import N_CTX, VLC_DEC, VLC_ENC
+from grok_tpu.util.oracle import synthetic_image
+
+
+def _random_block(rng, h, w, scale=50, density=0.5):
+    mag = np.abs(rng.normal(0, scale, (h, w))).astype(np.int64)
+    mag[rng.random((h, w)) < density] = 0
+    neg = rng.random((h, w)) < 0.5
+    return mag, neg
+
+
+class TestMEL:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_roundtrip(self, seed):
+        rng = np.random.default_rng(seed)
+        # biased-to-zero event streams exercise the run-length ladder
+        events = (rng.random(2000) < rng.uniform(0.02, 0.5)).astype(int)
+        enc = MELEncoder()
+        for e in events:
+            enc.encode(int(e))
+        data = enc.finish()
+        dec = MELDecoder(data)
+        out = [dec.next_event() for _ in events]
+        assert out == list(events)
+        # adaptive code beats raw bits on sparse streams
+        if events.mean() < 0.1:
+            assert len(data) * 8 < len(events)
+
+    def test_ff_stuffing(self):
+        # long all-ones stream maximizes 1-bits; no FF90..FFFF pairs
+        enc = MELEncoder()
+        for _ in range(500):
+            enc.encode(1)
+        data = enc.finish()
+        for a, b in zip(data, data[1:]):
+            assert not (a == 0xFF and b > 0x8F)
+
+
+class TestVLCTables:
+    def test_prefix_free_and_complete(self):
+        for c in range(N_CTX):
+            enc = VLC_ENC[c]
+            # Kraft sum <= 1 guarantees prefix-freeness for canonical codes
+            assert sum(2.0 ** -ln for ln, _ in enc.values()) <= 1.0 + 1e-12
+            if c == 0:
+                assert 0 not in enc          # rho=0 goes through MEL
+            else:
+                assert 0 in enc
+            for sym, (ln, code) in enc.items():
+                assert 1 <= ln <= 7
+                window = code << (7 - ln)
+                dsym, dln = VLC_DEC[c][window]
+                assert (dsym, dln) == (sym, ln)
+
+
+class TestBlockCoder:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_lossless_roundtrip(self, seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(8):
+            h, w = rng.integers(1, 65, 2)
+            mag, neg = _random_block(rng, h, w,
+                                     scale=rng.choice([3, 40, 400]),
+                                     density=rng.uniform(0.1, 0.95))
+            enc = ht_encode_block(mag, neg, 0)
+            if enc.numbps == 0:
+                assert not mag.any()
+                continue
+            assert enc.seg_passes == [1]
+            mag2, ng = ht_decode_block(enc.data, enc.seg_lens,
+                                       enc.numpasses, enc.numbps, 0, w, h)
+            assert np.array_equal(mag2 >> 1, mag)
+            assert np.array_equal(ng[mag > 0], neg[mag > 0])
+
+    def test_three_pass_refinement(self):
+        rng = np.random.default_rng(9)
+        h = w = 24
+        mag, neg = _random_block(rng, h, w, scale=80, density=0.4)
+        p = 2
+        enc = ht_encode_block(mag, neg, 0, p=p)
+        assert enc.numpasses == 3 and len(enc.seg_lens) == 3
+        # full 3-pass decode reaches plane p-1 exactly
+        mag2, ng = ht_decode_block(enc.data, enc.seg_lens, 3,
+                                   enc.numbps, 0, w, h)
+        v = np.abs(mag2) >> p            # drop the plane-(p-1) half bit
+        # cleanup-significant samples are refined to plane p-1
+        sig_cl = (mag >> p) > 0
+        assert np.array_equal(v[sig_cl], (mag >> (p - 1))[sig_cl])
+        # cleanup-only truncation decodes plane p
+        m1, _ = ht_decode_block(enc.data[:enc.seg_lens[0]],
+                                enc.seg_lens[:1], 1, enc.numbps, 0, w, h)
+        v1 = np.abs(m1) >> (p + 1)
+        assert np.array_equal(v1[sig_cl], (mag >> p)[sig_cl])
+        # monotone improvement cleanup -> 3 passes
+        err1 = np.abs((np.abs(m1) >> 1) - mag).sum()
+        err3 = np.abs((np.abs(mag2) >> 1) - mag).sum()
+        assert err3 <= err1
+        # pass metadata monotone
+        assert enc.passes[0].rate < enc.passes[1].rate < enc.passes[2].rate
+        assert enc.passes[0].dist <= enc.passes[2].dist
+
+    def test_all_zero_and_single_sample(self):
+        z = np.zeros((8, 8), np.int64)
+        enc = ht_encode_block(z, z.astype(bool), 0)
+        assert enc.numbps == 0 and enc.data == b""
+        one = np.zeros((1, 1), np.int64)
+        one[0, 0] = 7
+        enc = ht_encode_block(one, np.ones((1, 1), bool), 2)
+        m2, ng = ht_decode_block(enc.data, enc.seg_lens, 1, enc.numbps,
+                                 2, 1, 1)
+        assert m2[0, 0] >> 1 == 7 and bool(ng[0, 0])
+
+    def test_corrupt_scup_permissive(self):
+        rng = np.random.default_rng(3)
+        mag, neg = _random_block(rng, 16, 16)
+        enc = ht_encode_block(mag, neg, 0)
+        bad = bytearray(enc.data)
+        bad[-1] = 0xFF
+        bad[-2] = 0xFF                  # Scup > segment length
+        m2, ng = ht_decode_block(bytes(bad), enc.seg_lens, 1, enc.numbps,
+                                 0, 16, 16, strict=False)
+        assert not m2.any()
+        with pytest.raises(ValueError):
+            ht_decode_block(bytes(bad), enc.seg_lens, 1, enc.numbps,
+                            0, 16, 16, strict=True)
+
+
+class TestHTApi:
+    def test_truncated_stream_degrades(self):
+        from grok_tpu.codestream.j2k import CodestreamError
+        img = synthetic_image(96, 96, 1, seed=17)
+        d = compress(img, CompressParams(num_resolutions=3, ht=True))
+        for cut in (len(d) // 2, len(d) // 4, 64):
+            try:
+                decompress(d[:cut], DecompressParams(strict=False))
+            except CodestreamError:
+                pass            # clean error allowed (header-level cuts)
+
+    def test_lossless_gray(self):
+        img = synthetic_image(128, 96, 1, seed=3)
+        d = compress(img, CompressParams(num_resolutions=4, ht=True))
+        assert np.array_equal(decompress(d).to_array(), img)
+
+    def test_lossless_rgb_rct(self):
+        img = synthetic_image(64, 64, 3, seed=5)
+        d = compress(img, CompressParams(num_resolutions=3, ht=True))
+        assert np.array_equal(decompress(d).to_array(), img)
+
+    def test_lossy_97(self):
+        img = synthetic_image(128, 128, 1, seed=7)
+        d = compress(img, CompressParams(num_resolutions=4, ht=True,
+                                         irreversible=True))
+        out = decompress(d).to_array()
+        mse = ((out.astype(float) - img) ** 2).mean()
+        assert 10 * np.log10(255 ** 2 / mse) > 45
+
+    def test_cap_marker_and_style_bit(self):
+        from grok_tpu.codestream import j2k
+        img = synthetic_image(64, 64, 1, seed=1)
+        d = compress(img, CompressParams(num_resolutions=3, ht=True))
+        hdr = j2k.read_main_header(d)
+        assert hdr.cap is not None
+        pcap, scaps = hdr.cap
+        assert pcap & (1 << (32 - 15))
+        assert len(scaps) == 1
+        assert hdr.cod.comp.cblk_style & CBLK_HT
+        assert hdr.rsiz & 0x4000
+
+    def test_ht_rejects_part1_mode_switches(self):
+        with pytest.raises(ValueError):
+            CompressParams(ht=True, cblk_style=0x01).validate()
+
+    def test_rate_targeted_layers(self):
+        img = synthetic_image(128, 128, 1, seed=11)
+        d = compress(img, CompressParams(num_resolutions=4, ht=True,
+                                         num_layers=2, rates=[8, 1]))
+        full = decompress(d).to_array()
+        assert np.array_equal(full, img)      # last layer lossless
+        l1 = decompress(d, DecompressParams(max_layers=1)).to_array()
+        mse = ((l1.astype(float) - img) ** 2).mean()
+        assert mse < 300                      # first layer usable
+
+    def test_reduce_and_window(self):
+        img = synthetic_image(128, 128, 1, seed=13)
+        d = compress(img, CompressParams(num_resolutions=4, ht=True))
+        r1 = decompress(d, DecompressParams(reduce=1)).to_array()
+        assert r1.shape == (64, 64)
+        win = decompress(
+            d, DecompressParams(window=(32, 32, 96, 96))).to_array()
+        assert np.array_equal(win, img[32:96, 32:96])

@@ -7,9 +7,12 @@ zero-events emits a single 0-bit and moves to a longer threshold, while
 a one-event emits a 1-bit followed by E[k] bits giving the partial run
 length and moves to a shorter threshold.
 
-Bits are packed MSB-first with 0xFF bit-stuffing (a byte following 0xFF
-carries only 7 payload bits), matching the MagSgn convention so no
-FF90..FFFF marker codes appear inside the segment.
+Bits are packed LSB-first without bit-stuffing (first transmitted bit
+= bit 0 of the first byte; multi-bit run fields LSB-first): the
+lockstep device decoder (ops/pallas_ht.py) then reads n-bit fields as
+`acc & ((1 << n) - 1)` instead of per-bit loops.  Marker-code emulation
+inside packet bodies is an accepted non-conformance of this
+experimental path (see t1ht/__init__).
 
 Reference parity: [grok: src/lib/core/t1/t1_ht/ MEL encoder/decoder];
 the state-exponent ladder is the spec's (13 states, exponents below).
@@ -25,20 +28,19 @@ class MELEncoder:
         self.k = 0
         self.run = 0
         self.buf = bytearray()
-        self._bits = 0          # bit accumulator (MSB first)
+        self._bits = 0          # bit accumulator (LSB first)
         self._nbits = 0
 
     def _emit_bit(self, b: int):
-        self._bits = (self._bits << 1) | (b & 1)
+        self._bits |= (b & 1) << self._nbits
         self._nbits += 1
-        limit = 7 if (self.buf and self.buf[-1] == 0xFF) else 8
-        if self._nbits == limit:
+        if self._nbits == 8:
             self.buf.append(self._bits)
             self._bits = 0
             self._nbits = 0
 
     def _emit_bits(self, v: int, n: int):
-        for i in range(n - 1, -1, -1):
+        for i in range(n):
             self._emit_bit((v >> i) & 1)
 
     def encode(self, event: int):
@@ -60,8 +62,7 @@ class MELEncoder:
         # requests more events than were encoded, so just flush the bit
         # accumulator zero-padded.
         if self._nbits:
-            limit = 7 if (self.buf and self.buf[-1] == 0xFF) else 8
-            self.buf.append(self._bits << (limit - self._nbits))
+            self.buf.append(self._bits)
             self._bits = 0
             self._nbits = 0
         return bytes(self.buf)
@@ -77,7 +78,6 @@ class MELDecoder:
         self._pending_one = False   # a one-event follows the owed zeros
         self._byte = 0
         self._nbits = 0
-        self._prev_ff = False
 
     def _read_bit(self) -> int:
         if self._nbits == 0:
@@ -86,11 +86,12 @@ class MELDecoder:
                 self.pos += 1
             else:
                 b = 0
-            self._nbits = 7 if self._prev_ff else 8
-            self._prev_ff = b == 0xFF
-            self._byte = b & ((1 << self._nbits) - 1)
+            self._nbits = 8
+            self._byte = b
+        v = self._byte & 1
+        self._byte >>= 1
         self._nbits -= 1
-        return (self._byte >> self._nbits) & 1
+        return v
 
     def next_event(self) -> int:
         if self.run > 0:
@@ -106,8 +107,8 @@ class MELDecoder:
             self.k = min(self.k + 1, 12)
             return 0
         r = 0
-        for _ in range(e):
-            r = (r << 1) | self._read_bit()
+        for i in range(e):
+            r |= self._read_bit() << i
         self.k = max(self.k - 1, 0)
         if r > 0:
             # r zeros precede the one-event

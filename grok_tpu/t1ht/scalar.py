@@ -4,10 +4,15 @@ Codeword layout of the HT Cleanup segment (self-consistent framing; the
 spec interleaves Scup into the last VLC bytes, we store it explicitly):
 
     [0]                p      plane of the cleanup pass (1 byte)
-    [1 .. L-Scup)      MagSgn stream, forward, LSB-first bits, 0xFF-stuffed
-    [L-Scup .. )       MEL stream, forward, MSB-first bits, 0xFF-stuffed
-    ( .. L-2)          VLC stream, stored byte-reversed (read backward)
-    [L-2 .. L)         Scup = len(MEL) + len(VLC) + 2, little-endian
+    [1 .. L-Scup)      MagSgn stream, forward, LSB-first bits
+    [L-Scup .. )       MEL stream, forward, MSB-first bits
+    ( .. L-4)          VLC stream, stored byte-reversed (read backward)
+    [L-4 .. L-2)       len(MEL), little-endian (device packer boundary)
+    [L-2 .. L)         Scup = len(MEL) + len(VLC) + 4, little-endian
+
+No 0xFF bit-stuffing anywhere in the segment: the lockstep device
+decoder reads fixed byte widths; marker-code emulation inside packet
+bodies is an accepted non-conformance of this experimental path.
 
 Coding model per 2x2 quad (samples column-wise n0=(0,0) n1=(1,0)
 n2=(0,1) n3=(1,1), offsets (dy,dx)):
@@ -45,20 +50,18 @@ _QOFF = ((0, 0), (1, 0), (0, 1), (1, 1))
 
 
 class _MagSgnWriter:
-    """LSB-first bit packer with 0xFF stuffing."""
+    """LSB-first bit packer (no stuffing — see module docstring)."""
 
     def __init__(self):
         self.buf = bytearray()
         self._acc = 0
         self._n = 0
-        self._limit = 8
 
     def bit(self, b: int):
         self._acc |= (b & 1) << self._n
         self._n += 1
-        if self._n == self._limit:
+        if self._n == 8:
             self.buf.append(self._acc)
-            self._limit = 7 if self._acc == 0xFF else 8
             self._acc = 0
             self._n = 0
 
@@ -79,17 +82,13 @@ class _MagSgnReader:
         self.data, self.pos, self.end = data, start, end
         self._acc = 0
         self._n = 0
-        self._limit = 8
-        self._prev = 0
 
     def bit(self) -> int:
         if self._n == 0:
             b = self.data[self.pos] if self.pos < self.end else 0
             self.pos += 1
-            self._limit = 7 if self._prev == 0xFF else 8
-            self._prev = b
             self._acc = b
-            self._n = self._limit
+            self._n = 8
         v = self._acc & 1
         self._acc >>= 1
         self._n -= 1
@@ -103,8 +102,8 @@ class _MagSgnReader:
 
 
 class _VLCWriter:
-    """MSB-first bit buffer; bytes are reversed at finish (the stream is
-    read backward from the end of the segment)."""
+    """LSB-first bit buffer; bytes are reversed at finish (the stream is
+    stored backward at the end of the segment)."""
 
     def __init__(self):
         self.buf = bytearray()
@@ -112,8 +111,8 @@ class _VLCWriter:
         self._n = 0
 
     def bits(self, v: int, n: int):
-        for i in range(n - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((v >> i) & 1)
+        for i in range(n):
+            self._acc |= ((v >> i) & 1) << self._n
             self._n += 1
             if self._n == 8:
                 self.buf.append(self._acc)
@@ -122,15 +121,15 @@ class _VLCWriter:
 
     def finish(self) -> bytes:
         if self._n:
-            self.buf.append(self._acc << (8 - self._n))
+            self.buf.append(self._acc)
             self._acc = 0
             self._n = 0
         return bytes(reversed(self.buf))
 
 
 class _VLCReader:
-    """Reads the byte-reversed VLC stream backward: byte at `end-1`
-    first, MSB-first bits within each byte."""
+    """Reads the byte-reversed VLC stream backward (byte at `end-1`
+    first), LSB-first bits within each byte."""
 
     def __init__(self, data: bytes, start: int, end: int):
         self.data, self.start, self.pos = data, start, end - 1
@@ -141,23 +140,23 @@ class _VLCReader:
         while self._n < need:
             b = self.data[self.pos] if self.pos >= self.start else 0
             self.pos -= 1
-            self._acc = (self._acc << 8) | b
+            self._acc |= b << self._n
             self._n += 8
 
     def peek7(self) -> int:
         self._fill(7)
-        return (self._acc >> (self._n - 7)) & 0x7F
+        return self._acc & 0x7F
 
     def skip(self, n: int):
         self._fill(n)
+        self._acc >>= n
         self._n -= n
-        self._acc &= (1 << self._n) - 1
 
     def bit(self) -> int:
         self._fill(1)
+        v = self._acc & 1
+        self._acc >>= 1
         self._n -= 1
-        v = (self._acc >> self._n) & 1
-        self._acc &= (1 << self._n) - 1
         return v
 
 
@@ -222,9 +221,11 @@ def ht_encode_block(mag: np.ndarray, neg: np.ndarray, orient: int,
     mel_b = mel.finish()
     vlc_b = vlc.finish()
     ms_b = ms.finish()
-    scup = len(mel_b) + len(vlc_b) + 2
+    nm = len(mel_b)
+    scup = nm + len(vlc_b) + 4
     cleanup = bytes([p]) + ms_b + mel_b + vlc_b + \
-        bytes([scup & 0xFF, (scup >> 8) & 0xFF])
+        bytes([nm & 0xFF, (nm >> 8) & 0xFF,
+               scup & 0xFF, (scup >> 8) & 0xFF])
 
     # distortion bookkeeping (Part-1 half-bit reconstruction model)
     m = mag.astype(np.float64)
@@ -316,18 +317,19 @@ def ht_decode_block(data: bytes, seg_lens: list[int], numpasses: int,
         if strict:
             raise ValueError("HT cleanup segment truncated")
         return mag2, neg
-    if L < 4:
+    if L < 6:
         return mag2, neg
     p = data[0]
     scup = data[L - 2] | (data[L - 1] << 8)
-    if scup < 2 or scup > L - 1:
+    mel_len = data[L - 4] | (data[L - 3] << 8)
+    if scup < 4 or scup > L - 1 or mel_len > scup - 4:
         if strict:
             raise ValueError("HT cleanup: bad Scup")
         return mag2, neg
 
     ms = _MagSgnReader(data, 1, L - scup)
-    mel = MELDecoder(data, L - scup, L - 2)
-    vlc = _VLCReader(data, L - scup, L - 2)
+    mel = MELDecoder(data, L - scup, L - scup + mel_len)
+    vlc = _VLCReader(data, L - scup + mel_len, L - 4)
 
     gh, gw = _quad_grid(w, h)
     v = np.zeros((h, w), dtype=np.int64)

@@ -10,14 +10,17 @@ and decoder share these tables; swap in the normative ones here for
 interoperability.
 
 Layout per context c in [0, 8):
-  ENC[c][rho] = (length, codeword)   codeword MSB-first, length <= 7
-  DEC[c][prefix7] = (rho, length)    7-bit-window decode LUT
+  ENC[c][rho] = (length, codeword)   transmitted-first bit = codeword
+                                     bit 0 (LSB-first streams), len <= 7
+  DEC[c][window7] = (rho, length)    LUT over the next 7 stream bits
+                                     (first bit at window bit 0)
 
 Context 0 excludes rho == 0 (MEL already signalled significance), other
 contexts include it.
 
-UVLC codes the quad magnitude-exponent offset u = U - 1:
-  0 -> "0", 1 -> "10", 2 -> "110", u >= 3 -> "111" + 5 bits of (u - 3).
+UVLC codes the quad magnitude-exponent offset u = U - 1 (bit strings
+in transmission order): 0 -> "0", 1 -> "10", 2 -> "110",
+u >= 3 -> "111" + 5 bits of (u - 3) LSB-first.
 """
 
 from __future__ import annotations
@@ -94,17 +97,41 @@ def _canonical(lengths: dict[int, int]):
     return enc
 
 
-def _build():
+def _build(kind: str = "flat"):
+    """Build the (enc, dec) table pair.
+
+    kind="flat": fixed 4-bit rho codes — the default, chosen so the
+    device (Pallas) decoder needs no table lookup in its lockstep scan
+    (a 128-entry one-hot gather per quad would dominate the kernel).
+    Costs ~2 bits per coded quad vs the Huffman variant.
+    kind="huffman": canonical codes from the heuristic weights — the
+    structural stand-in for the normative CxtVLC tables; keep this path
+    alive so those tables can drop in.
+    """
     enc_tables = []
     dec_tables = []
     for c in range(N_CTX):
-        enc = _canonical(_huffman_lengths(_weights(c)))
+        if kind == "flat":
+            if c == 0:
+                # MEL already said the quad is significant: plain 4 bits
+                enc = {s: (4, s) for s in range(1, 16)}
+            else:
+                # rho=0 dominates active contexts: 1-bit zero flag,
+                # else flag + 4 rho bits — still LUT-free on device
+                enc = {0: (1, 0)}
+                enc.update({s: (5, 1 | (s << 1)) for s in range(1, 16)})
+        else:
+            canon = _canonical(_huffman_lengths(_weights(c)))
+            # canonical codes are MSB-first; store them bit-reversed so
+            # the transmitted-first bit sits at bit 0
+            enc = {s: (ln, int(format(code, f"0{ln}b")[::-1], 2))
+                   for s, (ln, code) in canon.items()}
         enc_tables.append(enc)
         dec = [(-1, 0)] * 128
         for sym, (ln, code) in enc.items():
-            # every 7-bit window starting with this code decodes to sym
+            # every 7-bit window whose low ln bits equal the code
             for pad in range(1 << (7 - ln)):
-                dec[(code << (7 - ln)) | pad] = (sym, ln)
+                dec[code | (pad << ln)] = (sym, ln)
         dec_tables.append(dec)
     return enc_tables, dec_tables
 
@@ -113,15 +140,15 @@ VLC_ENC, VLC_DEC = _build()
 
 
 def uvlc_encode(u: int):
-    """Return (length, bits) for the exponent offset u >= 0."""
+    """Return (length, bits) for u >= 0; transmitted-first bit = bit 0."""
     if u == 0:
         return 1, 0b0
     if u == 1:
-        return 2, 0b10
+        return 2, 0b01
     if u == 2:
-        return 3, 0b110
+        return 3, 0b011
     assert u - 3 < 32, "u out of range"
-    return 8, (0b111 << 5) | (u - 3)
+    return 8, 0b111 | ((u - 3) << 3)
 
 
 def uvlc_decode(read_bit) -> int:
@@ -132,6 +159,6 @@ def uvlc_decode(read_bit) -> int:
     if read_bit() == 0:
         return 2
     v = 0
-    for _ in range(5):
-        v = (v << 1) | read_bit()
+    for i in range(5):
+        v |= read_bit() << i
     return v + 3

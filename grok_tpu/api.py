@@ -8,7 +8,7 @@ decompress family (upstream opj_* surface verified in SURVEY.md §1.1).
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import numpy as np
 
@@ -452,3 +452,73 @@ def decompress(data: bytes,
         img.capture_resolution = meta.capture_resolution
     from grok_tpu.pipeline.postproc import postprocess
     return postprocess(img, meta, dp)
+
+
+def decompress_device(data: bytes,
+                      dparams: DecompressParams | None = None) -> list:
+    """Decode a codestream to DEVICE-RESIDENT component arrays.
+
+    The serving path for accelerator consumers (a model eating decoded
+    pixels): host does T2/byte work, the device does all bitplane and
+    wavelet math, and the decoded int32 component planes stay in device
+    memory — no HBM->host download.  Returns a list of jax.Array, one
+    per component, at full (non-windowed) tile-grid resolution.
+
+    Requires the jax backend; falls back to a host decode + upload when a
+    tile is not fused-path eligible (non-default coding styles other than
+    HT, ROI, multi-segment blocks).  Postprocessing (force_rgb, ICC,
+    upsample) is host-side and not applied here.
+
+    Reference parity: device analog of the tile-cache decode surface
+    [grok: grk_decompress_tile] (SURVEY.md §1.1).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dp = dparams or DecompressParams()
+    dp = replace(dp, backend="jax", keep_device=True)
+    cs, meta = _locate_codestream(data, permissive=not dp.strict)
+    hdr = j2k.read_main_header(cs)
+    parts = j2k.read_tile_parts(cs, hdr, strict=dp.strict)
+    by_tile: dict[int, list] = {}
+    for p in parts:
+        by_tile.setdefault(p.tile_index, []).append(p)
+
+    g = hdr.siz.normalized()
+    scale = 1 << dp.reduce if dp.reduce else 1
+    tiles = sorted(by_tile)
+
+    out_arrays: list = []
+    origins: list[tuple[int, int]] = []
+    single_tile = len(tiles) == 1
+    for ci in hdr.comps:
+        x0, y0 = -(-g.xosiz // ci.dx), -(-g.yosiz // ci.dy)
+        x1, y1 = -(-g.xsiz // ci.dx), -(-g.ysiz // ci.dy)
+        rx0, ry0 = -(-x0 // scale), -(-y0 // scale)
+        rx1, ry1 = -(-x1 // scale), -(-y1 // scale)
+        origins.append((rx0, ry0))
+        if not single_tile:
+            out_arrays.append(jnp.zeros((ry1 - ry0, rx1 - rx0), jnp.int32))
+
+    for t in tiles:
+        th = TileHeader()
+        chunks = []
+        for p in sorted(by_tile[t], key=lambda p: p.part_index):
+            j2k.read_tile_part_header(cs, p, hdr, th)
+            chunks.append(cs[p.data_start:p.data_end])
+        body = b"".join(chunks)
+        geo = tile_pipe.TileGeometry.build(hdr, t, th)
+        comp_arrays = tile_pipe.decode_tile(body, geo, hdr, th, dp)
+        comp_arrays = [jnp.asarray(a) for a in comp_arrays]
+        if single_tile:
+            return comp_arrays
+        for c in range(hdr.numcomps):
+            nl = geo.styles[c].num_resolutions - 1
+            eff_reduce = min(dp.reduce, nl) if dp.reduce else 0
+            rect = geo.comp_rects[c].ceil_scale(1 << eff_reduce,
+                                                1 << eff_reduce)
+            ox, oy = origins[c]
+            out_arrays[c] = jax.lax.dynamic_update_slice(
+                out_arrays[c], comp_arrays[c][:rect.h, :rect.w],
+                (rect.y0 - oy, rect.x0 - ox))
+    return out_arrays

@@ -146,3 +146,6 @@ class DecompressParams:
                                     # (batched device T1 + device DWT;
                                     # falls back per-block for non-default
                                     # coding styles)
+    keep_device: bool = False       # jax backend: leave decoded pixels on
+                                    # the device (api.decompress_device) —
+                                    # no HBM->host download

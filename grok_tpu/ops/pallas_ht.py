@@ -73,40 +73,73 @@ def parse_ht_header(data: bytes, seg_lens):
 
 def ht_block_eligible(job: dict) -> bool:
     """Kernel path: single cleanup segment, valid framing, U+1 <= 25 bits
-    per MagSgn read (the staged word guarantees 25 valid bits)."""
+    per MagSgn read (the staged word guarantees 25 valid bits).  Caches
+    the parsed header in job["_ht_hdr"] for the packer."""
     if job["numpasses"] != 1:
         return False
     sl = job.get("seg_lens") or [len(job["data"])]
     if len(sl) > 1:
         return False
-    hdr = parse_ht_header(job["data"], sl)
+    hdr = job.get("_ht_hdr")
     if hdr is None:
+        hdr = parse_ht_header(job["data"], sl)
+        if hdr is None:
+            return False
+        job["_ht_hdr"] = hdr
+    if max(len(hdr[1]), len(hdr[2]), len(hdr[3])) > MAX_STREAM:
         return False
     return job["numbps"] - hdr[0] <= 24
 
 
-def _pack_pairs_le(streams: list[bytes], S: int) -> np.ndarray:
-    """(G, 32, [S,] LANES) int32 little-endian byte pairs, zero-padded."""
+# Longest per-lane stream the kernel accepts.  The staged-window design
+# re-reads the whole (G, 32, lanes) buffer at every refresh, so G is both
+# a VMEM-pressure and a Mosaic-compile bound — G > ~128 sends compiles
+# off a cliff (reproduced: G=256 hangs).  Oversized blocks fall back to
+# the scalar path; encoders that want the device path use smaller
+# code-blocks (32x32 keeps lossless 8bpp streams ~1 KB).
+MAX_STREAM = 128 * 32 - 8
+
+
+def _quant_len(maxlen: int) -> int:
+    """Quantize per-lane buffer length (multiples of 256 bytes) so minor
+    stream length changes reuse the same compiled kernel (the granule
+    count G is a static kernel dimension)."""
+    return max(256, -(-(maxlen + 8) // 256) * 256)
+
+
+def _pack_raw(streams: list[bytes], S: int) -> np.ndarray:
+    """(NL, Lb+1) uint8, zero-padded: the host-side format.  Byte-pair
+    staging is built ON DEVICE (device_pairs) — uploading raw bytes is 8x
+    less tunnel traffic than uploading int32 pair tensors."""
     NL = S * LANES
     maxlen = max((len(s) for s in streams), default=1)
-    Lb = max(64, -(-(maxlen + 8) // 32) * 32)
+    Lb = _quant_len(maxlen)
     raw = np.zeros((NL, Lb + 1), np.uint8)
     for j, s in enumerate(streams):
         raw[j, :len(s)] = np.frombuffer(s, np.uint8)
-    pairs = raw[:, :Lb].astype(np.int32) | (raw[:, 1:].astype(np.int32) << 8)
+    return raw
+
+
+def device_pairs(raw, S: int):
+    """uint8 (NL, Lb+1) -> (G, 32, [S,] LANES) int32 LE byte pairs, on
+    device (runs inside the enclosing jit; XLA fuses the upcast/shift)."""
+    import jax.numpy as jnp
+
+    Lb = raw.shape[1] - 1
     G = Lb // 32
+    a = raw.astype(jnp.int32)
+    pairs = a[:, :Lb] | (a[:, 1:] << 8)
     if S > 1:
-        return np.ascontiguousarray(
-            pairs.reshape(S, LANES, G, 32).transpose(2, 3, 0, 1))
-    return np.ascontiguousarray(
-        pairs.reshape(LANES, G, 32).transpose(1, 2, 0))
+        return pairs.reshape(S, LANES, G, 32).transpose(2, 3, 0, 1)
+    return pairs.reshape(LANES, G, 32).transpose(1, 2, 0)
 
 
 def pack_ht_for_pallas(blocks: list[dict], S: int):
     """Parse headers and pack the three sub-streams for the kernel.
 
-    Returns (ms, mel, vlc byte-pair buffers; p, wh, valid lane arrays).
-    Callers must pre-filter with ht_block_eligible."""
+    Returns (ms, mel, vlc RAW uint8 (NL, Lb+1) buffers; p, wh, valid lane
+    arrays).  Callers must pre-filter with ht_block_eligible; a cached
+    parse in job["_ht_hdr"] (set by ht_block_eligible) is reused."""
     NL = S * LANES
     assert len(blocks) <= NL
     mss, mels, vlcs = [], [], []
@@ -114,8 +147,10 @@ def pack_ht_for_pallas(blocks: list[dict], S: int):
     wh = np.ones((2, NL), np.int32)
     valid = np.zeros((NL,), np.int32)
     for j, b in enumerate(blocks):
-        sl = b.get("seg_lens") or [len(b["data"])]
-        hdr = parse_ht_header(b["data"], sl)
+        hdr = b.get("_ht_hdr")
+        if hdr is None:
+            sl = b.get("seg_lens") or [len(b["data"])]
+            hdr = parse_ht_header(b["data"], sl)
         p, ms, mel, vlc = hdr
         mss.append(ms)
         mels.append(mel)
@@ -124,9 +159,9 @@ def pack_ht_for_pallas(blocks: list[dict], S: int):
         wh[0, j] = b["w"]
         wh[1, j] = b["h"]
         valid[j] = 1
-    ms_d = _pack_pairs_le(mss, S)
-    mel_d = _pack_pairs_le(mels, S)
-    vlc_d = _pack_pairs_le(vlcs, S)
+    ms_d = _pack_raw(mss, S)
+    mel_d = _pack_raw(mels, S)
+    vlc_d = _pack_raw(vlcs, S)
     if S > 1:
         pv = pv.reshape(S, LANES)
         wh = wh.reshape(2, S, LANES)
@@ -138,14 +173,20 @@ def pack_ht_for_pallas(blocks: list[dict], S: int):
 
 
 @partial(jax.jit, static_argnums=(6, 7, 8, 9))
-def pallas_ht_decode(ms_d, mel_d, vlc_d, pv, wh, valid,
+def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
                      W: int, H: int, S: int, interpret: bool = False):
     """Decode a batch of S*128 HT cleanup blocks with one Pallas kernel.
 
-    Returns signed mag2 (H, W, [S,] LANES) int32 (negative = sign bit),
-    with the Part-1 half-bit below plane p (matches ht_decode_block)."""
+    ms/mel/vlc_raw: (NL, Lb+1) uint8 per-lane streams (_pack_raw); the
+    byte-pair staging tensors are built here on device.  Returns signed
+    mag2 (H, W, [S,] LANES) int32 (negative = sign bit), with the Part-1
+    half-bit below plane p (matches ht_decode_block)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    ms_d = device_pairs(ms_raw, S)
+    mel_d = device_pairs(mel_raw, S)
+    vlc_d = device_pairs(vlc_raw, S)
 
     GH, GW = (H + 1) // 2, (W + 1) // 2
     arr_tail = (S, LANES) if S > 1 else (LANES,)
@@ -335,11 +376,14 @@ def pallas_ht_decode(ms_d, mel_d, vlc_d, pv, wh, valid,
     return out
 
 
-def sublanes_for_ht(W: int, H: int) -> int:
-    """Sublane batch bounded by VMEM (out + rho scratch per lane)."""
+def sublanes_for_ht(W: int, H: int, max_stream: int = 0) -> int:
+    """Sublane batch bounded by VMEM: out + rho scratch + the three
+    staged byte-pair stream buffers (int32 words per lane)."""
     GH, GW = (H + 1) // 2, (W + 1) // 2
     words = H * W + (GH + 1) * (GW + 2)
-    return 8 if words * 8 * 128 * 4 <= 9 * 2 ** 20 else 1
+    if max_stream:
+        words += _quant_len(max_stream) + 2 * 256   # ms + mel + vlc pairs
+    return 8 if words * 8 * 128 * 4 <= 11 * 2 ** 20 else 1
 
 
 def _pow2_at_least(n: int) -> int:
@@ -357,10 +401,15 @@ def decode_ht_blocks(blocks: list[dict], interpret: bool = False):
     results: list = [None] * len(blocks)
     buckets: dict[tuple[int, int], list[int]] = {}
     for i, b in enumerate(blocks):
+        if "_ht_hdr" not in b:
+            b["_ht_hdr"] = parse_ht_header(
+                b["data"], b.get("seg_lens") or [len(b["data"])])
         key = (_pow2_at_least(b["w"]), _pow2_at_least(b["h"]))
         buckets.setdefault(key, []).append(i)
     for (W, H), idxs in buckets.items():
-        S = min(sublanes_for_ht(W, H), -(-len(idxs) // LANES))
+        mx = max(max(len(s) for s in blocks[i]["_ht_hdr"][1:4])
+                 for i in idxs)
+        S = min(sublanes_for_ht(W, H, mx), -(-len(idxs) // LANES))
         step = S * LANES
         for kchunk in range(0, len(idxs), step):
             chunk = idxs[kchunk:kchunk + step]

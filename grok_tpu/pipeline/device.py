@@ -37,9 +37,11 @@ def _build_decode_fn(sig):
       (ncomps, mct_mode(0/1/2: none/rct/ict), reduce_r_lim..., per-comp:
         (rect, numres, r_lim, prec, sgnd, irrev,
          bands: ((r, orient, brect, delta), ...)),
-       buckets: ((W, H, maxbp, count,
+       buckets: ((coder, W, H, maxbp_or_S, count,
                   blocks: ((lane, comp, r, orient, y0off, x0off, bh, bw,
                             delta, irrev), ...)), ...))
+    coder "mq" runs the XLA EBCOT batch; "ht" runs the Pallas HT kernel
+    (TPU backends only — gated by the caller).
     """
     import jax
     import jax.numpy as jnp
@@ -55,7 +57,19 @@ def _build_decode_fn(sig):
         # 1. batched T1 per bucket
         bucket_out = []
         for (bs, arrs) in zip(buckets_sig, bucket_arrays):
-            (W, H, maxbp, _count, _blocks) = bs
+            (coder, W, H, maxbp, _count, _blocks) = bs
+            if coder == "ht":
+                from grok_tpu.ops.pallas_ht import pallas_ht_decode
+                S = maxbp
+                ms_d, mel_d, vlc_d, pv, whv, valid = arrs
+                out = pallas_ht_decode(ms_d, mel_d, vlc_d, pv, whv, valid,
+                                       W, H, S)
+                if S > 1:
+                    m = out.transpose(2, 3, 0, 1).reshape(S * 128, H, W)
+                else:
+                    m = out.transpose(2, 0, 1)
+                bucket_out.append((jnp.abs(m), m < 0))
+                continue
             data16, dlen, npass, nbps, ori, wh = arrs
             mag2, neg = t1_decode_batch(data16, dlen, npass, nbps, ori, wh,
                                         W, H, maxbp, fold)
@@ -71,7 +85,7 @@ def _build_decode_fn(sig):
                 dt = jnp.float32 if irrev else jnp.int32
                 band_arrays[(ci, r, orient)] = jnp.zeros((bh, bw), dtype=dt)
         for (bs, (mag2, neg)) in zip(buckets_sig, bucket_out):
-            (_W, _H, _maxbp, _count, blocks) = bs
+            (_coder, _W, _H, _maxbp, _count, blocks) = bs
             for (lane, ci, r, orient, yoff, xoff, bh, bw, delta,
                  irrev) in blocks:
                 m2 = mag2[lane, :bh, :bw]
@@ -135,18 +149,51 @@ def decode_tile_device(jobs, geo, dp) -> list[np.ndarray]:
     """
     import jax.numpy as jnp
 
+    from grok_tpu.core.params import CBLK_HT
     from grok_tpu.ops.t1_dec import pack_pairs
 
-    # bucket blocks by padded shape
-    buckets: dict[tuple[int, int], list[int]] = {}
+    # bucket blocks by (coder, padded shape)
+    buckets: dict[tuple[str, int, int], list[int]] = {}
     for i, j in enumerate(jobs):
-        key = (_pow2_at_least(j["w"]), _pow2_at_least(j["h"]))
+        coder = "ht" if j["style"] & CBLK_HT else "mq"
+        key = (coder, _pow2_at_least(j["w"]), _pow2_at_least(j["h"]))
         buckets.setdefault(key, []).append(i)
+
+    def block_sig(lane, j):
+        c = j["comp"]
+        r = j["res"]
+        bg_rect = geo.tcgs[c].resolutions[r].bands[j["band_i"]].rect
+        return (lane, c, r, j["orient"] if r > 0 else BAND_LL,
+                j["rect"].y0 - bg_rect.y0, j["rect"].x0 - bg_rect.x0,
+                j["rect"].h, j["rect"].w,
+                float(geo.quants[c].delta(r, j["orient"])),
+                bool(geo.styles[c].irreversible))
 
     bucket_sigs = []
     bucket_arrays = []
-    for (W, H), idxs in sorted(buckets.items()):
+    for (coder, W, H), idxs in sorted(buckets.items()):
         B = len(idxs)
+        if coder == "ht":
+            from grok_tpu.ops.pallas_ht import (LANES, pack_ht_for_pallas,
+                                                parse_ht_header,
+                                                sublanes_for_ht)
+            mx = 1
+            for i in idxs:
+                j = jobs[i]
+                if "_ht_hdr" not in j:
+                    j["_ht_hdr"] = parse_ht_header(
+                        j["data"], j.get("seg_lens") or [len(j["data"])])
+                mx = max(mx, max(len(s) for s in j["_ht_hdr"][1:4]))
+            S = min(sublanes_for_ht(W, H, mx), -(-B // LANES))
+            # one HT launch per S*LANES chunk of the bucket
+            for k in range(0, B, S * LANES):
+                chunk = idxs[k:k + S * LANES]
+                packed = pack_ht_for_pallas([jobs[i] for i in chunk], S)
+                blocks_sig = tuple(block_sig(lane, jobs[i])
+                                   for lane, i in enumerate(chunk))
+                bucket_sigs.append(("ht", W, H, S, len(chunk), blocks_sig))
+                bucket_arrays.append(tuple(jnp.asarray(a) for a in packed))
+            continue
         maxlen = max(len(jobs[i]["data"]) for i in idxs)
         L = max(8, -(-maxlen // 64) * 64)
         data = np.zeros((B, L), dtype=np.uint8)
@@ -165,17 +212,9 @@ def decode_tile_device(jobs, geo, dp) -> list[np.ndarray]:
             nbps[lane] = j["numbps"]
             ori[lane] = j["orient"]
             wh[lane] = (j["w"], j["h"])
-            c = j["comp"]
-            r = j["res"]
-            bg_rect = geo.tcgs[c].resolutions[r].bands[j["band_i"]].rect
-            blocks_sig.append((
-                lane, c, r, j["orient"] if r > 0 else BAND_LL,
-                j["rect"].y0 - bg_rect.y0, j["rect"].x0 - bg_rect.x0,
-                j["rect"].h, j["rect"].w,
-                float(geo.quants[c].delta(r, j["orient"])),
-                bool(geo.styles[c].irreversible)))
+            blocks_sig.append(block_sig(lane, j))
         maxbp = -(-int(nbps.max()) // 4) * 4 if B else 4
-        bucket_sigs.append((W, H, maxbp, B, tuple(blocks_sig)))
+        bucket_sigs.append(("mq", W, H, maxbp, B, tuple(blocks_sig)))
         bucket_arrays.append((jnp.asarray(pack_pairs(data)),
                               jnp.asarray(dlen), jnp.asarray(npass),
                               jnp.asarray(nbps), jnp.asarray(ori),
@@ -204,9 +243,10 @@ def decode_tile_device(jobs, geo, dp) -> list[np.ndarray]:
     return comps_sig, bucket_sigs, bucket_arrays
 
 
-def run_device_decode(jobs, geo, hdr, dp) -> list[np.ndarray]:
-    import jax
-
+def run_device_decode(jobs, geo, hdr, dp, keep_device: bool = False):
+    """Fused decode; keep_device=True returns device-resident jnp arrays
+    (no host download — the serving path: pixels stay in HBM for the
+    consumer)."""
     comps_sig, bucket_sigs, bucket_arrays = decode_tile_device(jobs, geo, dp)
     # fill in prec/sgnd from the main header
     comps_sig = [
@@ -221,4 +261,6 @@ def run_device_decode(jobs, geo, hdr, dp) -> list[np.ndarray]:
            tuple(bucket_sigs))
     fn = _build_decode_fn(sig)
     out = fn(tuple(bucket_arrays))
+    if keep_device:
+        return list(out)
     return [np.asarray(a) for a in out]

@@ -633,11 +633,22 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
 
     all_eligible = all(j["style"] == 0 and len(j["seg_lens"]) <= 1
                        for j in jobs)
+    if not all_eligible and use_jax and jobs:
+        # HT blocks join the fused path through the Pallas HT kernel
+        from grok_tpu.ops.pallas_ht import (ht_block_eligible,
+                                            ht_pallas_enabled)
+        if ht_pallas_enabled():
+            all_eligible = all(
+                (j["style"] == 0 and len(j["seg_lens"]) <= 1)
+                or (j["style"] & CBLK_HT and ht_block_eligible(j))
+                for j in jobs)
     if use_jax and jobs and all_eligible and not geo.rgn:
         # fused device path: T1 + dequant + band assembly + inverse DWT +
         # inverse MCT in one device program; single upload / download
         from grok_tpu.pipeline.device import run_device_decode
-        return run_device_decode(jobs, geo, hdr, dp)
+        return run_device_decode(jobs, geo, hdr, dp,
+                                 keep_device=getattr(dp, "keep_device",
+                                                     False))
 
     count("blocks", len(jobs))
     any_ht = any(j["style"] & CBLK_HT for j in jobs)

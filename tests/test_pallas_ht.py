@@ -47,14 +47,19 @@ def test_eligibility_rules():
     rng = np.random.default_rng(1)
     job, _ = _make(rng, 8, 8, 50, 0)
     assert ht_block_eligible(job)
+    def variant(**kw):
+        d = dict(job, **kw)
+        d.pop("_ht_hdr", None)   # eligibility caches the parsed header
+        return d
+
     # multi-pass (SigProp/MagRef) blocks route to the scalar path
-    assert not ht_block_eligible(dict(job, numpasses=3,
-                                      seg_lens=job["seg_lens"] + [4, 4]))
+    assert not ht_block_eligible(variant(numpasses=3,
+                                         seg_lens=job["seg_lens"] + [4, 4]))
     # truncated cleanup segment: invalid framing
-    assert not ht_block_eligible(dict(job, data=job["data"][:4],
-                                      seg_lens=[4]))
+    assert not ht_block_eligible(variant(data=job["data"][:4],
+                                         seg_lens=[4]))
     # MagSgn reads wider than the staged window route to the scalar path
-    assert not ht_block_eligible(dict(job, numbps=40))
+    assert not ht_block_eligible(variant(numbps=40))
 
 
 def test_header_parse_roundtrip():

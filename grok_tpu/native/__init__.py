@@ -18,6 +18,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "t1.c")
+_SRC_T2 = os.path.join(_HERE, "t2.c")
 _SO = os.path.join(_HERE, f"_t1_{sys.platform}.so")
 
 _lock = threading.Lock()
@@ -27,11 +28,12 @@ _tried = False
 
 def _build() -> str | None:
     try:
-        if (os.path.exists(_SO)
-                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_T2))
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return _SO
         cc = os.environ.get("CC", "gcc")
-        cmd = [cc, "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-pthread", "-o", _SO, _SRC]
+        cmd = [cc, "-O3", "-march=native", "-funroll-loops", "-shared",
+               "-fPIC", "-pthread", "-o", _SO, _SRC, _SRC_T2]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _SO
     except Exception:
@@ -69,6 +71,18 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_float), ip,
                 ctypes.c_int, ctypes.c_int]
+            ipp = ctypes.POINTER(ctypes.c_int)
+            lib.grk_t2_parse.restype = ctypes.c_int
+            lib.grk_t2_parse.argtypes = [
+                ctypes.c_char_p, ctypes.c_int,
+                ctypes.c_int, ipp, ipp,           # n_ctx, style, band_start
+                ipp, ipp, ipp,                    # ttw, tth, blk_start
+                ipp, ipp,                         # blk_x, blk_y
+                ctypes.c_int, ipp, ipp,           # n_pkts, pkt_ctx, pkt_layer
+                ctypes.c_int, ctypes.c_int,       # sop, eph
+                ipp, ipp, ipp,                    # blk out arrays
+                ipp, ctypes.c_int, ipp,           # chunks, cap, counts
+            ]
             lib.grk_inv53_level.restype = ctypes.c_int
             lib.grk_t1_encode.restype = ctypes.c_int
             lib.grk_fwd53_level.restype = ctypes.c_int
@@ -260,6 +274,69 @@ def fwd53_level(x, x0, y0):
     if rc != 0:
         raise RuntimeError("grk_fwd53_level failed")
     return ll, hl, lh, hh
+
+
+def t2_parse(body: bytes, ctxs_flat: list, packets: list[tuple[int, int]],
+             sop: bool, eph: bool):
+    """Native Tier-2 parse of a tile's whole packet sequence.
+
+    ctxs_flat: list of (style, bands) per precinct context, each band a
+    (tt_w, tt_h, [(x, y), ...]) tuple in decode order.
+    packets: [(ctx_index, layer), ...] in progression order.
+    Returns (blk_included, blk_zb, blk_numpasses, chunks ndarray (N, 6)
+    [blk, layer, segno, numpasses, offset, length], body_pos) or None if
+    the fast path declined (caller falls back to the Python parser).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n_ctx = len(ctxs_flat)
+    ctx_style = np.zeros(n_ctx, np.int32)
+    ctx_band_start = np.zeros(n_ctx + 1, np.int32)
+    band_ttw, band_tth, band_blk_start = [], [], [0]
+    blk_x, blk_y = [], []
+    for ci, (style, bands) in enumerate(ctxs_flat):
+        ctx_style[ci] = style
+        ctx_band_start[ci + 1] = ctx_band_start[ci] + len(bands)
+        for (tw, th_, xys) in bands:
+            band_ttw.append(tw)
+            band_tth.append(th_)
+            band_blk_start.append(band_blk_start[-1] + len(xys))
+            for (x, y) in xys:
+                blk_x.append(x)
+                blk_y.append(y)
+    band_ttw = np.asarray(band_ttw, np.int32)
+    band_tth = np.asarray(band_tth, np.int32)
+    band_blk_start = np.asarray(band_blk_start, np.int32)
+    blk_x = np.asarray(blk_x, np.int32)
+    blk_y = np.asarray(blk_y, np.int32)
+    n_blks = len(blk_x)
+    pkt_ctx = np.asarray([p[0] for p in packets], np.int32)
+    pkt_layer = np.asarray([p[1] for p in packets], np.int32)
+
+    blk_included = np.zeros(n_blks, np.int32)
+    blk_zb = np.zeros(n_blks, np.int32)
+    blk_np = np.zeros(n_blks, np.int32)
+    counts = np.zeros(2, np.int32)
+    cap = max(256, n_blks * max(1, len(packets) // max(n_ctx, 1)) * 2 + 64)
+    while True:
+        chunks = np.zeros((cap, 6), np.int32)
+        rc = lib.grk_t2_parse(
+            body, len(body), n_ctx, _ip(ctx_style), _ip(ctx_band_start),
+            _ip(band_ttw), _ip(band_tth), _ip(band_blk_start),
+            _ip(blk_x), _ip(blk_y),
+            len(packets), _ip(pkt_ctx), _ip(pkt_layer),
+            int(sop), int(eph),
+            _ip(blk_included), _ip(blk_zb), _ip(blk_np),
+            _ip(chunks), cap, _ip(counts))
+        if rc == 3:          # chunk table overflow: grow and retry
+            cap *= 4
+            continue
+        if rc != 0:
+            return None
+        break
+    return (blk_included, blk_zb, blk_np, chunks[:counts[0]],
+            int(counts[1]))
 
 
 def encode_tile_blocks(jobs: list[dict]) -> list:

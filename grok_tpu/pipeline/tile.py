@@ -499,9 +499,47 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                     return False
             return True
 
+    # Native fast path: one C call parses the whole packet sequence
+    # (tag trees + numpasses + segment lengths).  Declines (-> Python
+    # parser, which owns SOP resync and permissive truncation) on PPT/PPM
+    # headers, engaged PLT skipping, truncation, or marker mismatch.
+    native_done = False
+    if not use_ppt and plt_lens is None and dp.backend != "scalar":
+        from grok_tpu import native as _native
+        if _native.available():
+            ctx_keys = list(ctxs.keys())
+            ctx_idx = {k: i for i, k in enumerate(ctx_keys)}
+            ctxs_flat = []
+            for k in ctx_keys:
+                ctx = ctxs[k]
+                bands = []
+                for (_o, bp) in ctx.bands:
+                    bands.append((bp.cblk_grid_w, bp.cblk_grid_h,
+                                  [g.idx_in_prec for g in bp.cblks]))
+                ctxs_flat.append((ctx.style, bands))
+            packets = [(ctx_idx[(pc.comp, pc.res, pc.prec)], pc.layer)
+                       for pc in packet_list]
+            parsed = _native.t2_parse(body, ctxs_flat, packets, sop, eph)
+            if parsed is not None:
+                incl_a, zb_a, np_a, chunk_rows, _endpos = parsed
+                from grok_tpu.t2.packet import Chunk
+                blocks_flat = [st for k in ctx_keys
+                               for bl in ctxs[k].dblocks for st in bl]
+                gi = 0
+                for st in blocks_flat:
+                    st.included = bool(incl_a[gi])
+                    st.zb = int(zb_a[gi])
+                    st.numpasses = int(np_a[gi])
+                    gi += 1
+                for (bi, lay, segno, npk, off, ln) in chunk_rows.tolist():
+                    blocks_flat[bi].chunks.append(Chunk(
+                        layer=lay, segno=segno, numpasses=npk,
+                        offset=off, length=ln))
+                native_done = True
+
     pk_i = 0
     import copy as _copy
-    while pk_i < len(packet_list):
+    while not native_done and pk_i < len(packet_list):
         pc = packet_list[pk_i]
         pk_i += 1
         pkt_start = body_pos

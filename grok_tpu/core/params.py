@@ -149,3 +149,7 @@ class DecompressParams:
     keep_device: bool = False       # jax backend: leave decoded pixels on
                                     # the device (api.decompress_device) —
                                     # no HBM->host download
+    mesh: object = None             # jax.sharding.Mesh (1-D, axis "tiles"):
+                                    # decode with the T1 block batch and the
+                                    # inverse DWT levels sharded across the
+                                    # mesh (giant-tile path, SURVEY §2.1)

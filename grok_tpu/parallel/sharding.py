@@ -262,6 +262,164 @@ def make_inv53_2d_sharded(mesh, rows_per_shard: int, width: int):
     return jax.jit(fn)
 
 
+def decode_blocks_sharded_auto(blocks: list[dict], mesh):
+    """decode_blocks_sharded over mixed shapes: bucket by padded dims,
+    one sharded batch per bucket.  Returns per-block (mag2, neg)."""
+    results: list = [None] * len(blocks)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, b in enumerate(blocks):
+        import numpy as _np
+        if b["numpasses"] <= 0 or b["numbps"] <= 0:
+            results[i] = (_np.zeros((b["h"], b["w"]), _np.int64),
+                          _np.zeros((b["h"], b["w"]), bool))
+            continue
+        W = H = 4   # kernel minimum (stripe geometry)
+        while W < b["w"]:
+            W <<= 1
+        while H < b["h"]:
+            H <<= 1
+        buckets.setdefault((W, H), []).append(i)
+    for (W, H), idxs in buckets.items():
+        for i, res in zip(idxs, decode_blocks_sharded(
+                [blocks[i] for i in idxs], mesh, W, H)):
+            results[i] = res
+    return results
+
+
+def make_inv_2d_level_sharded(mesh, rows_per_shard: int, width: int,
+                              x0: int, y0: int, irrev: bool):
+    """One full inverse DWT level over a row-sharded (R, W) interleaved
+    array — the generalized giant-tile building block.
+
+    Lifts the round-1 limits (VERDICT #4): odd canvas parities (x0, y0)
+    and the irreversible 9/7 filter (4-sample halos, f32 lifting in the
+    same op order as ops/dwt.py).  Horizontal lifting is local to each
+    shard; vertical lifting exchanges a 4-row halo with each neighbour
+    over ICI via ppermute.  Global edges use whole-sample symmetric
+    extension; callers pad ragged row counts with mirror rows
+    (inv_2d_level_sharded) so every shard is full.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from grok_tpu.transform.dwt_np import ALPHA, BETA, DELTA, GAMMA
+
+    n = mesh.devices.size
+    axis = "tiles"
+    W = width
+    HALO = 4
+
+    def h_inverse53(rows):
+        def ext2(a):
+            left = a[:, 1:3][:, ::-1]
+            right = a[:, -3:-1][:, ::-1]
+            return jnp.concatenate([left, a, right], axis=1)
+        ya = ext2(rows)
+        e = ya[:, 1:-1] - ((ya[:, :-2] + ya[:, 2:] + 2) >> 2)
+        o = ya[:, 2:-2] + ((e[:, :-2] + e[:, 2:]) >> 1)
+        jpar = (jnp.arange(W) + x0) % 2
+        return jnp.where(jpar[None, :] == 0, e[:, 1:-1], o)
+
+    def lift_h(a, coef, target_par, base_par):
+        # a[:, j] += coef * (a[:, j-1] + a[:, j+1]) where abs parity hits
+        upd = a[:, 1:-1] + coef * (a[:, :-2] + a[:, 2:])
+        jpar = (jnp.arange(1, a.shape[1] - 1) + base_par) % 2
+        mid = jnp.where((jpar == target_par)[None, :], upd, a[:, 1:-1])
+        return jnp.concatenate([a[:, :1], mid, a[:, -1:]], axis=1)
+
+    def h_inverse97(rows):
+        def ext4(a):
+            left = a[:, 1:5][:, ::-1]
+            right = a[:, -5:-1][:, ::-1]
+            return jnp.concatenate([left, a, right], axis=1)
+        a = ext4(rows)
+        base_par = (x0 + 4) % 2   # abs parity of extended column 0
+        for coef, tp in ((-DELTA, 0), (-GAMMA, 1), (-BETA, 0), (-ALPHA, 1)):
+            a = lift_h(a, jnp.float32(coef), tp, base_par)
+        return a[:, 4:-4]
+
+    def lift_v(a, coef, target_par, base_par):
+        upd = a[1:-1, :] + coef * (a[:-2, :] + a[2:, :])
+        jpar = (jnp.arange(1, a.shape[0] - 1) + base_par) % 2
+        mid = jnp.where((jpar == target_par)[:, None], upd, a[1:-1, :])
+        return jnp.concatenate([a[:1, :], mid, a[-1:, :]], axis=0)
+
+    def local(block):
+        idx = jax.lax.axis_index(axis)
+        hrows = h_inverse97(block) if irrev else h_inverse53(block)
+        up = jax.lax.ppermute(hrows[-HALO:, :], axis,
+                              [(i, (i + 1) % n) for i in range(n)])
+        down = jax.lax.ppermute(hrows[:HALO, :], axis,
+                                [(i, (i - 1) % n) for i in range(n)])
+        top_ext = hrows[1:HALO + 1, :][::-1]
+        bot_ext = hrows[-HALO - 1:-1, :][::-1]
+        up = jnp.where(idx == 0, top_ext, up)
+        down = jnp.where(idx == n - 1, bot_ext, down)
+        ext = jnp.concatenate([up, hrows, down], axis=0)
+        base = idx * rows_per_shard - HALO  # abs row of ext[0] (mod parity)
+        if irrev:
+            base_par = (base + y0) % 2
+            a = ext
+            for coef, tp in ((-DELTA, 0), (-GAMMA, 1),
+                             (-BETA, 0), (-ALPHA, 1)):
+                a = lift_v(a, jnp.float32(coef), tp, base_par)
+            return a[HALO:-HALO, :]
+        e = ext[1:-1, :] - ((ext[:-2, :] + ext[2:, :] + 2) >> 2)
+        o = ext[2:-2, :] + ((e[:-2, :] + e[2:, :]) >> 1)
+        jpar = (jnp.arange(ext.shape[0] - 2 * HALO) + base + HALO + y0) % 2
+        return jnp.where(jpar[:, None] == 0, e[HALO - 1:-HALO + 1, :], o[HALO - 2:o.shape[0] - HALO + 2, :])
+
+    fn = shard_map(local, mesh=mesh, in_specs=P(axis, None),
+                   out_specs=P(axis, None))
+    return jax.jit(fn)
+
+
+def inv_2d_level_sharded(ll, hl, lh, hh, rect, irrev: bool, mesh):
+    """Host wrapper: interleave subbands (parity-aware), mirror-pad rows
+    to a mesh multiple, run the sharded level, trim.  Returns an ndarray
+    (int32 for 5/3, float32 for 9/7).  Falls back to the host kernel for
+    degenerate sizes (fewer than ~2 rows per shard or width < 8)."""
+    import numpy as np
+
+    from grok_tpu.transform import dwt_np
+
+    n = mesh.devices.size
+    R, W = rect.h, rect.w
+    if R < 5 * n or W < 8:
+        return dwt_np.inv_2d_level(ll, hl, lh, hh, rect, irrev)
+    dt = np.float32 if irrev else np.int32
+    inter = np.empty((R, W), dt)
+    ye, xe = rect.y0 % 2, rect.x0 % 2
+    if irrev:
+        # both axes' inverse scalings pre-applied (lifting is linear
+        # homogeneous, so per-row/per-column factors commute with it)
+        from grok_tpu.transform.dwt_np import K
+        ll = np.asarray(ll, np.float64) * (K * K)
+        hl = np.asarray(hl, np.float64) * 2.0
+        lh = np.asarray(lh, np.float64) * 2.0
+        hh = np.asarray(hh, np.float64) * (4.0 / (K * K))
+    # low samples sit at even abs coords: array row r = abs row y0 + r
+    inter[ye::2, xe::2] = ll
+    inter[ye::2, xe ^ 1::2] = hl
+    inter[ye ^ 1::2, xe::2] = lh
+    inter[ye ^ 1::2, xe ^ 1::2] = hh
+    pad = (-R) % n
+    if pad:
+        if pad + 4 > R - 1:
+            return dwt_np.inv_2d_level(ll, hl, lh, hh, rect, irrev)
+        # whole-sample symmetric mirror rows keep the lifting cone exact
+        # for all real rows; padded outputs are trimmed
+        mirror = inter[R - 2:R - 2 - pad:-1, :]
+        inter = np.concatenate([inter, mirror], axis=0)
+    rows_per_shard = inter.shape[0] // n
+    fn = make_inv_2d_level_sharded(mesh, rows_per_shard, W,
+                                   rect.x0, rect.y0, irrev)
+    out = np.asarray(fn(shard_tile_batch(inter, mesh)))
+    return out[:R]
+
+
 def decode_tile_sharded(blocks: list[dict], band_meta: dict, mesh,
                         tc_rect, num_resolutions: int):
     """Giant-tile decode across the mesh: T1 block batch sharded over

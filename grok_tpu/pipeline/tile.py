@@ -669,9 +669,10 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                             bx=cb.rect.x0 - bg.rect.x0,
                             by=cb.rect.y0 - bg.rect.y0))
 
+    use_mesh = dp.mesh is not None
     all_eligible = all(j["style"] == 0 and len(j["seg_lens"]) <= 1
                        for j in jobs)
-    if not all_eligible and use_jax and jobs:
+    if not all_eligible and use_jax and jobs and not use_mesh:
         # HT blocks join the fused path through the Pallas HT kernel
         from grok_tpu.ops.pallas_ht import (ht_block_eligible,
                                             ht_pallas_enabled)
@@ -680,7 +681,7 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                 (j["style"] == 0 and len(j["seg_lens"]) <= 1)
                 or (j["style"] & CBLK_HT and ht_block_eligible(j))
                 for j in jobs)
-    if use_jax and jobs and all_eligible and not geo.rgn:
+    if use_jax and jobs and all_eligible and not geo.rgn and not use_mesh:
         # fused device path: T1 + dequant + band assembly + inverse DWT +
         # inverse MCT in one device program; single upload / download
         from grok_tpu.pipeline.device import run_device_decode
@@ -696,7 +697,17 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
             return _decode_tile_native(jobs, geo, hdr, dp)
 
     results: list = [None] * len(jobs)
-    if use_jax:
+    if use_mesh:
+        # T1 batch sharded across the mesh (pure DP over the lane axis)
+        from grok_tpu.parallel.sharding import decode_blocks_sharded_auto
+        dev_idx = [i for i, j in enumerate(jobs)
+                   if j["style"] == 0 and len(j["seg_lens"]) <= 1]
+        if dev_idx:
+            with trace("t1_sharded", blocks=len(dev_idx)):
+                for i, r_ in zip(dev_idx, decode_blocks_sharded_auto(
+                        [jobs[i] for i in dev_idx], dp.mesh)):
+                    results[i] = r_
+    elif use_jax:
         from grok_tpu.ops.t1_dec import decode_blocks as _dev_decode
         dev_idx = [i for i, j in enumerate(jobs)
                    if j["style"] == 0 and len(j["seg_lens"]) <= 1]
@@ -774,7 +785,19 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                 bands_out[rg.r] = (per_orient[1], per_orient[2],
                                    per_orient[3])
         nl = numres - 1
-        if use_jax:
+        if use_mesh:
+            # giant-tile synthesis: every level row-sharded over the mesh
+            # with ppermute halos (ragged rows mirror-padded, both filters)
+            from grok_tpu.parallel.sharding import inv_2d_level_sharded
+            cur = bands_out[0]
+            with trace("dwt_inv_sharded"):
+                for r in range(1, r_lim):
+                    rect = geo.comp_rects[c].ceil_scale(1 << (nl - r),
+                                                        1 << (nl - r))
+                    hl, lh, hh = bands_out[r]
+                    cur = inv_2d_level_sharded(cur, hl, lh, hh, rect,
+                                               irrev, dp.mesh)
+        elif use_jax:
             from grok_tpu.ops import dwt as dwt_dev
             dt = "float32" if irrev else "int32"
             flat = [np.asarray(bands_out[0], dtype=dt)]

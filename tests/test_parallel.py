@@ -130,3 +130,45 @@ def test_decode_tile_sharded_end_to_end(mesh):
                       bands_ref[(r, 3)]))
     ref = dwt_np.inv_multilevel(bands, tc, numres, False)
     assert np.array_equal(out, ref)
+
+
+def test_inv_2d_level_sharded_generalized(mesh):
+    """Lifted round-1 limits: odd parities, ragged rows, 9/7 (4-tap halo)."""
+    from grok_tpu.parallel.sharding import inv_2d_level_sharded
+    from grok_tpu.transform import dwt_np
+    rng = np.random.default_rng(11)
+    for (R, W, x0, y0, irrev) in [(80, 33, 1, 1, False),
+                                  (100, 37, 1, 0, False),
+                                  (64, 48, 0, 0, True),
+                                  (88, 41, 1, 1, True)]:
+        rect = Rect(x0, y0, x0 + W, y0 + R)
+        img = rng.integers(-300, 300, (R, W)).astype(np.int64)
+        src = img.astype(np.float64) if irrev else img
+        ll, hl, lh, hh = dwt_np.fwd_2d_level(src, rect, irrev)
+        ref = dwt_np.inv_2d_level(ll, hl, lh, hh, rect, irrev)
+        got = inv_2d_level_sharded(ll, hl, lh, hh, rect, irrev, mesh)
+        if irrev:
+            assert np.allclose(got, ref, atol=2e-2, rtol=1e-4)
+        else:
+            assert np.array_equal(got.astype(np.int64), ref)
+
+
+def test_public_api_mesh_decode(mesh):
+    """DecompressParams(mesh=...) routes the public decode through the
+    sharded T1 batch + sharded DWT levels, bit-exact vs the scalar path
+    (VERDICT round-1 item #4: multi-chip reachable from the API)."""
+    from grok_tpu.api import compress, decompress
+    from grok_tpu.core.params import CompressParams, DecompressParams
+    from grok_tpu.util.oracle import synthetic_image
+    for img, cp in [
+            (synthetic_image(160, 140, 1, seed=1),
+             CompressParams(num_resolutions=3)),
+            (synthetic_image(126, 155, 3, seed=2),
+             CompressParams(num_resolutions=3)),
+            (synthetic_image(128, 128, 1, seed=3),
+             CompressParams(irreversible=True, quant_step=0.002))]:
+        cs = compress(img, cp)
+        ref = decompress(cs, DecompressParams(backend="scalar")).to_array()
+        got = decompress(cs, DecompressParams(backend="jax",
+                                              mesh=mesh)).to_array()
+        assert np.array_equal(got, ref)

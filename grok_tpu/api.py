@@ -208,7 +208,8 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
                                     roi_rect=params.roi_rect,
                                     pocs=hdr.pocs,
                                     quality_targets=quality_targets,
-                                    split_headers=params.write_ppm)
+                                    split_headers=params.write_ppm,
+                                    mesh=params.mesh)
         if params.write_ppm:
             ppm_chunks.append(res.headers)
         nparts = max(1, min(params.max_tile_parts, len(res.packets) or 1))

@@ -110,3 +110,192 @@ class Decompressor:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class Compressor:
+    """Streaming tile-incremental encoder: the opj_write_tile /
+    opj_end_compress surface (SURVEY.md §1.1) — gigapixel encodes feed
+    one tile at a time under constant memory.
+
+    Usage:
+        enc = Compressor("out.j2k", width=W, height=H, numcomps=1,
+                         params=CompressParams(...))
+        for t in range(enc.num_tiles):
+            enc.write_tile(t, tile_array)      # any order; resumable
+        enc.finish()
+
+    The main header goes out immediately (with a zeroed TLM slot when
+    params.write_tlm, patched in finish()); each write_tile appends one
+    complete tile-part and updates a sidecar resume manifest
+    (<path>.manifest.json), so a crashed batch encode restarts exactly
+    where it stopped (resume=True).  PPM/PLM and multi-tile-part
+    splitting are whole-stream features and are rejected here.
+
+    Reference parity: [grok: opj_write_tile / grk_compress streaming
+    surface] per SURVEY.md §1.1 and §5 checkpoint/resume.
+    """
+
+    def __init__(self, path, *, width: int, height: int, numcomps: int = 1,
+                 prec: int = 8, sgnd: bool = False, x0: int = 0, y0: int = 0,
+                 subsampling=None, params=None, resume: bool = False):
+        import hashlib
+        import json
+        import struct
+
+        from grok_tpu.api import (_build_main_header, _main_header_bytes,
+                                  CompressParams)
+        from grok_tpu.transform.mct_np import mct_component_norms
+
+        self.params = params or CompressParams()
+        if self.params.write_ppm or self.params.write_plm:
+            raise ValueError("PPM/PLM need the whole stream: use compress()")
+        if self.params.max_tile_parts != 1:
+            raise ValueError("streaming encode emits one tile-part per tile")
+        if self.params.jp2:
+            raise ValueError("JP2 boxes need the stream length: wrap the "
+                             "finished file with jp2.wrap_jp2")
+        sub = subsampling or [(1, 1)] * numcomps
+        comps = [Component(data=np.zeros((0, 0), np.int32), dx=dx, dy=dy,
+                           prec=prec, sgnd=sgnd) for (dx, dy) in sub]
+        shell = Image(components=comps, x0=x0, y0=y0,
+                      x1=x0 + width, y1=y0 + height)
+        self._hdr = _build_main_header(shell, self.params)
+        siz = self._hdr.siz
+        self.num_tiles = siz.num_tiles
+        self._raw_bytes = sum((siz.xsiz - siz.xosiz) * (siz.ysiz - siz.yosiz)
+                              * c.prec / 8.0 / (c.dx * c.dy)
+                              for c in self._hdr.comps)
+        self._total_pixels = (siz.xsiz - siz.xosiz) * (siz.ysiz - siz.yosiz)
+        self._mct_norms = None
+        if self._hdr.cod.mct:
+            self._mct_norms = mct_component_norms(self.params.irreversible)
+
+        tlm = [(t, 0) for t in range(self.num_tiles)] \
+            if self.params.write_tlm else None
+        mh = _main_header_bytes(self._hdr, self.params, tlm)
+        self._header_overhead = len(mh) + self.num_tiles * 14 + 2
+        # locate the zeroed TLM slot by its full segment bytes (marker
+        # matching alone could false-hit inside another payload)
+        self._tlm_off = mh.find(j2k.write_tlm(tlm)) if tlm is not None \
+            else -1
+        self._path = os.fspath(path)
+        self._manifest_path = self._path + ".manifest.json"
+        self._hdr_hash = hashlib.sha256(mh).hexdigest()
+        self._done: dict[int, int] = {}
+        self._pos = len(mh)
+        self._finished = False
+
+        if resume and os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                m = json.load(f)
+            if m.get("hdr") != self._hdr_hash:
+                raise ValueError("resume manifest does not match header")
+            self._done = {int(k): v for k, v in m["tiles"].items()}
+            self._pos = m["pos"]
+            self._fh = open(self._path, "r+b")
+            self._fh.truncate(self._pos)     # drop any torn tail
+            self._fh.seek(self._pos)
+        else:
+            self._fh = open(self._path, "w+b")
+            self._fh.write(mh)
+            self._save_manifest()
+
+    def _save_manifest(self):
+        import json
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"hdr": self._hdr_hash, "pos": self._pos,
+                       "tiles": self._done}, f)
+        os.replace(tmp, self._manifest_path)
+
+    def tile_written(self, t: int) -> bool:
+        return t in self._done
+
+    def write_tile(self, t: int, data) -> None:
+        """Encode and append tile t.  data: one (h, w[, numcomps]) array
+        covering the tile's canvas region, or a per-component list of
+        (comp_h, comp_w) arrays for subsampled layouts."""
+        import struct
+
+        if self._finished:
+            raise ValueError("finish() already called")
+        if not (0 <= t < self.num_tiles):
+            raise ValueError(f"tile {t} out of range")
+        if t in self._done:
+            return                           # resumed: already on disk
+        geo = tile_pipe.TileGeometry.build(self._hdr, t)
+        if isinstance(data, np.ndarray):
+            if data.ndim == 2:
+                arrays = [data]
+            else:
+                arrays = [data[:, :, c] for c in range(data.shape[2])]
+        else:
+            arrays = list(data)
+        if len(arrays) != len(self._hdr.comps):
+            raise ValueError(f"expected {len(self._hdr.comps)} components")
+        comps = []
+        for c, arr in enumerate(arrays):
+            cr = geo.comp_rects[c]
+            arr = np.asarray(arr)
+            if arr.shape[0] < cr.h or arr.shape[1] < cr.w:
+                raise ValueError(
+                    f"tile {t} comp {c}: need {cr.h}x{cr.w} samples, "
+                    f"got {arr.shape[0]}x{arr.shape[1]}")
+            ci = self._hdr.comps[c]
+            comps.append(Component(data=arr[:cr.h, :cr.w], dx=ci.dx,
+                                   dy=ci.dy, prec=ci.prec, sgnd=ci.sgnd))
+        timg = Image(components=comps, x0=geo.rect.x0, y0=geo.rect.y0,
+                     x1=geo.rect.x1, y1=geo.rect.y1)
+
+        frac = (geo.rect.w * geo.rect.h) / max(self._total_pixels, 1)
+        targets: list = []
+        for l in range(self.params.num_layers):
+            if self.params.rates and self.params.rates[l] > 1:
+                budget = self._raw_bytes / self.params.rates[l] - \
+                    self._header_overhead
+                targets.append(max(budget, 100.0) * frac)
+            else:
+                targets.append(None)
+        res = tile_pipe.encode_tile(timg, geo, targets, self._mct_norms,
+                                    backend=self.params.backend,
+                                    pocs=self._hdr.pocs,
+                                    mesh=self.params.mesh)
+        plt_seg = j2k.write_plt(res.packet_lens) if self.params.write_plt \
+            else b""
+        psot = 12 + len(plt_seg) + 2 + len(res.body)
+        tp = j2k.write_sot(t, psot, 0, 1) + plt_seg + \
+            struct.pack(">H", j2k.SOD) + res.body
+        self._fh.seek(self._pos)
+        self._fh.write(tp)
+        self._fh.flush()
+        self._pos += len(tp)
+        self._done[t] = len(tp)
+        self._save_manifest()
+
+    def finish(self) -> None:
+        """Append EOC, patch the TLM slot, drop the resume manifest."""
+        import struct
+
+        missing = [t for t in range(self.num_tiles) if t not in self._done]
+        if missing:
+            raise ValueError(f"tiles not written: {missing[:8]}"
+                             f"{'...' if len(missing) > 8 else ''}")
+        self._fh.seek(self._pos)
+        self._fh.write(struct.pack(">H", j2k.EOC))
+        if self._tlm_off >= 0:
+            entries = [(t, self._done[t]) for t in range(self.num_tiles)]
+            self._fh.seek(self._tlm_off)
+            self._fh.write(j2k.write_tlm(entries))
+        self._fh.flush()
+        self._fh.close()
+        if os.path.exists(self._manifest_path):
+            os.remove(self._manifest_path)
+        self._finished = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if not self._finished and not self._fh.closed:
+            # keep the manifest: the encode is resumable
+            self._fh.close()

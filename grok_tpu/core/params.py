@@ -106,6 +106,10 @@ class CompressParams:
     # else scalar), "scalar" (host Python), "native" (C runtime), or
     # "jax" (batched device T1; falls back per-block for special styles)
     backend: str = "auto"
+    # jax.sharding.Mesh (1-D, axis "tiles"): shard the forward DWT rows,
+    # the T1 encode batch, and the PCRD slope bracket across the mesh;
+    # the codestream is byte-identical to the host encoder (5/3 path)
+    mesh: object = None
 
     def validate(self):
         if not (1 <= self.num_resolutions <= 33):

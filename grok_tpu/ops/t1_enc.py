@@ -402,11 +402,42 @@ def _pass_distortions(mag: np.ndarray, sigtype: np.ndarray,
     return np.cumsum(dist)
 
 
-def encode_blocks(blocks: list[dict]) -> list[EncodedBlock]:
+_SHARDED_ENC_CACHE: dict = {}
+
+
+def _sharded_encode_fn(mesh, w: int, h: int, maxbp: int, L: int):
+    """Jitted shard_map wrapper around t1_encode_batch: lane axis split
+    over the 1-D "tiles" mesh (encode-side block DP)."""
+    key = (id(mesh), w, h, maxbp, L)
+    fn = _SHARDED_ENC_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def body(mag, neg, ori, nbps, msb):
+        return t1_encode_batch(mag, neg, ori, nbps, msb, w, h, maxbp, L)
+
+    fn = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P("tiles", None, None), P("tiles", None, None),
+                  P("tiles"), P("tiles"), P("tiles", None, None)),
+        out_specs=(P("tiles", None), P("tiles"),
+                   P("tiles", None), P("tiles", None, None)),
+        check_vma=False))   # no collectives in the body (pure lane DP)
+    _SHARDED_ENC_CACHE[key] = fn
+    return fn
+
+
+def encode_blocks(blocks: list[dict], mesh=None) -> list[EncodedBlock]:
     """Encode block descriptors {mag, neg, orient, w, h} on the device.
 
     Groups by exact (w, h) — blocks are NOT padded into larger buckets
     because insignificant padding would be entropy-coded.
+
+    mesh: shard each batch's lane axis across the 1-D "tiles" mesh (the
+    encode-side block DP; batches pad to a mesh multiple with copies of
+    lane 0, results discarded).  Byte-identical to the unsharded path.
     """
     results: list = [None] * len(blocks)
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -417,7 +448,8 @@ def encode_blocks(blocks: list[dict]) -> list[EncodedBlock]:
         buckets.setdefault((b["w"], b["h"]), []).append(i)
 
     import os
-    use_pallas = bool(os.environ.get("GROK_T1_PALLAS")) and \
+    use_pallas = mesh is None and \
+        bool(os.environ.get("GROK_T1_PALLAS")) and \
         jax.default_backend() in ("tpu", "axon")
     for (w, h), idxs in buckets.items():
         if use_pallas and h >= 4:
@@ -430,25 +462,39 @@ def encode_blocks(blocks: list[dict]) -> list[EncodedBlock]:
                     results[i] = res
             continue
         B = len(idxs)
-        mag = np.zeros((B, h, w), dtype=np.int32)
-        neg = np.zeros((B, h, w), dtype=bool)
-        ori = np.zeros((B,), dtype=np.int32)
+        Bp = B if mesh is None else -(-B // mesh.devices.size) * \
+            mesh.devices.size
+        mag = np.zeros((Bp, h, w), dtype=np.int32)
+        neg = np.zeros((Bp, h, w), dtype=bool)
+        ori = np.zeros((Bp,), dtype=np.int32)
         for j, i in enumerate(idxs):
             b = blocks[i]
             mag[j] = b["mag"]
             neg[j] = b["neg"]
             ori[j] = b["orient"]
+        for j in range(B, Bp):          # pad lanes: copies of lane 0
+            mag[j] = mag[0]
+            neg[j] = neg[0]
+            ori[j] = ori[0]
         nbps = np.array([int(m).bit_length()
-                         for m in mag.reshape(B, -1).max(axis=1)],
+                         for m in mag.reshape(Bp, -1).max(axis=1)],
                         dtype=np.int32)
-        msbmap = np.full((B, h, w), -1, dtype=np.int32)
+        msbmap = np.full((Bp, h, w), -1, dtype=np.int32)
         pos = mag > 0
         msbmap[pos] = np.floor(np.log2(mag[pos])).astype(np.int32)
         maxbp = -(-int(nbps.max()) // 4) * 4
         L = 2 * w * h + 128
-        out, lens, rates, sigtype = t1_encode_batch(
-            jnp.asarray(mag), jnp.asarray(neg), jnp.asarray(ori),
-            jnp.asarray(nbps), jnp.asarray(msbmap), w, h, maxbp, L)
+        if mesh is not None:
+            # shard_map, not GSPMD partitioning: the encode program is
+            # large and pure lane-DP, so each shard compiles the
+            # single-device body once (the partitioner does not converge
+            # on programs this size) and no collectives are inserted
+            fn = _sharded_encode_fn(mesh, w, h, maxbp, L)
+            out, lens, rates, sigtype = fn(mag, neg, ori, nbps, msbmap)
+        else:
+            out, lens, rates, sigtype = t1_encode_batch(
+                jnp.asarray(mag), jnp.asarray(neg), jnp.asarray(ori),
+                jnp.asarray(nbps), jnp.asarray(msbmap), w, h, maxbp, L)
         out = np.asarray(out)
         lens = np.asarray(lens)
         rates = np.asarray(rates)

@@ -376,6 +376,157 @@ def make_inv_2d_level_sharded(mesh, rows_per_shard: int, width: int,
     return jax.jit(fn)
 
 
+def make_fwd_2d_level_sharded(mesh, rows_per_shard: int, width: int,
+                              x0: int, y0: int, irrev: bool):
+    """One full FORWARD DWT level over a row-sharded (R, W) sample array,
+    returning the interleaved transform (low at even abs coords).
+
+    Order per Annex F (and dwt_np.fwd_2d_level): vertical lifting first
+    (4-row ppermute halos, whole-sample symmetric global edges), then
+    horizontal lifting local to each shard.  9/7 runs the analysis lifts
+    in f32; the K-scalings are applied by the host wrapper after
+    de-interleaving (lifting is linear homogeneous).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from grok_tpu.transform.dwt_np import ALPHA, BETA, DELTA, GAMMA
+
+    n = mesh.devices.size
+    axis = "tiles"
+    W = width
+    HALO = 4
+
+    def lift_v(a, coef, target_par, base_par):
+        upd = a[1:-1, :] + coef * (a[:-2, :] + a[2:, :])
+        jpar = (jnp.arange(1, a.shape[0] - 1) + base_par) % 2
+        mid = jnp.where((jpar == target_par)[:, None], upd, a[1:-1, :])
+        return jnp.concatenate([a[:1, :], mid, a[-1:, :]], axis=0)
+
+    def lift_h(a, coef, target_par, base_par):
+        upd = a[:, 1:-1] + coef * (a[:, :-2] + a[:, 2:])
+        jpar = (jnp.arange(1, a.shape[1] - 1) + base_par) % 2
+        mid = jnp.where((jpar == target_par)[None, :], upd, a[:, 1:-1])
+        return jnp.concatenate([a[:, :1], mid, a[:, -1:]], axis=1)
+
+    def local(block):
+        idx = jax.lax.axis_index(axis)
+        up = jax.lax.ppermute(block[-HALO:, :], axis,
+                              [(i, (i + 1) % n) for i in range(n)])
+        down = jax.lax.ppermute(block[:HALO, :], axis,
+                                [(i, (i - 1) % n) for i in range(n)])
+        top_ext = block[1:HALO + 1, :][::-1]
+        bot_ext = block[-HALO - 1:-1, :][::-1]
+        up = jnp.where(idx == 0, top_ext, up)
+        down = jnp.where(idx == n - 1, bot_ext, down)
+        ext = jnp.concatenate([up, block, down], axis=0)
+        base_par = (idx * rows_per_shard - HALO + y0) % 2
+
+        if irrev:
+            a = ext
+            for coef, tp in ((ALPHA, 1), (BETA, 0), (GAMMA, 1), (DELTA, 0)):
+                a = lift_v(a, jnp.float32(coef), tp, base_par)
+            rows = a[HALO:-HALO, :]
+            b = jnp.concatenate([rows[:, 1:5][:, ::-1], rows,
+                                 rows[:, -5:-1][:, ::-1]], axis=1)
+            hb_par = (x0 + 4) % 2
+            for coef, tp in ((ALPHA, 1), (BETA, 0), (GAMMA, 1), (DELTA, 0)):
+                b = lift_h(b, jnp.float32(coef), tp, hb_par)
+            return b[:, 4:-4]
+
+        # 5/3 vertical: h at odd abs rows (1-halo), l at even (2-halo)
+        h = ext[1:-1, :] - ((ext[:-2, :] + ext[2:, :]) >> 1)
+        l = ext[2:-2, :] + ((h[:-2, :] + h[2:, :] + 2) >> 2)
+        outrows = ext.shape[0] - 2 * HALO
+        jpar = (jnp.arange(outrows) + idx * rows_per_shard + y0) % 2
+        rows = jnp.where(jpar[:, None] == 0,
+                         l[HALO - 2:HALO - 2 + outrows, :],
+                         h[HALO - 1:HALO - 1 + outrows, :])
+        # horizontal, local: whole-sample symmetric extension by 2
+        ya = jnp.concatenate([rows[:, 1:3][:, ::-1], rows,
+                              rows[:, -3:-1][:, ::-1]], axis=1)
+        hh_ = ya[:, 1:-1] - ((ya[:, :-2] + ya[:, 2:]) >> 1)
+        ll_ = ya[:, 2:-2] + ((hh_[:, :-2] + hh_[:, 2:] + 2) >> 2)
+        cpar = (jnp.arange(W) + x0) % 2
+        return jnp.where(cpar[None, :] == 0, ll_, hh_[:, 1:-1])
+
+    fn = shard_map(local, mesh=mesh, in_specs=P(axis, None),
+                   out_specs=P(axis, None))
+    return jax.jit(fn)
+
+
+def fwd_2d_level_sharded(cur, rect, irrev: bool, mesh):
+    """Host wrapper for the sharded forward level: mirror-pad ragged rows,
+    run, de-interleave into (ll, hl, lh, hh) with the 9/7 K-scalings
+    applied.  Falls back to the host kernel for degenerate sizes."""
+    import numpy as np
+
+    from grok_tpu.transform import dwt_np
+
+    n = mesh.devices.size
+    R, W = rect.h, rect.w
+    if R < 5 * n or W < 8:
+        return dwt_np.fwd_2d_level(cur, rect, irrev)
+    dt = np.float32 if irrev else np.int32
+    arr = np.asarray(cur, dt)
+    pad = (-R) % n
+    if pad:
+        if pad + 4 > R - 1:
+            return dwt_np.fwd_2d_level(cur, rect, irrev)
+        arr = np.concatenate([arr, arr[R - 2:R - 2 - pad:-1, :]], axis=0)
+    fn = make_fwd_2d_level_sharded(mesh, arr.shape[0] // n, W,
+                                   rect.x0, rect.y0, irrev)
+    inter = np.asarray(fn(shard_tile_batch(arr, mesh)))[:R]
+    ye, xe = rect.y0 % 2, rect.x0 % 2
+    ll = inter[ye::2, xe::2]
+    hl = inter[ye::2, xe ^ 1::2]
+    lh = inter[ye ^ 1::2, xe::2]
+    hh = inter[ye ^ 1::2, xe ^ 1::2]
+    if irrev:
+        from grok_tpu.transform.dwt_np import K
+        ll = ll.astype(np.float64) * (1.0 / (K * K))
+        hl = hl.astype(np.float64) * 0.5
+        lh = lh.astype(np.float64) * 0.5
+        hh = hh.astype(np.float64) * (K * K / 4.0)
+    else:
+        ll, hl, lh, hh = (b.astype(np.int64) for b in (ll, hl, lh, hh))
+    return ll, hl, lh, hh
+
+
+def pcrd_slope_bounds_sharded(hulls, mesh):
+    """The PCRD rate-allocation collective: every chip contributes its
+    blocks' convex-hull R-D slopes; a sharded min/max reduction (psum-
+    family collective under jit) yields the global bisection bracket fed
+    to the one lambda shared by all shards (north star's 'global R-D
+    slope exchange').  Returns (smin, smax) identical to the host values
+    in t2/rate.allocate_layers."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    all_slopes = np.concatenate([h.slopes for h in hulls if len(h.slopes)]) \
+        if any(len(h.slopes) for h in hulls) else np.array([1.0])
+    n = mesh.devices.size
+    pad = (-len(all_slopes)) % n
+    if pad:
+        all_slopes = np.concatenate(
+            [all_slopes, np.full(pad, all_slopes[0])])
+    with jax.enable_x64(True):            # exact f64: the bracket must
+        sl = jax.device_put(all_slopes,   # equal the host's bit-for-bit
+                            NamedSharding(mesh, P("tiles")))
+
+        @jax.jit
+        def bounds(s):
+            return jnp.min(s), jnp.max(s)   # cross-shard reductions
+
+        mn, mx = bounds(sl)
+        mn, mx = float(mn), float(mx)
+    return mn * 0.5, mx * 2.0 + 1.0
+
+
 def inv_2d_level_sharded(ll, hl, lh, hh, rect, irrev: bool, mesh):
     """Host wrapper: interleave subbands (parity-aware), mirror-pad rows
     to a mesh multiple, run the sharded level, trim.  Returns an ndarray

@@ -118,8 +118,11 @@ def _resolve_backend(backend: str) -> str:
     return backend
 
 
-def _forward_transform(image: Image, geo: TileGeometry) -> list[list]:
-    """DC shift + MCT + DWT for all components; returns bands per comp."""
+def _forward_transform(image: Image, geo: TileGeometry,
+                       mesh=None) -> list[list]:
+    """DC shift + MCT + DWT for all components; returns bands per comp.
+    mesh: shard each forward level's rows across the mesh (halo
+    exchange over ICI), bit-exact for 5/3."""
     samples = []
     for c, comp in enumerate(image.components):
         cr = geo.comp_rects[c]
@@ -141,6 +144,22 @@ def _forward_transform(image: Image, geo: TileGeometry) -> list[list]:
         irr = geo.styles[c].irreversible
         if irr:
             s = np.asarray(s, dtype=np.float64)
+        if mesh is not None:
+            from grok_tpu.parallel.sharding import fwd_2d_level_sharded
+            numres = geo.styles[c].num_resolutions
+            nl = numres - 1
+            rect = geo.comp_rects[c]
+            cur = s if irr else np.asarray(s, dtype=np.int64)
+            bands: list = [None] * numres
+            for r in range(nl, 0, -1):
+                sc = 1 << (nl - r)
+                rrect = rect.ceil_scale(sc, sc)
+                ll, hl, lh, hh = fwd_2d_level_sharded(cur, rrect, irr, mesh)
+                bands[r] = (hl, lh, hh)
+                cur = ll
+            bands[0] = cur
+            out.append(bands)
+            continue
         out.append(_fwd_multilevel_fast(
             s, geo.comp_rects[c], geo.styles[c].num_resolutions, irr))
     return out
@@ -211,14 +230,18 @@ def encode_tile(image: Image, geo: TileGeometry,
                 roi_rect: tuple | None = None,
                 pocs: list | None = None,
                 quality_targets: list | None = None,
-                split_headers: bool = False) -> TileEncodeResult:
+                split_headers: bool = False,
+                mesh=None) -> TileEncodeResult:
     """Full encode of one tile; layer_targets are cumulative byte budgets
     per layer for this tile (None = all remaining passes).  backend="jax"
     runs default-style blocks through the batched device encoder.
-    roi_rect: canvas-coordinate Maxshift ROI (geo.rgn holds the shifts)."""
+    roi_rect: canvas-coordinate Maxshift ROI (geo.rgn holds the shifts).
+    mesh: shard the forward DWT rows and the T1 encode batch across the
+    mesh, with the PCRD slope bracket reduced collectively — the
+    codestream is byte-identical to the host encoder (5/3 path)."""
     backend = _resolve_backend(backend)
     with trace("dwt_fwd"):
-        all_bands = _forward_transform(image, geo)
+        all_bands = _forward_transform(image, geo, mesh=mesh)
     ctxs = geo.make_contexts()
     num_layers = geo.cod.num_layers
 
@@ -285,12 +308,13 @@ def encode_tile(image: Image, geo: TileGeometry,
 
     # run the block coder
     encs: list = [None] * len(ejobs)
-    if backend == "jax" and ejobs:
+    if (backend == "jax" or mesh is not None) and ejobs:
         from grok_tpu.ops.t1_enc import encode_blocks as _dev_encode
         dev_idx = [i for i, j in enumerate(ejobs) if j["style"] == 0]
         if dev_idx:
             for i, e in zip(dev_idx, _dev_encode([ejobs[i]
-                                                  for i in dev_idx])):
+                                                  for i in dev_idx],
+                                                 mesh=mesh)):
                 encs[i] = e
     with trace("t1_encode", backend=backend):
         ht_idx = [i for i, j in enumerate(ejobs)
@@ -387,8 +411,14 @@ def encode_tile(image: Image, geo: TileGeometry,
         layer_cum = allocate_layers_quality(
             hulls, num_layers, conv, totals, dists_list)
     else:
+        bounds = None
+        if mesh is not None:
+            # the PCRD collective: global slope bracket reduced across
+            # the mesh, feeding the single lambda all shards share
+            from grok_tpu.parallel.sharding import pcrd_slope_bounds_sharded
+            bounds = pcrd_slope_bounds_sharded(hulls, mesh)
         layer_cum = allocate_layers(hulls, num_layers, layer_targets,
-                                    simulate, totals)
+                                    simulate, totals, slope_bounds=bounds)
 
     _pcrd.__exit__(None, None, None)
     final_cs = geo.make_contexts()

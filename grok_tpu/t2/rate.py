@@ -81,7 +81,9 @@ def passes_for_lambda(hull: Hull, lam: float, min_passes: int = 0) -> int:
 
 def allocate_layers(hulls: list[Hull], num_layers: int,
                     targets: list[float | None], simulate,
-                    total_passes: list[int] | None = None) -> list[list[int]]:
+                    total_passes: list[int] | None = None,
+                    slope_bounds: tuple[float, float] | None = None
+                    ) -> list[list[int]]:
     """Assign cumulative pass counts per layer for every block.
 
     targets: cumulative byte budget per layer (None = include everything
@@ -99,10 +101,16 @@ def allocate_layers(hulls: list[Hull], num_layers: int,
     layer_cum: list[list[int]] = [[] for _ in range(nb)]
     prev = [0] * nb
 
-    all_slopes = np.concatenate([h.slopes for h in hulls if len(h.slopes)]) \
-        if any(len(h.slopes) for h in hulls) else np.array([1.0])
-    smin = float(all_slopes.min()) * 0.5
-    smax = float(all_slopes.max()) * 2.0 + 1.0
+    if slope_bounds is not None:
+        # e.g. the sharded-encode collective (parallel.sharding.
+        # pcrd_slope_bounds_sharded): global min/max reduced across chips
+        smin, smax = slope_bounds
+    else:
+        all_slopes = np.concatenate(
+            [h.slopes for h in hulls if len(h.slopes)]) \
+            if any(len(h.slopes) for h in hulls) else np.array([1.0])
+        smin = float(all_slopes.min()) * 0.5
+        smax = float(all_slopes.max()) * 2.0 + 1.0
 
     for l in range(num_layers):
         tgt = targets[l] if l < len(targets) else None

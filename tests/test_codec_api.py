@@ -155,3 +155,68 @@ def test_decompressor_mmap_path_source(tmp_path):
         out = dec.decompress_tile(4)
         assert np.array_equal(out[0], img[64:128, 64:128])
         assert np.array_equal(dec.decompress().to_array(), img)
+
+
+class TestStreamingCompressor:
+    """opj_write_tile-analog surface: tile-incremental encode with the
+    sidecar resume manifest (SURVEY §1.1, §5 checkpoint/resume)."""
+
+    def _tiles(self, img, ntx, tw):
+        for t in range(100):
+            ty, tx = divmod(t, ntx)
+            sub = img[ty * tw:(ty + 1) * tw, tx * tw:(tx + 1) * tw]
+            if sub.size == 0:
+                return
+            yield t, sub
+
+    def test_byte_identical_and_resumable(self, tmp_path):
+        from grok_tpu.api import compress, decompress
+        from grok_tpu.codec import Compressor
+        from grok_tpu.core.params import CompressParams
+        from grok_tpu.util.oracle import synthetic_image
+
+        img = synthetic_image(256, 192, 1, seed=9)
+        cp = CompressParams(tile_w=64, tile_h=64, num_resolutions=3,
+                            write_tlm=True)
+        ref = compress(img, cp)
+        ntx = 3
+
+        p = str(tmp_path / "s.j2k")
+        enc = Compressor(p, width=192, height=256, numcomps=1, params=cp)
+        for t in range(enc.num_tiles):
+            ty, tx = divmod(t, ntx)
+            enc.write_tile(t, img[ty * 64:(ty + 1) * 64,
+                                  tx * 64:(tx + 1) * 64])
+        enc.finish()
+        got = open(p, "rb").read()
+        assert got == ref
+        assert np.array_equal(decompress(got).to_array(), img)
+
+        # crash after 4 tiles -> resume -> identical bytes
+        p2 = str(tmp_path / "r.j2k")
+        enc = Compressor(p2, width=192, height=256, numcomps=1, params=cp)
+        for t in range(4):
+            ty, tx = divmod(t, ntx)
+            enc.write_tile(t, img[ty * 64:(ty + 1) * 64,
+                                  tx * 64:(tx + 1) * 64])
+        enc._fh.close()
+        enc2 = Compressor(p2, width=192, height=256, numcomps=1, params=cp,
+                          resume=True)
+        assert sum(enc2.tile_written(t)
+                   for t in range(enc2.num_tiles)) == 4
+        for t in range(enc2.num_tiles):
+            ty, tx = divmod(t, ntx)
+            enc2.write_tile(t, img[ty * 64:(ty + 1) * 64,
+                                   tx * 64:(tx + 1) * 64])
+        enc2.finish()
+        assert open(p2, "rb").read() == ref
+
+    def test_rejects_whole_stream_features(self, tmp_path):
+        import pytest
+
+        from grok_tpu.codec import Compressor
+        from grok_tpu.core.params import CompressParams
+
+        with pytest.raises(ValueError):
+            Compressor(str(tmp_path / "x.j2k"), width=64, height=64,
+                       params=CompressParams(write_ppm=True))

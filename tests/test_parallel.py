@@ -172,3 +172,36 @@ def test_public_api_mesh_decode(mesh):
         got = decompress(cs, DecompressParams(backend="jax",
                                               mesh=mesh)).to_array()
         assert np.array_equal(got, ref)
+
+
+def test_sharded_encode_byte_identical(mesh):
+    """CompressParams(mesh=...): forward DWT rows, T1 encode lanes, and
+    the PCRD slope bracket all sharded — codestream byte-identical to the
+    host encoder (VERDICT round-1 item #5)."""
+    from grok_tpu.api import compress, decompress
+    from grok_tpu.core.params import CompressParams, DecompressParams
+    from grok_tpu.util.oracle import synthetic_image
+    img = synthetic_image(160, 140, 1, seed=21)
+    for kw in (dict(num_resolutions=3),
+               dict(num_resolutions=3, num_layers=2, rates=[8, 0])):
+        host = compress(img, CompressParams(backend="jax", **kw))
+        shard = compress(img, CompressParams(backend="jax", mesh=mesh,
+                                             **kw))
+        assert host == shard
+    out = decompress(shard, DecompressParams(backend="scalar")).to_array()
+    assert out.shape == (160, 140)
+
+
+def test_pcrd_slope_bounds_collective(mesh):
+    """The sharded slope reduction equals the host bracket exactly."""
+    from grok_tpu.parallel.sharding import pcrd_slope_bounds_sharded
+    from grok_tpu.t2.rate import Hull
+    rng = np.random.default_rng(3)
+    hulls = []
+    for _ in range(23):
+        s = np.sort(rng.uniform(0.1, 900, rng.integers(1, 6)))[::-1]
+        hulls.append(Hull(pass_idx=np.arange(len(s)), slopes=s))
+    smin, smax = pcrd_slope_bounds_sharded(hulls, mesh)
+    all_s = np.concatenate([h.slopes for h in hulls])
+    assert smin == float(all_s.min()) * 0.5
+    assert smax == float(all_s.max()) * 2.0 + 1.0

@@ -529,6 +529,10 @@ def read_main_header(data: bytes, start: int = 0) -> MainHeader:
     while True:
         marker = r.u16()
         if marker == SOT:
+            if hdr.siz is None:
+                # found by the fuzz loop: a scrambled SIZ marker skips as
+                # an unknown segment and decode later dereferences None
+                raise CodestreamError("missing SIZ marker before SOT")
             hdr.main_header_end = r.pos - 2
             break
         if marker == EOC:
@@ -549,9 +553,27 @@ def read_main_header(data: bytes, start: int = 0) -> MainHeader:
             comps = []
             for _ in range(ncomp):
                 ssiz = seg.u8()
-                comps.append(CompInfo(prec=(ssiz & 0x7F) + 1,
+                prec = (ssiz & 0x7F) + 1
+                if prec > 31:
+                    # int32 coefficient pipeline bound (encode side caps
+                    # at 27); found by the fuzz loop as an int64 overflow
+                    raise CodestreamError(
+                        f"unsupported component precision {prec}")
+                comps.append(CompInfo(prec=prec,
                                       sgnd=bool(ssiz & 0x80),
                                       dx=seg.u8(), dy=seg.u8()))
+            # A.5.1 geometry requirements + a decode-size guard (fuzz
+            # finding: scrambled Xsiz/Ysiz provoked multi-GiB allocs)
+            if not (xo < xs and yo < ys and xt > 0 and yt > 0
+                    and xto <= xo and yto <= yo and ncomp > 0):
+                raise CodestreamError("invalid SIZ geometry")
+            import os as _os
+            max_px = int(_os.environ.get("GROK_MAX_DECODE_PIXELS",
+                                         1 << 31))
+            if (xs - xo) * (ys - yo) * ncomp > max_px:
+                raise CodestreamError(
+                    f"image exceeds decode limit ({max_px} samples; "
+                    "raise GROK_MAX_DECODE_PIXELS)")
             hdr.rsiz = rsiz
             hdr.siz = SizGrid(xs, ys, xo, yo, xt, yt, xto, yto)
             hdr.comps = comps

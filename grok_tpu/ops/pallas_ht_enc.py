@@ -1,0 +1,434 @@
+"""Pallas TPU kernel: batched HTJ2K cleanup-pass ENCODE.
+
+The encode mirror of ops/pallas_ht.py: one fori iteration codes a whole
+2x2 quad — rho + context from the rho scratch, the MEL event (carried
+k/run registers), the fixed-width rho VLC + UVLC, and up to four MagSgn
+fields.  All three sub-streams are LSB-first and append-only into
+zero-initialized buffers, so every write is a pure OR of a <= 25-bit
+word across four staged bytes (no read-modify-clear), through the
+staged 64-byte output windows of ops/pallas_t1_enc.py (flush + rebase
+per quad).
+
+Host wrapper (encode_ht_blocks) packs mag/sign (sign in bit 0), runs
+the kernel, downloads the byte streams as packed int32 words (the axon
+runtime hangs on uint8 D2H — CLAUDE.md), and assembles the cleanup
+segment exactly like t1ht.scalar.ht_encode_block: byte-identical
+output, same PassInfo distortions (computed host-side from mag).
+
+Reference parity: device batch analog of the reference's HT block
+encoder [grok: src/lib/core/t1/t1_ht/ht_block_encoding.cpp]
+(SURVEY.md §2 row 8, §7 phase 7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANES = 128
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+def pallas_ht_encode(mneg, pv, wh, valid,
+                     W: int, H: int, S: int,
+                     LMS: int, LMEL: int, LVLC: int,
+                     interpret: bool = False):
+    """Encode a batch of S*128 HT cleanup blocks with one Pallas kernel.
+
+    mneg: (H, W, [S,] LANES) int32 = (mag << 1) | neg.
+    pv/valid: (1|S, LANES); wh: (2, [S,] LANES).
+    LMS/LMEL/LVLC: per-lane output byte capacities (multiples of 32).
+    Returns (ms, mel, vlc byte buffers as (G, 32, [S,] LANES) int32 with
+    one byte per entry, and bits (3, [S,] LANES) int32 bit counts)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    GH, GW = (H + 1) // 2, (W + 1) // 2
+    arr_tail = (S, LANES) if S > 1 else (LANES,)
+    nd = len(arr_tail)
+    lane_sh = (S, LANES) if S > 1 else (1, LANES)
+    kd = S == 1
+
+    def iota_for(n):
+        return jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * nd, 0)
+
+    def kernel(mneg_ref, p_ref, wh_ref, valid_ref,
+               ms_ref, mel_ref, vlc_ref,
+               msb_ref, melb_ref, vlcb_ref,
+               rho_ref, ms_st, mel_st, vlc_st,
+               ms_ba, mel_ba, vlc_ba):
+        if S == 1:
+            p_l = p_ref[...]
+            val_l = valid_ref[...]
+            wv = wh_ref[0:1]
+            hv = wh_ref[1:2]
+        else:
+            p_l = p_ref[...]
+            val_l = valid_ref[...]
+            wv = wh_ref[0]
+            hv = wh_ref[1]
+        gw_l = (wv + 1) >> 1
+        gh_l = (hv + 1) >> 1
+
+        for ref, Lb in ((ms_ref, LMS), (mel_ref, LMEL), (vlc_ref, LVLC)):
+            ref[...] = jnp.zeros((Lb // 32, 8) + arr_tail, jnp.int32)
+        rho_ref[...] = jnp.zeros((GH + 1, GW + 2) + arr_tail, jnp.int32)
+        for st in (ms_st, mel_st, vlc_st):
+            st[...] = jnp.zeros((16,) + arr_tail, jnp.int32)
+        for ba in (ms_ba, mel_ba, vlc_ba):
+            ba[...] = jnp.zeros(lane_sh, jnp.int32)
+
+        siota = iota_for(16)
+        qiota = iota_for(GW + 2)
+        giotas = {G: jax.lax.broadcasted_iota(
+            jnp.int32, (G,) + (1,) * (nd + 1), 0)
+            for G in {LMS // 32, LMEL // 32, LVLC // 32}}
+        one = jnp.int32(1)
+
+        def restage(out_ref, st_ref, ba_ref, bp):
+            """Flush the staged window at ba_ref's base, rebase to bp's
+            granule.  Append-only streams: flush is a pure scatter (bytes
+            past the write head are still zero).  The base lives in a
+            VMEM scratch ref, NOT the loop carry: a carried base feeding
+            the [None]-broadcast granule compare trips Mosaic's
+            replicated-relayout crash (found by bisection; the MQ
+            encoder uses the same discipline)."""
+            G = out_ref.shape[0]
+            giota = giotas[G]
+            g_old = ba_ref[...] >> 5
+            sel0 = (giota == g_old[None]).astype(jnp.int32)
+            sel1 = (giota == (g_old + 1)[None]).astype(jnp.int32)
+            d = out_ref[...]
+            lo = st_ref[0:8]
+            hi = st_ref[8:16]
+            d = jnp.where(sel0 == 1, lo[None], d)
+            d = jnp.where(sel1 == 1, hi[None], d)
+            out_ref[...] = d
+            g_new = bp >> 5
+            s0 = (giota == g_new[None]).astype(jnp.int32)
+            s1 = (giota == (g_new + 1)[None]).astype(jnp.int32)
+            lo2 = jnp.sum(d * s0, axis=0)
+            hi2 = jnp.sum(d * s1, axis=0)
+            st_ref[...] = jnp.concatenate([lo2, hi2], axis=0)
+            ba_ref[...] = g_new << 5
+
+        def or_bits(st_ref, ba_ref, bitpos, w, mask):
+            """OR the <= 25-bit word w at bit position bitpos (LSB-first)
+            into the word-staged window: the field straddles at most two
+            32-bit window words, so two selects.  Lane values broadcast
+            through `where` (a direct (16,L)|(1,L) OR hits Mosaic's
+            replicated-relayout crash)."""
+            q = (bitpos >> 3) - ba_ref[...]       # byte offset 0..59
+            full = w << (bitpos & 7)              # <= 32 significant bits
+            wi = q >> 2
+            s8 = (q & 3) << 3
+            lo_part = full << s8                  # int32 wrap keeps low
+            # logical high part: arithmetic shift then mask to s8 bits
+            hi_part = jnp.where(
+                s8 == 0, 0, (full >> (32 - s8)) & ((one << s8) - 1))
+            st = st_ref[...]
+            zero = jnp.zeros_like(st)
+            st = st | jnp.where((siota == wi) & mask, lo_part, zero)
+            st = st | jnp.where((siota == wi + 1) & mask, hi_part, zero)
+            st_ref[...] = st
+
+        def rho_read(gi, qi):
+            v = rho_ref[gi, pl.ds(qi, 1)]
+            if S == 1:
+                return v
+            return jnp.sum(v, axis=0)
+
+        def sample(y, x):
+            v = mneg_ref[y, pl.ds(x, 1)]
+            if S == 1:
+                return v
+            return jnp.sum(v, axis=0)
+
+        def bitlen(x):
+            n = jnp.zeros_like(x)
+            v = x
+            big = v >= (1 << 16)
+            n = n + jnp.where(big, 16, 0)
+            v = jnp.where(big, v >> 16, v)
+            for kbit in (8, 4, 2, 1):
+                big = v >= (1 << kbit)
+                n = n + jnp.where(big, kbit, 0)
+                v = jnp.where(big, v >> kbit, v)
+            return n + jnp.where(v >= 1, 1, 0)
+
+        def quad_body(t, carry):
+            (ms_bp, mel_bp, vlc_bp, k, run) = carry
+            g = t // GW
+            qx = t - g * GW
+            act = (val_l == 1) & (g < gh_l) & (qx < gw_l)
+
+            restage(ms_ref, ms_st, ms_ba, ms_bp >> 3)
+            restage(mel_ref, mel_st, mel_ba, mel_bp >> 3)
+            restage(vlc_ref, vlc_st, vlc_ba, vlc_bp >> 3)
+
+            # quad samples (scan order n0=(0,0) n1=(1,0) n2=(0,1) n3)
+            y0 = 2 * g
+            y1 = jnp.minimum(2 * g + 1, H - 1)
+            x0 = 2 * qx
+            x1 = jnp.minimum(2 * qx + 1, W - 1)
+            in_y1 = (2 * g + 1) < hv
+            in_x1 = (2 * qx + 1) < wv
+            raw = [sample(y0, x0), sample(y1, x0),
+                   sample(y0, x1), sample(y1, x1)]
+            inb = [act, act & in_y1, act & in_x1, act & in_y1 & in_x1]
+            vs, sg, sig = [], [], []
+            for i in range(4):
+                mag = raw[i] >> 1
+                v = jnp.where(inb[i], mag >> p_l, 0)
+                vs.append(v)
+                sg.append(raw[i] & 1)
+                sig.append((v > 0).astype(jnp.int32))
+            rho = sig[0] | (sig[1] << 1) | (sig[2] << 2) | (sig[3] << 3)
+
+            left = rho_read(g + 1, qx)
+            top = rho_read(g, qx + 1)
+            topr = rho_read(g, qx + 2)
+            c = (left != 0).astype(jnp.int32) | \
+                ((top != 0).astype(jnp.int32) << 1) | \
+                ((topr != 0).astype(jnp.int32) << 2)
+            is_c0 = c == 0
+
+            # -- MEL event for context-0 quads -----------------------------
+            mel_mask = act & is_c0
+            e = jnp.where(k >= 12, 5,
+                          jnp.where(k >= 11, 4,
+                                    jnp.where(k >= 9, 3,
+                                              jnp.where(k >= 6, 2,
+                                                        jnp.where(k >= 3, 1,
+                                                                  0)))))
+            ev1 = mel_mask & (rho != 0)
+            ev0 = mel_mask & (rho == 0)
+            run_n = jnp.where(ev0, run + 1, run)
+            full = ev0 & (run_n == (one << e))
+            # event 0 completing a run: emit bit 0 (the OR writes nothing
+            # but the position advances); event 1: bit 1 + e run bits
+            w_mel = jnp.where(ev1, 1 | (run << 1), 0)
+            n_mel = jnp.where(ev1, 1 + e, jnp.where(full, 1, 0))
+            or_bits(mel_st, mel_ba, mel_bp, w_mel, ev1)
+            mel_bp = mel_bp + n_mel
+            k = jnp.where(full, jnp.minimum(k + 1, 12),
+                          jnp.where(ev1, jnp.maximum(k - 1, 0), k))
+            run = jnp.where(full | ev1, 0, run_n)
+
+            # -- rho via the fixed-width VLC -------------------------------
+            c0_sig = mel_mask & (rho != 0)
+            cn = act & ~is_c0
+            w_vlc = jnp.where(c0_sig, rho,
+                              jnp.where(cn, (rho << 1) |
+                                        (rho != 0).astype(jnp.int32), 0))
+            n_vlc = jnp.where(c0_sig, 4,
+                              jnp.where(cn,
+                                        jnp.where(rho != 0, 5, 1), 0))
+            or_bits(vlc_st, vlc_ba, vlc_bp,
+                    w_vlc, act & (w_vlc != 0))
+            vlc_bp = vlc_bp + n_vlc
+
+            # -- UVLC of u = U - 1 ------------------------------------------
+            umask = act & (rho != 0)
+            U = jnp.maximum(jnp.maximum(bitlen(vs[0]), bitlen(vs[1])),
+                            jnp.maximum(bitlen(vs[2]), bitlen(vs[3])))
+            u = U - 1
+            w_u = jnp.where(u == 0, 0,
+                            jnp.where(u == 1, 0b01,
+                                      jnp.where(u == 2, 0b011,
+                                                7 | ((u - 3) << 3))))
+            n_u = jnp.where(u == 0, 1,
+                            jnp.where(u == 1, 2,
+                                      jnp.where(u == 2, 3, 8)))
+            or_bits(vlc_st, vlc_ba, vlc_bp, w_u, umask & (w_u != 0))
+            vlc_bp = vlc_bp + jnp.where(umask, n_u, 0)
+
+            # -- MagSgn: per significant sample, U bits of v-1 + sign ------
+            umax = (one << U) - 1
+            for i in range(4):
+                m_i = umask & (sig[i] == 1)
+                w = ((vs[i] - 1) & umax) | (sg[i] << U)
+                or_bits(ms_st, ms_ba, ms_bp, w, m_i & (w != 0))
+                ms_bp = ms_bp + jnp.where(m_i, U + 1, 0)
+
+            rowr = rho_ref[g + 1]
+            rho_ref[g + 1] = jnp.where((qiota == qx + 1) & act, rho, rowr)
+            return (ms_bp, mel_bp, vlc_bp, k, run)
+
+        zi = jnp.zeros(lane_sh, jnp.int32)
+        carry = jax.lax.fori_loop(
+            0, GH * GW, quad_body, (zi, zi, zi, zi, zi))
+        ms_bp, mel_bp, vlc_bp, _, _ = carry
+        # final flush of all three windows
+        restage(ms_ref, ms_st, ms_ba, ms_bp >> 3)
+        restage(mel_ref, mel_st, mel_ba, mel_bp >> 3)
+        restage(vlc_ref, vlc_st, vlc_ba, vlc_bp >> 3)
+        # one lane-shaped output per stream: a (3, L) ref would need a
+        # sub-8-sublane store (Mosaic's replicated-relayout crash path)
+        msb_ref[...] = ms_bp
+        melb_ref[...] = mel_bp
+        vlcb_ref[...] = vlc_bp
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((LMS // 32, 8) + arr_tail, jnp.int32),
+            jax.ShapeDtypeStruct((LMEL // 32, 8) + arr_tail, jnp.int32),
+            jax.ShapeDtypeStruct((LVLC // 32, 8) + arr_tail, jnp.int32),
+            jax.ShapeDtypeStruct(lane_sh, jnp.int32),
+            jax.ShapeDtypeStruct(lane_sh, jnp.int32),
+            jax.ShapeDtypeStruct(lane_sh, jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6),
+        scratch_shapes=[
+            pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # rho
+            pltpu.VMEM((16,) + arr_tail, jnp.int32),             # ms stage
+            pltpu.VMEM((16,) + arr_tail, jnp.int32),             # mel stage
+            pltpu.VMEM((16,) + arr_tail, jnp.int32),             # vlc stage
+            pltpu.VMEM(lane_sh, jnp.int32),                      # ms base
+            pltpu.VMEM(lane_sh, jnp.int32),                      # mel base
+            pltpu.VMEM(lane_sh, jnp.int32),                      # vlc base
+        ],
+        interpret=interpret,
+    )(mneg, pv, wh, valid)
+    ms_b, mel_b, vlc_b, msb, melb, vlcb = outs
+    bits = jnp.stack([msb.reshape(lane_sh), melb.reshape(lane_sh),
+                      vlcb.reshape(lane_sh)], axis=0)
+    if S == 1:
+        bits = bits.reshape(3, LANES)
+    # outputs are packed little-endian words already (word staging) —
+    # flatten granules to one word axis for the host
+    def flat_words(b):
+        return b.reshape((b.shape[0] * 8,) + arr_tail)
+    return flat_words(ms_b), flat_words(mel_b), flat_words(vlc_b), bits
+
+
+def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
+    """Batched device HT encode; returns per-block EncodedBlock,
+    byte-identical to t1ht.scalar.ht_encode_block (p=0 cleanup).
+
+    blocks: {mag, neg, orient, w, h}; blocks whose streams exceed the
+    staged-window bound (numbps > 24) or with numbps == 0 are handled
+    by the caller / scalar path."""
+    from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
+
+    results: list = [None] * len(blocks)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    nbps_all = []
+    for i, b in enumerate(blocks):
+        nbps = int(np.max(np.abs(b["mag"]))).bit_length()
+        nbps_all.append(nbps)
+        if nbps == 0:
+            results[i] = EncodedBlock()
+            continue
+        W = H = 4
+        while W < b["w"]:
+            W <<= 1
+        while H < b["h"]:
+            H <<= 1
+        buckets.setdefault((W, H), []).append(i)
+
+    for (W, H), idxs in buckets.items():
+        mx = max(nbps_all[i] for i in idxs)
+        # capacity from the batch's real dynamic range; staging degrades
+        # (and Mosaic compiles blow up) past ~128 granules per lane
+        LMS = _cap_bytes(W * H * (mx + 2) // 8 + 16)
+        if mx > 24 or LMS > 128 * 32:
+            from grok_tpu.t1ht.scalar import ht_encode_block
+            for i in idxs:
+                b = blocks[i]
+                results[i] = ht_encode_block(b["mag"], b["neg"],
+                                             b["orient"])
+            continue
+        S = min(sublanes_for_ht_enc(W, H, LMS), -(-len(idxs) // LANES))
+        step = S * LANES
+        for kc in range(0, len(idxs), step):
+            chunk = idxs[kc:kc + step]
+            NL = S * LANES
+            mneg = np.zeros((H, W, NL), np.int32)
+            pv = np.zeros((NL,), np.int32)
+            wh = np.ones((2, NL), np.int32)
+            valid = np.zeros((NL,), np.int32)
+            for j, i in enumerate(chunk):
+                b = blocks[i]
+                h, w = b["mag"].shape
+                mneg[:h, :w, j] = (np.asarray(b["mag"], np.int32) << 1) \
+                    | np.asarray(b["neg"], np.int32)
+                wh[0, j] = w
+                wh[1, j] = h
+                valid[j] = 1
+            LMEL = _cap_bytes(((W * H // 4) * 6) // 8 + 16)
+            LVLC = _cap_bytes(((W * H // 4) * 13) // 8 + 16)
+            if S > 1:
+                mneg_a = mneg.reshape(H, W, S, LANES)
+                pv_a = pv.reshape(S, LANES)
+                wh_a = wh.reshape(2, S, LANES)
+                valid_a = valid.reshape(S, LANES)
+            else:
+                mneg_a = mneg
+                pv_a = pv.reshape(1, LANES)
+                wh_a = wh.reshape(2, LANES)
+                valid_a = valid.reshape(1, LANES)
+            ms_w, mel_w, vlc_w, bits = pallas_ht_encode(
+                jnp.asarray(mneg_a), jnp.asarray(pv_a), jnp.asarray(wh_a),
+                jnp.asarray(valid_a), W, H, S, LMS, LMEL, LVLC, interpret)
+            ms_w = np.asarray(ms_w)
+            mel_w = np.asarray(mel_w)
+            vlc_w = np.asarray(vlc_w)
+            bits = np.asarray(bits)
+
+            def lane_bytes(wbuf, j, nbytes):
+                if S > 1:
+                    col = wbuf[:, j // LANES, j % LANES]
+                else:
+                    col = wbuf[:, j]
+                by = np.empty(len(col) * 4, np.uint8)
+                by[0::4] = col & 0xFF
+                by[1::4] = (col >> 8) & 0xFF
+                by[2::4] = (col >> 16) & 0xFF
+                by[3::4] = (col >> 24) & 0xFF
+                return by[:nbytes].tobytes()
+
+            for j, i in enumerate(chunk):
+                b = blocks[i]
+                if S > 1:
+                    ms_bits, mel_bits, vlc_bits = bits[:, j // LANES,
+                                                       j % LANES]
+                else:
+                    ms_bits, mel_bits, vlc_bits = bits[:, j]
+                ms = lane_bytes(ms_w, j, -(-int(ms_bits) // 8))
+                mel = lane_bytes(mel_w, j, -(-int(mel_bits) // 8))
+                vlc = lane_bytes(vlc_w, j, -(-int(vlc_bits) // 8))[::-1]
+                nm = len(mel)
+                scup = nm + len(vlc) + 4
+                cleanup = bytes([0]) + ms + mel + vlc + \
+                    bytes([nm & 0xFF, (nm >> 8) & 0xFF,
+                           scup & 0xFF, (scup >> 8) & 0xFF])
+                mag = np.asarray(b["mag"], np.int64)
+                numbps = nbps_all[i]
+                sig = mag > 0
+                m = mag.astype(np.float64)
+                rec = np.where(sig, m + 0.5, 0.0)
+                d_total = float((m ** 2).sum())
+                d_clean = d_total - float(((m - rec) ** 2).sum())
+                results[i] = EncodedBlock(
+                    data=cleanup, numbps=numbps,
+                    passes=[PassInfo(rate=len(cleanup), dist=d_clean,
+                                     term=True)],
+                    seg_lens=[len(cleanup)], seg_passes=[1])
+    return results
+
+
+def _cap_bytes(n: int) -> int:
+    return max(64, -(-(n + 8) // 32) * 32)
+
+
+def sublanes_for_ht_enc(W: int, H: int, LMS: int) -> int:
+    GH, GW = (H + 1) // 2, (W + 1) // 2
+    # word-packed outputs: Lb bytes cost Lb/4 int32 words per lane
+    words = H * W + (GH + 1) * (GW + 2) + LMS // 4 + 512
+    return 8 if words * 8 * 128 * 4 <= 11 * 2 ** 20 else 1

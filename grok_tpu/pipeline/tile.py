@@ -320,11 +320,21 @@ def encode_tile(image: Image, geo: TileGeometry,
         ht_idx = [i for i, j in enumerate(ejobs)
                   if j["style"] & CBLK_HT and encs[i] is None]
         if ht_idx:
-            from grok_tpu.t1ht import ht_encode_block
-            for i in ht_idx:
-                j = ejobs[i]
-                encs[i] = ht_encode_block(j["mag"], j["neg"], j["orient"],
-                                          j["style"])
+            done = False
+            if backend == "jax":
+                from grok_tpu.ops.pallas_ht import ht_pallas_enabled
+                if ht_pallas_enabled():
+                    from grok_tpu.ops.pallas_ht_enc import encode_ht_blocks
+                    for i, e in zip(ht_idx, encode_ht_blocks(
+                            [ejobs[i] for i in ht_idx])):
+                        encs[i] = e
+                    done = True
+            if not done:
+                from grok_tpu.t1ht import ht_encode_block
+                for i in ht_idx:
+                    j = ejobs[i]
+                    encs[i] = ht_encode_block(j["mag"], j["neg"],
+                                              j["orient"], j["style"])
         rest = [i for i, e in enumerate(encs) if e is None]
         if backend in ("native", "jax") and rest and _native.available():
             for i, e in zip(rest, _native.encode_tile_blocks(

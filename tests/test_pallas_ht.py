@@ -68,3 +68,22 @@ def test_header_parse_roundtrip():
     p, ms, mel, vlc = parse_ht_header(job["data"], job["seg_lens"])
     assert p == job["data"][0]
     assert len(ms) + len(mel) + len(vlc) + 5 == job["seg_lens"][0]
+
+
+def test_encoder_interpret_byte_identical():
+    from grok_tpu.ops.pallas_ht_enc import encode_ht_blocks
+    rng = np.random.default_rng(3)
+    blocks, refs = [], []
+    for i, (w, h) in enumerate([(8, 8), (7, 5), (8, 6), (4, 4)]):
+        mag = np.abs(rng.normal(0, [15, 300, 4, 80][i],
+                                (h, w))).astype(np.int64)
+        mag[rng.random((h, w)) < 0.4] = 0
+        neg = (rng.random((h, w)) < 0.5) & (mag > 0)
+        mag[0, 0] = max(int(mag[0, 0]), 3)
+        blocks.append(dict(mag=mag, neg=neg, orient=i % 4, w=w, h=h))
+        refs.append(ht_encode_block(mag, neg, i % 4))
+    res = encode_ht_blocks(blocks, interpret=True)
+    for i, (got, ref) in enumerate(zip(res, refs)):
+        assert got.data == ref.data, f"block {i} bytes"
+        assert got.numbps == ref.numbps
+        assert abs(got.passes[0].dist - ref.passes[0].dist) < 1e-6

@@ -347,6 +347,7 @@ def encode_tile(image: Image, geo: TileGeometry,
                                        j["style"])
 
     hulls: list[Hull] = []
+    rate_tables: list[np.ndarray] = []   # cumulative bytes per pass
     entry_keys: list[tuple] = []     # (c, r, p, band_i, cblk_i)
     for j, enc in zip(ejobs, encs):
         c, r, p, band_i, cblk_i = j["key"]
@@ -360,6 +361,7 @@ def encode_tile(image: Image, geo: TileGeometry,
         dists = np.array([pi.dist * j["weight"] for pi in enc.passes],
                          dtype=np.float64)
         hulls.append(convex_hull(rates, dists))
+        rate_tables.append(rates)
         entry_keys.append(j["key"])
 
     pkt_overhead = (6 if geo.cod.sop else 0) + (2 if geo.cod.eph else 0)
@@ -428,7 +430,8 @@ def encode_tile(image: Image, geo: TileGeometry,
             from grok_tpu.parallel.sharding import pcrd_slope_bounds_sharded
             bounds = pcrd_slope_bounds_sharded(hulls, mesh)
         layer_cum = allocate_layers(hulls, num_layers, layer_targets,
-                                    simulate, totals, slope_bounds=bounds)
+                                    simulate, totals, slope_bounds=bounds,
+                                    pass_rates=rate_tables)
 
     _pcrd.__exit__(None, None, None)
     final_cs = geo.make_contexts()

@@ -82,8 +82,8 @@ def passes_for_lambda(hull: Hull, lam: float, min_passes: int = 0) -> int:
 def allocate_layers(hulls: list[Hull], num_layers: int,
                     targets: list[float | None], simulate,
                     total_passes: list[int] | None = None,
-                    slope_bounds: tuple[float, float] | None = None
-                    ) -> list[list[int]]:
+                    slope_bounds: tuple[float, float] | None = None,
+                    pass_rates: list | None = None) -> list[list[int]]:
     """Assign cumulative pass counts per layer for every block.
 
     targets: cumulative byte budget per layer (None = include everything
@@ -91,6 +91,15 @@ def allocate_layers(hulls: list[Hull], num_layers: int,
     the hull vertices).
     simulate(layer_cums: list[per-block cumulative passes per layer so far])
       -> total bytes through the last simulated layer (headers included).
+
+    pass_rates[b]: cumulative codeword bytes per pass of block b.  When
+    given, the bisection runs against an incremental cost model — exact
+    body bytes from the rate table plus a header estimate calibrated by
+    the most recent exact Tier-2 simulation — and only candidates the
+    model accepts are exact-simulated (every CHOSEN allocation is still
+    exact-verified <= target).  This drops the O(40 x full-T2) cost per
+    layer to a handful of emissions — the scaling fix for multi-tile /
+    gigapixel allocation (SURVEY §2 row 13).
 
     Returns layer_cum[block][layer].
     """
@@ -100,6 +109,13 @@ def allocate_layers(hulls: list[Hull], num_layers: int,
                         for h in hulls]
     layer_cum: list[list[int]] = [[] for _ in range(nb)]
     prev = [0] * nb
+
+    def body_bytes(cum: list[int]) -> float:
+        tot = 0.0
+        for b in range(nb):
+            if cum[b] > 0:
+                tot += float(pass_rates[b][cum[b] - 1])
+        return tot
 
     if slope_bounds is not None:
         # e.g. the sharded-encode collective (parallel.sharding.
@@ -117,22 +133,35 @@ def allocate_layers(hulls: list[Hull], num_layers: int,
         if tgt is None:
             chosen = [max(total_passes[b], prev[b]) for b in range(nb)]
         else:
-            def trial_size(lam: float) -> tuple[list[int], float]:
-                trial = [passes_for_lambda(hulls[b], lam, prev[b])
-                         for b in range(nb)]
+            def exact_size(trial: list[int]) -> float:
                 for b in range(nb):
                     layer_cum[b].append(trial[b])
                 size = simulate(layer_cum)
                 for b in range(nb):
                     layer_cum[b].pop()
-                return trial, size
+                return size
 
             # bisect toward the smallest lambda whose size fits the target
             lo, hi = smin, smax      # lo: too much data, hi: fits
             chosen = prev[:]         # fallback: nothing new this layer
+            header_est = None        # calibrated by exact simulations
             for _ in range(40):
                 mid = 0.5 * (lo + hi)
-                trial, size = trial_size(mid)
+                trial = [passes_for_lambda(hulls[b], mid, prev[b])
+                         for b in range(nb)]
+                if pass_rates is not None and header_est is not None:
+                    est = body_bytes(trial) + header_est
+                    if est > tgt:
+                        # model rejects: no Tier-2 emission.  Header
+                        # over-estimates only make the split conservative
+                        # (the chosen lambda stays exact-verified below).
+                        lo = mid
+                        if (hi - lo) <= 1e-9 * max(hi, 1.0):
+                            break
+                        continue
+                size = exact_size(trial)
+                if pass_rates is not None:
+                    header_est = max(size - body_bytes(trial), 0.0)
                 if size <= tgt:
                     chosen = trial
                     hi = mid

@@ -87,3 +87,33 @@ def test_encoder_interpret_byte_identical():
         assert got.data == ref.data, f"block {i} bytes"
         assert got.numbps == ref.numbps
         assert abs(got.passes[0].dist - ref.passes[0].dist) < 1e-6
+
+
+def test_mq_pallas_kernels_trace():
+    """The MQ Pallas kernels' full interpret runs take minutes (still
+    gated behind GROK_RUN_PALLAS_TESTS); this traces both through
+    jax.eval_shape in the default suite so tracing/shape rot is caught
+    on every run."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from grok_tpu.ops.pallas_t1 import pallas_t1_decode
+    from grok_tpu.ops.pallas_t1_enc import pallas_t1_encode
+
+    G, S = 3, 1
+    out = jax.eval_shape(
+        partial(pallas_t1_decode, W=8, H=8, maxbp=4, S=S),
+        jax.ShapeDtypeStruct((G, 32, 128), jnp.int32),
+        jax.ShapeDtypeStruct((1, 128), jnp.int32),
+        jax.ShapeDtypeStruct((1, 128), jnp.int32),
+        jax.ShapeDtypeStruct((1, 128), jnp.int32),
+        jax.ShapeDtypeStruct((2, 128), jnp.int32))
+    assert out.shape == (8, 8, 128)
+
+    outs = jax.eval_shape(
+        partial(pallas_t1_encode, W=8, H=8, maxbp=4, L=256),
+        jax.ShapeDtypeStruct((8, 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((1, 128), jnp.int32),
+        jax.ShapeDtypeStruct((1, 128), jnp.int32))
+    assert outs[0].shape[-1] == 128

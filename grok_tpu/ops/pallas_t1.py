@@ -27,9 +27,14 @@ Design (round-2 rework):
   dims <= 32) one launch decodes 1024 blocks and each VPU op carries
   8x128 lanes.  S=1 keeps 3D arrays for 64x64 blocks (VMEM bound).
 
-Same contract as ops/t1_dec.t1_decode_batch: default code-block style,
-single codeword segment; bit-exact vs the scalar coder
-(tests/test_pallas_t1.py, and on TPU hardware).
+Round 2: ALL Part-1 mode switches decode in-kernel — BYPASS raw
+segments (maskable MSB-first unstuffing reader sharing the staged
+window), TERMALL/BYPASS multi-segment codewords (per-pass segmentation
+table, masked INITDEC re-init, per-segment end-of-data clamping),
+RESET (masked context-bank re-init per pass), VSC (flag-word masking of
+the below-stripe bits at stripe row 3), and SEGSYM (four discarded UNI
+decisions per cleanup).  Bit-exact vs the scalar coder across styles
+0x00..0x3F on TPU hardware (tests/test_pallas_t1.py).
 
 Reference parity: the batched device path replaces the per-block
 thread-pool T1 of the reference [grok: src/lib/core/t1/t1_part1/,
@@ -123,8 +128,8 @@ def _sc_from_flags(f):
     return ctx, xor
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
-def pallas_t1_decode(data, numpasses, numbps, orient, wh,
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+def pallas_t1_decode(data, numpasses, numbps, orient, wh, ptbl, stylev,
                      W: int, H: int, maxbp: int, S: int,
                      interpret: bool = False):
     """Decode a batch of S*128 code-blocks with one Pallas kernel.
@@ -133,36 +138,49 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
     codewords in 32-byte granules, 0xFF-padded per lane beyond each
     length, with >=2 spare granules.
     numpasses/numbps/orient: (1|S, LANES) int32; wh: (2, [S,] LANES).
+    ptbl: (3, P8, [S,] LANES) int32 per-pass segmentation table —
+    [0] byte offset where pass p opens a new codeword segment (-1 =
+    continue), [1] that segment's end offset, [2] pass p is raw
+    (BYPASS).  stylev: (1|S, LANES) bit0 VSC, bit1 RESET, bit2 SEGSYM.
+    All 0x3F mode switches are decoded in-kernel (round-2 capability
+    work; round 1 handled the default style only).
     Returns signed mag2 (H, W, [S,] LANES) int32 (negative = sign bit).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     G = data.shape[0]
+    P8 = ptbl.shape[1]
     n_stripes = (H + 3) // 4
     arr_tail = (S, LANES) if S > 1 else (LANES,)
     nd = len(arr_tail)
     lane_sh = (S, LANES) if S > 1 else (1, LANES)
     kd = S == 1                        # keepdims for axis-0 reductions
     mq_tbl = jnp.asarray(_MQ_PACKED).reshape((47,) + (1,) * nd)
+    VSC_MASK = ~(F_SW | F_S | F_SE)
 
     def iota_for(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * nd, 0)
 
-    def kernel(data_ref, npass_ref, nbps_ref, ori_ref, wh_ref, mqtbl_ref,
-               out_ref, flags_ref):
+    def kernel(data_ref, npass_ref, nbps_ref, ori_ref, wh_ref, ptbl_ref,
+               style_ref, mqtbl_ref, out_ref, flags_ref):
         if S == 1:
             ori = ori_ref[...]                 # (1, L)
             npass = npass_ref[...]
             nbps = nbps_ref[...]
             wv = wh_ref[0:1]
             hv = wh_ref[1:2]
+            sty = style_ref[...]
         else:
             ori = ori_ref[...]                 # (S, L)
             npass = npass_ref[...]
             nbps = nbps_ref[...]
             wv = wh_ref[0]
             hv = wh_ref[1]
+            sty = style_ref[...]
+        vsc_l = (sty & 1) != 0
+        reset_l = (sty & 2) != 0
+        segsym_l = (sty & 4) != 0
 
         flags_ref[...] = jnp.zeros((H + 2, W + 2) + arr_tail, jnp.int32)
         out_ref[...] = jnp.zeros((H, W) + arr_tail, jnp.int32)
@@ -171,6 +189,7 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             jnp.int32, (G,) + (1,) * (nd + 1), 0)
         siota = iota_for(64)
         tiota = iota_for(47)
+        piota = iota_for(P8)
 
         def stage_load(bp):
             """(64, [S,] L) staged byte-pair window at each lane's
@@ -190,10 +209,19 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             v = jnp.sum(stage * sel, axis=0, keepdims=kd)
             return (v >> 8) & 0xFF, v & 0xFF
 
-        # MQ register tuple: (a, c, ct, bp, stage, base)
-        def bytein(mq, m):
-            a, c, ct, bp, stage, base = mq
+        # MQ register tuple: (a, c, ct, bp, stage, base, send)
+        # send = current segment's end byte offset: reads past it see
+        # 0xFF (C.3.4 end-of-data semantics) so concatenated segments
+        # never bleed into each other.
+        def seg_byte(stage, base, bp, send):
             cur, nxt = stage_read(stage, base, bp)
+            cur = jnp.where(bp >= send, 0xFF, cur)
+            nxt = jnp.where(bp + 1 >= send, 0xFF, nxt)
+            return cur, nxt
+
+        def bytein(mq, m):
+            a, c, ct, bp, stage, base, send = mq
+            cur, nxt = seg_byte(stage, base, bp, send)
             is_ff = cur == 0xFF
             stop = is_ff & (nxt > 0x8F)
             c_new = jnp.where(stop, c + 0xFF00,
@@ -202,7 +230,7 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             ct_new = jnp.where(is_ff & ~stop, 7, 8)
             bp_new = jnp.where(stop, bp, bp + 1)
             return (a, jnp.where(m, c_new, c), jnp.where(m, ct_new, ct),
-                    jnp.where(m, bp_new, bp), stage, base)
+                    jnp.where(m, bp_new, bp), stage, base, send)
 
         def nbits_to_msb(a):
             n = jnp.zeros_like(a)
@@ -217,26 +245,26 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             return n
 
         def renorm(mq, need):
-            a, c, ct, bp, stage, base = mq
+            a, c, ct, bp, stage, base, send = mq
             n = jnp.where(need, nbits_to_msb(a), 0)
             for _ in range(3):
                 m = n > 0
                 feed = m & (ct == 0)
-                a, c, ct, bp, stage, base = bytein(
-                    (a, c, ct, bp, stage, base), feed)
+                a, c, ct, bp, stage, base, send = bytein(
+                    (a, c, ct, bp, stage, base, send), feed)
                 s = jnp.minimum(n, jnp.where(ct > 0, ct, 0))
                 a = jnp.where(m, (a << s) & 0xFFFF, a)
                 c = jnp.where(m, c << s, c)
                 ct = jnp.where(m, ct - s, ct)
                 n = n - s
-            return (a, c, ct, bp, stage, base)
+            return (a, c, ct, bp, stage, base, send)
 
         def mq_core(mq, i, mps, act):
             """One MQ decision given gathered state (i, mps).
 
             Returns (mq', bit, new_i, new_mps, upd); the caller scatters
             the state update back to its bank where upd == 1."""
-            a, c, ct, bp, stage, base = mq
+            a, c, ct, bp, stage, base, send = mq
             packed = jnp.sum(jnp.where(tiota == i, mqtbl_ref[...], 0),
                              axis=0, keepdims=kd)
             qe = (packed >> 13) & 0xFFFF
@@ -263,12 +291,12 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             a = jnp.where(act * lps == 1, qe,
                           jnp.where(act == 1, a1, a))
             c = jnp.where(act * (1 - lps) == 1, c - (qe << 16), c)
-            mq = renorm((a, c, ct, bp, stage, base), upd == 1)
+            mq = renorm((a, c, ct, bp, stage, base, send), upd == 1)
             return mq, jnp.where(act == 1, bit, 0), new_i, new_mps, upd
 
         def bank_dec(st, bi, n, cxl, act):
             """Decode with carried bank (bi) state selected by cxl."""
-            mq, banks = st
+            mq, banks, ex = st
             stv, mpsv = banks[bi], banks[bi + 1]
             sel = iota_for(n) == cxl
             i = jnp.sum(jnp.where(sel, stv, 0), axis=0, keepdims=kd)
@@ -278,22 +306,85 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             stv = jnp.where(updr, new_i, stv)
             mpsv = jnp.where(updr, new_mps, mpsv)
             banks = banks[:bi] + (stv, mpsv) + banks[bi + 2:]
-            return (mq, banks), bit
+            return (mq, banks, ex), bit
 
         def reg_dec(st, bi, act):
             """Decode with a single-context carried bank (RL / UNI)."""
-            mq, banks = st
+            mq, banks, ex = st
             i, mps = banks[bi], banks[bi + 1]      # lane_sh
             mq, bit, new_i, new_mps, upd = mq_core(mq, i, mps, act)
             i = jnp.where(upd == 1, new_i, i)
             mps = jnp.where(upd == 1, new_mps, mps)
             banks = banks[:bi] + (i, mps) + banks[bi + 2:]
-            return (mq, banks), bit
+            return (mq, banks, ex), bit
+
+        def raw_bit(st, m):
+            """One raw (BYPASS) bit, MSB-first with 0xFF unstuffing,
+            consuming only where m.  Raw segments reuse the MQ tuple's
+            byte position/stage; (rct, rbyte, rprev) live in ex."""
+            (a, c, ct, bp, stage, base, send), banks, ex = st
+            rct, rbyte, rprev = ex
+            need = m & (rct == 0)
+            cur, _ = stage_read(stage, base, bp)
+            cur = jnp.where(bp >= send, 0, cur)
+            nb = jnp.where(rprev == 0xFF, 7, 8)
+            rbyte = jnp.where(need, cur, rbyte)
+            rct = jnp.where(need, nb, rct)
+            rprev = jnp.where(need, cur, rprev)
+            bp = jnp.where(need, bp + 1, bp)
+            rct = rct - m.astype(jnp.int32)
+            bit = (rbyte >> jnp.maximum(rct, 0)) & 1
+            bit = jnp.where(m, bit, 0)
+            return ((a, c, ct, bp, stage, base, send), banks,
+                    (rct, rbyte, rprev)), bit
+
+        def pass_start(st, pno, act_pass):
+            """Open pass `pno` (per-lane pass index): look up the
+            segmentation table, re-init the MQ or raw coder at new
+            segment starts, apply RESET.  Returns (st, raw_l)."""
+            (a, c, ct, bp, stage, base, send), banks, ex = st
+            rct, rbyte, rprev = ex
+            idx = jnp.clip(pno, 0, P8 - 1)
+            mask = act_pass & (pno >= 0)
+            sel = piota == idx
+            tbl = ptbl_ref[...]
+            ns = jnp.sum(jnp.where(sel, tbl[0], 0), axis=0, keepdims=kd)
+            se = jnp.sum(jnp.where(sel, tbl[1], 0), axis=0, keepdims=kd)
+            rawf = jnp.sum(jnp.where(sel, tbl[2], 0), axis=0, keepdims=kd)
+            raw_l = mask & (rawf == 1)
+            m_new = mask & (ns >= 0)
+            send = jnp.where(m_new, se, send)
+            bp = jnp.where(m_new, ns, bp)
+            # raw open: fresh bit state
+            m_raw = m_new & (rawf == 1)
+            rct = jnp.where(m_raw, 0, rct)
+            rprev = jnp.where(m_raw, 0, rprev)
+            # MQ open (C.3.5 INITDEC), masked
+            m_mq = m_new & (rawf == 0)
+            stage, base = stage_load(bp)
+            cur, _ = seg_byte(stage, base, bp, send)
+            a = jnp.where(m_mq, 0x8000, a)
+            c = jnp.where(m_mq, cur << 16, c)
+            ct = jnp.where(m_mq, 0, ct)
+            # bytein reads b[bp] for the 0xFF check and feeds b[bp+1]:
+            # bp stays on the segment's first byte here
+            mq = bytein((a, c, ct, bp, stage, base, send), m_mq)
+            a, c, ct, bp, stage, base, send = mq
+            c = jnp.where(m_mq, c << 7, c)
+            ct = jnp.where(m_mq, ct - 7, ct)
+            # RESET: context banks to initial states at every non-raw
+            # pass start for RESET lanes
+            m_rst = act_pass & (pno >= 0) & reset_l & (rawf == 0)
+            nb_ = []
+            for i_b, init_b in enumerate(banks_init):
+                nb_.append(jnp.where(m_rst, init_b, banks[i_b]))
+            return ((a, c, ct, bp, stage, base, send), tuple(nb_),
+                    (rct, rbyte, rprev)), raw_l
 
         def refresh(st):
-            (a, c, ct, bp, stage, base), banks = st
+            (a, c, ct, bp, stage, base, send), banks, ex = st
             stage, base = stage_load(bp)
-            return ((a, c, ct, bp, stage, base), banks)
+            return ((a, c, ct, bp, stage, base, send), banks, ex)
 
         # -- flag helpers --------------------------------------------------
         wiota = iota_for(W)
@@ -347,20 +438,18 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
                 (0, F_NE), (1, F_N | (negb << 8)), (2, F_NW)])
             flags_ref[y + 2] = flags_ref[y + 2] | bot
 
-        # -- initial MQ state ----------------------------------------------
+        # -- initial state: segment 0 opens via pass_start at passno 0 ---
         bp0 = jnp.zeros(lane_sh, jnp.int32)
         stage0, base0 = stage_load(bp0)
-        cur0, _ = stage_read(stage0, base0, bp0)
-        mq0 = (jnp.full(lane_sh, 0x8000, jnp.int32), cur0 << 16,
-               jnp.zeros(lane_sh, jnp.int32), bp0, stage0, base0)
-        mq0 = bytein(mq0, jnp.ones(lane_sh, bool))
-        a_, c_, ct_, bp_, stage_, base_ = mq0
-        mq0 = (a_, c_ << 7, ct_ - 7, bp_, stage_, base_)
+        zi_l = jnp.zeros(lane_sh, jnp.int32)
+        mq0 = (jnp.full(lane_sh, 0x8000, jnp.int32), zi_l, zi_l,
+               bp0, stage0, base0, jnp.full(lane_sh, 1, jnp.int32))
+        ex0 = (zi_l, zi_l, zi_l)                # raw (rct, rbyte, rprev)
 
         # context banks: ZC ctx0 starts at state 4, RL at 3, UNI at 46
         zi9 = jnp.zeros((9,) + arr_tail, jnp.int32)
         full9 = jax.lax.broadcasted_iota(jnp.int32, (9,) + arr_tail, 0)
-        banks0 = (
+        banks_init = (
             jnp.where(full9 == 0, 4, zi9),                      # zc st
             zi9,                                                # zc mps
             jnp.zeros((5,) + arr_tail, jnp.int32),              # sc st
@@ -372,10 +461,10 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             jnp.full(lane_sh, 46, jnp.int32),                   # uni st
             jnp.zeros(lane_sh, jnp.int32),                      # uni mps
         )
-        st0 = (mq0, banks0)
+        st0 = (mq0, banks_init, ex0)
 
         # -- pass bodies ---------------------------------------------------
-        def spp_step(col, dy, bp, st):
+        def spp_step(col, dy, bp, st, raw_l):
             x = col % W
             yr = (col // W) * 4 + dy
             k_lane = nbps - 1 - bp
@@ -383,6 +472,9 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
                 (x < wv) & (yr < hv)
             y = jnp.minimum(yr, H - 1)
             f = fread(y, x)
+            if dy == 3:
+                # VSC: stripe-causal context ignores the row below
+                f = jnp.where(vsc_l, f & VSC_MASK, f)
             coded = act & ((f & (F_SIG | F_VIS)) == 0) & \
                 ((f & F_ANYSIG) != 0)
             h = ((f >> 3) & 1) + ((f >> 4) & 1)
@@ -390,11 +482,14 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             d = ((f >> 0) & 1) + ((f >> 2) & 1) + ((f >> 5) & 1) + \
                 ((f >> 7) & 1)
             zc = _zc_ctx_arith(ori, h, v, d)
-            st, bit = bank_dec(st, ZC, 9, zc, coded)
+            st, bit = bank_dec(st, ZC, 9, zc, coded & ~raw_l)
+            st, rbit = raw_bit(st, coded & raw_l)
+            bit = jnp.where(raw_l, rbit, bit)
             became = coded & (bit == 1)
             sc, xr = _sc_from_flags(f)
-            st, sbit = bank_dec(st, SC, 5, sc, became)
-            negb = sbit ^ xr
+            st, sbit = bank_dec(st, SC, 5, sc, became & ~raw_l)
+            st, rsgn = raw_bit(st, became & raw_l)
+            negb = jnp.where(raw_l, rsgn, sbit ^ xr)
             # VIS for every coded sample rides the centre-row op
             mark_sig(y, x, negb, became, vis_m=coded)
             val_set(y, x,
@@ -402,7 +497,7 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
                     became)
             return st
 
-        def mrp_step(col, dy, bp, st):
+        def mrp_step(col, dy, bp, st, raw_l):
             x = col % W
             yr = (col // W) * 4 + dy
             k_lane = nbps - 1 - bp
@@ -410,11 +505,15 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
                 (x < wv) & (yr < hv)
             y = jnp.minimum(yr, H - 1)
             f = fread(y, x)
+            if dy == 3:
+                f = jnp.where(vsc_l, f & VSC_MASK, f)
             coded = act & ((f & F_SIG) != 0) & ((f & F_VIS) == 0)
             was_ref = (f & F_MU) != 0
             anysig = (f & F_ANYSIG) != 0
             mr = jnp.where(was_ref, 2, jnp.where(anysig, 1, 0))
-            st, bit = bank_dec(st, MR, 3, mr, coded)
+            st, bit = bank_dec(st, MR, 3, mr, coded & ~raw_l)
+            st, rbit = raw_bit(st, coded & raw_l)
+            bit = jnp.where(raw_l, rbit, bit)
             v2 = vread(y, x)
             nv = v2 + (bit << (bp + 1)) - (jnp.int32(1) << (bp + 1)) \
                 + (jnp.int32(1) << bp)
@@ -443,6 +542,7 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
                 m1 = fread(jnp.minimum(ys + 1, H - 1), x)
                 m2 = fread(jnp.minimum(ys + 2, H - 1), x)
                 m3 = fread(jnp.minimum(ys + 3, H - 1), x)
+                m3 = jnp.where(vsc_l, m3 & VSC_MASK, m3)
                 any_state = (m0 | m1 | m2 | m3) & \
                     (F_ANYSIG | F_SIG | F_VIS)
                 full = (y0 + 4 <= hv) & (x < wv)
@@ -457,6 +557,8 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
                 return (st, rl_mode, has, r, became)
 
             f = fread(y, x)
+            if dy == 3:
+                f = jnp.where(vsc_l, f & VSC_MASK, f)
             if is_zc:
                 cur_sig = (f & F_SIG) != 0
                 visv = (f & F_VIS) != 0
@@ -486,19 +588,29 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             return (st, rl_mode, has, r, zi)
 
         def plane_body(bp, st):
+            k_lane = nbps - 1 - bp
+            act_spp = (k_lane >= 1) & (3 * k_lane - 2 < npass)
+            st, raw_spp = pass_start(st, 3 * k_lane - 2, act_spp)
+
             def spp_col(col, st):
                 st = refresh(st)
                 for dy in range(4):
-                    st = spp_step(col, dy, bp, st)
+                    st = spp_step(col, dy, bp, st, raw_spp)
                 return st
             st = jax.lax.fori_loop(0, n_stripes * W, spp_col, st)
+
+            act_mrp = (k_lane >= 1) & (3 * k_lane - 1 < npass)
+            st, raw_mrp = pass_start(st, 3 * k_lane - 1, act_mrp)
 
             def mrp_col(col, st):
                 st = refresh(st)
                 for dy in range(4):
-                    st = mrp_step(col, dy, bp, st)
+                    st = mrp_step(col, dy, bp, st, raw_mrp)
                 return st
             st = jax.lax.fori_loop(0, n_stripes * W, mrp_col, st)
+
+            act_cln = (k_lane >= 0) & (3 * k_lane < npass)
+            st, _raw_cln = pass_start(st, 3 * k_lane, act_cln)
 
             zi = jnp.zeros(lane_sh, jnp.int32)
 
@@ -515,6 +627,11 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
             carry = jax.lax.fori_loop(0, n_stripes * W, cln_col,
                                       (st, zi, zi, zi, zi))
             st = carry[0]
+            # SEGSYM: four discarded UNI decisions close each cleanup
+            m_ss = segsym_l & act_cln
+            st = refresh(st)
+            for _ in range(4):
+                st, _bit = reg_dec(st, UNI, m_ss)
             # clear VIS everywhere (end of plane)
             flags_ref[...] = flags_ref[...] & ~F_VIS
             return st
@@ -534,13 +651,13 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh,
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((H, W) + arr_tail, jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((H + 2, W + 2) + arr_tail, jnp.int32),   # flags
         ],
         interpret=interpret,
-    )(data, numpasses, numbps, orient, wh, mq_tbl)
+    )(data, numpasses, numbps, orient, wh, ptbl, stylev, mq_tbl)
     return out
 
 
@@ -580,6 +697,40 @@ def pack_for_pallas(blocks: list[dict], S: int, L: int | None = None):
         ori[j] = b["orient"]
         wh[0, j] = b["w"]
         wh[1, j] = b["h"]
+    # per-pass segmentation table (new-segment start / end / raw) from
+    # the B.10.7 termination schedule; single-segment default style gets
+    # one row-0 entry per lane (segment [0, len))
+    from grok_tpu.t1.t1_scalar import is_raw_pass, pass_schedule, \
+        segment_pass_counts
+    maxbp_k = -(-int(nbps.max()) // 4) * 4 if B else 4
+    P8 = max(8, -(-(3 * maxbp_k) // 8) * 8)
+    ptbl = np.zeros((3, P8, NL), np.int32)
+    ptbl[0] -= 1
+    style_v = np.zeros((NL,), np.int32)
+    for j, b in enumerate(blocks):
+        style = b.get("style", 0)
+        style_v[j] = ((1 if style & 0x08 else 0)        # VSC
+                      | (2 if style & 0x02 else 0)      # RESET
+                      | (4 if style & 0x20 else 0))     # SEGSYM
+        np_j = int(npass.flat[j] if npass.ndim == 1 else npass.reshape(-1)[j])
+        seg_lens = list(b.get("seg_lens") or [len(b["data"])])
+        counts = segment_pass_counts(np_j, style)
+        if len(seg_lens) < len(counts):
+            counts = counts[:len(seg_lens)]
+        sched = pass_schedule(int(nbps.reshape(-1)[j]))[:np_j]
+        starts = np.concatenate([[0], np.cumsum(seg_lens)]).astype(int)
+        seg_of = []
+        for si, cnt in enumerate(counts):
+            seg_of += [si] * cnt
+        prev_si = -1
+        for pno in range(min(np_j, len(seg_of), P8, len(sched))):
+            si = seg_of[pno]
+            if si != prev_si:
+                ptbl[0, pno, j] = starts[si]
+                ptbl[1, pno, j] = starts[si + 1]
+                prev_si = si
+            ptype, _bp = sched[pno]
+            ptbl[2, pno, j] = 1 if is_raw_pass(pno, ptype, style) else 0
     pairs = (raw[:, :L].astype(np.int32) << 8) | raw[:, 1:L + 1]
     # (NL, L) -> (G, 32, [S,] LANES); lane j = s*LANES + l
     G = L // 32
@@ -590,13 +741,16 @@ def pack_for_pallas(blocks: list[dict], S: int, L: int | None = None):
         nbps = nbps.reshape(S, LANES)
         ori = ori.reshape(S, LANES)
         wh = wh.reshape(2, S, LANES)
+        ptbl = ptbl.reshape(3, P8, S, LANES)
+        style_v = style_v.reshape(S, LANES)
     else:
         data = np.ascontiguousarray(
             pairs.reshape(LANES, G, 32).transpose(1, 2, 0))
         npass = npass.reshape(1, LANES)
         nbps = nbps.reshape(1, LANES)
         ori = ori.reshape(1, LANES)
-    return data, npass, nbps, ori, wh, B
+        style_v = style_v.reshape(1, LANES)
+    return data, npass, nbps, ori, wh, ptbl, style_v, B
 
 
 def decode_bucket_pallas(blocks: list[dict], W: int, H: int,
@@ -606,11 +760,13 @@ def decode_bucket_pallas(blocks: list[dict], W: int, H: int,
     Enable via GROK_T1_PALLAS=1 (TPU backends; the XLA kernel remains
     the default device path)."""
     S = min(sublanes_for(W, H), -(-len(blocks) // LANES))
-    data, npass, nbps, ori, wh, B = pack_for_pallas(blocks, S)
+    data, npass, nbps, ori, wh, ptbl, style_v, B = pack_for_pallas(
+        blocks, S)
     maxbp = -(-int(nbps.max()) // 4) * 4 if B else 4
     out = pallas_t1_decode(
         jnp.asarray(data), jnp.asarray(npass), jnp.asarray(nbps),
-        jnp.asarray(ori), jnp.asarray(wh), W, H, maxbp, S, interpret)
+        jnp.asarray(ori), jnp.asarray(wh), jnp.asarray(ptbl),
+        jnp.asarray(style_v), W, H, maxbp, S, interpret)
     out = np.asarray(out)
     res = []
     for j, b in enumerate(blocks):

@@ -108,7 +108,9 @@ def test_mq_pallas_kernels_trace():
         jax.ShapeDtypeStruct((1, 128), jnp.int32),
         jax.ShapeDtypeStruct((1, 128), jnp.int32),
         jax.ShapeDtypeStruct((1, 128), jnp.int32),
-        jax.ShapeDtypeStruct((2, 128), jnp.int32))
+        jax.ShapeDtypeStruct((2, 128), jnp.int32),
+        jax.ShapeDtypeStruct((3, 16, 128), jnp.int32),   # ptbl
+        jax.ShapeDtypeStruct((1, 128), jnp.int32))       # stylev
     assert out.shape == (8, 8, 128)
 
     outs = jax.eval_shape(

@@ -62,3 +62,30 @@ def test_pallas_encoder_interpret_bit_exact(seed):
         got = out[:, :, j].reshape(-1)[1:1 + lens[0, j]] \
             .astype(np.uint8).tobytes()
         assert got == ref.data, f"lane {j}"
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_pallas_styled_interpret_bit_exact(seed):
+    """Round-2 capability: every Part-1 mode switch decodes in-kernel
+    (BYPASS raw segments, TERMALL multi-segment, RESET, VSC, SEGSYM)."""
+    from grok_tpu.t1.t1_scalar import decode_block
+    from grok_tpu.ops.pallas_t1 import decode_bucket_pallas
+    rng = np.random.default_rng(seed)
+    styles = [0x01, 0x04, 0x3F, 0x08, 0x22]
+    blocks, refs = [], []
+    for i, style in enumerate(styles):
+        mag = np.abs(rng.normal(0, [20, 300, 1500][i % 3],
+                                (12, 12))).astype(np.int64)
+        mag[rng.random((12, 12)) < 0.4] = 0
+        mag[0, 0] = max(int(mag[0, 0]), 3)
+        neg = rng.random((12, 12)) < 0.5
+        enc = encode_block(mag, neg, i % 4, style)
+        blocks.append(dict(data=enc.data, seg_lens=enc.seg_lens,
+                           numpasses=enc.numpasses, numbps=enc.numbps,
+                           orient=i % 4, w=12, h=12, style=style))
+        refs.append(decode_block(enc.data, enc.seg_lens, enc.numpasses,
+                                 enc.numbps, i % 4, 12, 12, style))
+    res = decode_bucket_pallas(blocks, 12, 12, interpret=True)
+    for j, ((m2, ng), (rm2, rng_)) in enumerate(zip(res, refs)):
+        assert np.array_equal(m2, rm2), f"lane {j} style {styles[j]:#x}"
+        assert np.array_equal(ng[rm2 > 0], rng_[rm2 > 0]), f"lane {j} sign"

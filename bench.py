@@ -70,6 +70,9 @@ def main():
         oracle_mps = mp / _best(lambda: oracle_decode(odata), reps)
 
     # -- fused device path (TPU only): HT kernel + device DWT ----------------
+    # Serving methodology: amortize N back-to-back decodes and force real
+    # completion with a D2H read of the last frame (the axon runtime's
+    # block_until_ready can ack early, so per-call timings lie both ways).
     device_mps = 0.0
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu:
@@ -82,8 +85,16 @@ def main():
         jax.block_until_ready(devs)
         assert np.array_equal(np.asarray(devs[0]), img), \
             "device decode is not lossless"
-        device_mps = mp / _best(
-            lambda: jax.block_until_ready(decompress_device(ht)), reps)
+        n = max(reps, 20)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = decompress_device(ht)
+            jax.block_until_ready(out)
+            np.asarray(out[0][:1, :1])   # 1-px D2H: completion barrier
+            best = min(best, (time.perf_counter() - t0) / n)
+        device_mps = mp / best
 
     if device_mps >= host_mps:
         value, path = device_mps, "tpu_device_resident"

@@ -511,9 +511,18 @@ def decompress_device(data: bytes,
             j2k.read_tile_part_header(cs, p, hdr, th)
             chunks.append(cs[p.data_start:p.data_end])
         body = b"".join(chunks)
-        geo = tile_pipe.TileGeometry.build(hdr, t, th)
-        comp_arrays = tile_pipe.decode_tile(body, geo, hdr, th, dp)
-        comp_arrays = [jnp.asarray(a) for a in comp_arrays]
+        # serving fast path: cached plan + C staging (HT streams)
+        from grok_tpu.pipeline.serve import try_decode_serving
+        served = try_decode_serving(cs, hdr, t, th, body, dp)
+        if served is not None:
+            comp_arrays = served
+            if single_tile:
+                return comp_arrays
+            geo = tile_pipe.TileGeometry.build(hdr, t, th)
+        else:
+            geo = tile_pipe.TileGeometry.build(hdr, t, th)
+            comp_arrays = tile_pipe.decode_tile(body, geo, hdr, th, dp)
+            comp_arrays = [jnp.asarray(a) for a in comp_arrays]
         if single_tile:
             return comp_arrays
         for c in range(hdr.numcomps):

@@ -87,6 +87,11 @@ def _load():
             lib.grk_t1_encode.restype = ctypes.c_int
             lib.grk_fwd53_level.restype = ctypes.c_int
             lib.grk_t1_encode_tile.restype = ctypes.c_int
+            llp = ctypes.POINTER(ctypes.c_longlong)
+            lib.grk_ht_scan.restype = ctypes.c_int
+            lib.grk_ht_scan.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong,
+                llp, ipp, ctypes.c_int, ipp]
             _lib = lib
         except Exception:
             _lib = None
@@ -276,20 +281,10 @@ def fwd53_level(x, x0, y0):
     return ll, hl, lh, hh
 
 
-def t2_parse(body: bytes, ctxs_flat: list, packets: list[tuple[int, int]],
-             sop: bool, eph: bool):
-    """Native Tier-2 parse of a tile's whole packet sequence.
-
-    ctxs_flat: list of (style, bands) per precinct context, each band a
-    (tt_w, tt_h, [(x, y), ...]) tuple in decode order.
-    packets: [(ctx_index, layer), ...] in progression order.
-    Returns (blk_included, blk_zb, blk_numpasses, chunks ndarray (N, 6)
-    [blk, layer, segno, numpasses, offset, length], body_pos) or None if
-    the fast path declined (caller falls back to the Python parser).
-    """
-    lib = _load()
-    if lib is None:
-        return None
+def t2_prepare(ctxs_flat: list, packets: list[tuple[int, int]]):
+    """Build the flat descriptor arrays grk_t2_parse consumes.  The result
+    is reusable across streams of the same geometry (the serving path
+    caches it in its per-geometry plan)."""
     n_ctx = len(ctxs_flat)
     ctx_style = np.zeros(n_ctx, np.int32)
     ctx_band_start = np.zeros(n_ctx + 1, np.int32)
@@ -305,15 +300,40 @@ def t2_parse(body: bytes, ctxs_flat: list, packets: list[tuple[int, int]],
             for (x, y) in xys:
                 blk_x.append(x)
                 blk_y.append(y)
-    band_ttw = np.asarray(band_ttw, np.int32)
-    band_tth = np.asarray(band_tth, np.int32)
-    band_blk_start = np.asarray(band_blk_start, np.int32)
-    blk_x = np.asarray(blk_x, np.int32)
-    blk_y = np.asarray(blk_y, np.int32)
-    n_blks = len(blk_x)
-    pkt_ctx = np.asarray([p[0] for p in packets], np.int32)
-    pkt_layer = np.asarray([p[1] for p in packets], np.int32)
+    return (n_ctx, ctx_style, ctx_band_start,
+            np.asarray(band_ttw, np.int32), np.asarray(band_tth, np.int32),
+            np.asarray(band_blk_start, np.int32),
+            np.asarray(blk_x, np.int32), np.asarray(blk_y, np.int32),
+            np.asarray([p[0] for p in packets], np.int32),
+            np.asarray([p[1] for p in packets], np.int32))
 
+
+def t2_parse(body: bytes, ctxs_flat: list, packets: list[tuple[int, int]],
+             sop: bool, eph: bool):
+    """Native Tier-2 parse of a tile's whole packet sequence.
+
+    ctxs_flat: list of (style, bands) per precinct context, each band a
+    (tt_w, tt_h, [(x, y), ...]) tuple in decode order.
+    packets: [(ctx_index, layer), ...] in progression order.
+    Returns (blk_included, blk_zb, blk_numpasses, chunks ndarray (N, 6)
+    [blk, layer, segno, numpasses, offset, length], body_pos) or None if
+    the fast path declined (caller falls back to the Python parser).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    return t2_parse_prepared(body, t2_prepare(ctxs_flat, packets), sop, eph)
+
+
+def t2_parse_prepared(body: bytes, prep, sop: bool, eph: bool):
+    """t2_parse over prebuilt descriptor arrays (see t2_prepare)."""
+    lib = _load()
+    if lib is None:
+        return None
+    (n_ctx, ctx_style, ctx_band_start, band_ttw, band_tth,
+     band_blk_start, blk_x, blk_y, pkt_ctx, pkt_layer) = prep
+    n_blks = len(blk_x)
+    packets = pkt_ctx
     blk_included = np.zeros(n_blks, np.int32)
     blk_zb = np.zeros(n_blks, np.int32)
     blk_np = np.zeros(n_blks, np.int32)
@@ -418,4 +438,22 @@ def encode_tile_blocks(jobs: list[dict]) -> list:
             numbps=int(numbps[i]), passes=passes,
             seg_lens=[int(seg_lens[i * 128 + k]) for k in range(ns)],
             seg_passes=[int(seg_passes[i * 128 + k]) for k in range(ns)]))
+    return out
+
+
+def _llp(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))
+
+
+def ht_scan(body: bytes, off: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Scan HT cleanup segments: (n, 4) int32 [p, ms_len, mel_len,
+    vlc_len] per block, p = -1 if the framing is invalid."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime not available")
+    n = len(off)
+    off = np.ascontiguousarray(off, np.int64)
+    lens = np.ascontiguousarray(lens, np.int32)
+    out = np.zeros((n, 4), np.int32)
+    lib.grk_ht_scan(body, len(body), _llp(off), _ip(lens), n, _ip(out))
     return out

@@ -54,6 +54,12 @@ def ht_pallas_enabled() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _ht_interpret() -> bool:
+    """Run the HT kernels in Pallas interpret mode (CPU testing of the
+    fused/serving decode paths; GROK_PALLAS_INTERPRET=1)."""
+    return os.environ.get("GROK_PALLAS_INTERPRET") == "1"
+
+
 def parse_ht_header(data: bytes, seg_lens):
     """Split a cleanup segment into (p, magsgn, mel, vlc-forward) or None
     if the framing is invalid (mirrors t1ht.scalar.ht_decode_block)."""

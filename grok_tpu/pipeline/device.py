@@ -53,17 +53,69 @@ def _build_decode_fn(sig):
     (ncomps, mct_mode, fold, comps_sig, buckets_sig) = sig
 
     @jax.jit
-    def run(bucket_arrays):
+    def run(bucket_arrays, body_d=None):
         # 1. batched T1 per bucket
         bucket_out = []
         for (bs, arrs) in zip(buckets_sig, bucket_arrays):
             (coder, W, H, maxbp, _count, _blocks) = bs
+            if coder == "ht3":
+                # serving layout: the RAW codestream body is uploaded once
+                # (body_d) and the per-lane sub-stream windows are staged
+                # ON DEVICE by gathers — no zero-padded staging buffers
+                # cross the host link.  arrs = one (NL, 7) int32 array:
+                # [ms_start, ms_len, mel_start, mel_len, vlc_start,
+                #  vlc_len, p] per lane; wh/valid are constants from the
+                # static block sig.
+                from grok_tpu.ops.pallas_ht import (LANES, _ht_interpret,
+                                                    pallas_ht_decode)
+                (S, Lms, Lmel, Lvlc) = maxbp
+                (meta,) = arrs
+                NL = S * LANES
+                bmax = body_d.shape[0] - 1
+
+                def stage(start, ln, L, rev):
+                    ar = jax.lax.broadcasted_iota(jnp.int32, (NL, L + 1), 1)
+                    if rev:   # vlc is read backwards from its segment end
+                        idx = start[:, None] + (ln[:, None] - 1 - ar)
+                    else:
+                        idx = start[:, None] + ar
+                    g = body_d[jnp.clip(idx, 0, bmax)].astype(jnp.int32)
+                    return jnp.where(ar < ln[:, None], g, 0)
+
+                ms_raw = stage(meta[:, 0], meta[:, 1], Lms, False)
+                mel_raw = stage(meta[:, 2], meta[:, 3], Lmel, False)
+                vlc_raw = stage(meta[:, 4], meta[:, 5], Lvlc, True)
+                whc = np.ones((2, NL), np.int32)
+                vld = np.zeros((NL,), np.int32)
+                for (lane, _ci, _r, _o, _yo, _xo, bh, bw, _d,
+                     _ir) in _blocks:
+                    whc[0, lane] = bw
+                    whc[1, lane] = bh
+                    vld[lane] = 1
+                pvl = meta[:, 6]
+                if S > 1:
+                    whv = jnp.asarray(whc.reshape(2, S, LANES))
+                    valid = jnp.asarray(vld.reshape(S, LANES))
+                    pv = pvl.reshape(S, LANES)
+                else:
+                    whv = jnp.asarray(whc)
+                    valid = jnp.asarray(vld.reshape(1, LANES))
+                    pv = pvl.reshape(1, LANES)
+                out = pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, whv,
+                                       valid, W, H, S, _ht_interpret())
+                if S > 1:
+                    m = out.transpose(2, 3, 0, 1).reshape(S * 128, H, W)
+                else:
+                    m = out.transpose(2, 0, 1)
+                bucket_out.append((jnp.abs(m), m < 0))
+                continue
             if coder == "ht":
-                from grok_tpu.ops.pallas_ht import pallas_ht_decode
+                from grok_tpu.ops.pallas_ht import (_ht_interpret,
+                                                    pallas_ht_decode)
                 S = maxbp
                 ms_d, mel_d, vlc_d, pv, whv, valid = arrs
                 out = pallas_ht_decode(ms_d, mel_d, vlc_d, pv, whv, valid,
-                                       W, H, S)
+                                       W, H, S, _ht_interpret())
                 if S > 1:
                     m = out.transpose(2, 3, 0, 1).reshape(S * 128, H, W)
                 else:

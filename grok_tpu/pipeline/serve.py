@@ -1,0 +1,271 @@
+"""Cached serving decode: the latency path for repeated HT decodes.
+
+`decompress_device` is the serving surface — an accelerator consumer
+decoding many streams that share one geometry (same SIZ/COD/QCD), e.g. a
+frame sequence or a dataset shard.  The general path re-derives geometry,
+precinct state, and job descriptors per call in Python; at ~0.2 ms of
+device time per 512x512 frame that host work IS the frame time.
+
+This module caches everything derivable from the main header in a
+ServePlan (geometry, the C Tier-2 parser's descriptor arrays, per-block
+placement metadata, the fused program signature skeleton) and runs the
+per-stream work as three C calls + two uploads per kernel launch:
+
+    C t2_parse  ->  C ht_scan  ->  jit(fused decode over the raw body)
+
+The raw codestream body is uploaded ONCE per call; per-lane sub-stream
+windows are staged on device by gathers, so no zero-padded staging
+buffers ever cross the host link (which is the bottleneck on tunneled
+hosts and still the largest non-kernel cost on local-attached TPU).
+
+Scope: single-tile, full-frame (no window/reduce/layer-cap), HT
+cleanup-only streams — exactly the serving shape.  Anything else returns
+None and the caller falls back to the general path.
+
+Reference parity: the reference's analog is the plugin batch decode
+surface [grok: src/lib/core/plugin/, grk_plugin_batch_decompress] where
+the host keeps per-stream state hot and ships block batches to the
+accelerator (SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from grok_tpu.core.geometry import BAND_LL
+from grok_tpu.core.params import CBLK_HT
+
+_PLANS: dict = {}
+_PLANS_MAX = 16
+
+
+@dataclass
+class ServePlan:
+    geo: object
+    prep: tuple                       # C t2_parse descriptor arrays
+    sop: bool
+    eph: bool
+    n_blks: int
+    # per-global-block-index metadata (aligned with the C parser)
+    comp: np.ndarray
+    mb: np.ndarray                    # Mb (numbps = mb - zb)
+    bw: np.ndarray
+    bh: np.ndarray
+    bucket: np.ndarray                # bucket id per block
+    bucket_dims: list                 # bucket id -> (Wpad, Hpad)
+    sig_tail: list                    # per block: block_sig minus the lane
+    all_ht: bool
+    comps_sig: tuple
+    mct_mode: int
+
+
+def _pow2_at_least(v: int, lo: int = 4, hi: int = 64) -> int:
+    p = lo
+    while p < v and p < hi:
+        p *= 2
+    return p
+
+
+def _build_plan(hdr, t: int, th) -> ServePlan | None:
+    from grok_tpu import native
+    from grok_tpu.pipeline.tile import TileGeometry
+    from grok_tpu.t2.progression import iter_packets
+
+    if not native.available():
+        return None
+    geo = TileGeometry.build(hdr, t, th)
+    if geo.rgn or geo.custom_mct is not None:
+        return None
+    all_ht = all((cs.cblk_style & CBLK_HT) and not (cs.cblk_style & ~CBLK_HT)
+                 for cs in geo.styles)
+    if not all_ht:
+        return None
+
+    ctxs = geo.make_contexts()
+    ctx_keys = list(ctxs.keys())
+    ctx_idx = {k: i for i, k in enumerate(ctx_keys)}
+    ctxs_flat = []
+    for k in ctx_keys:
+        ctx = ctxs[k]
+        bands = []
+        for (_o, bp) in ctx.bands:
+            bands.append((bp.cblk_grid_w, bp.cblk_grid_h,
+                          [g.idx_in_prec for g in bp.cblks]))
+        ctxs_flat.append((ctx.style, bands))
+    packet_list = list(iter_packets(geo.tcgs, geo.subsampling,
+                                    geo.cod.num_layers, geo.cod.prog_order,
+                                    geo.rect.x0, geo.rect.y0, None))
+    packets = [(ctx_idx[(pc.comp, pc.res, pc.prec)], pc.layer)
+               for pc in packet_list]
+    prep = native.t2_prepare(ctxs_flat, packets)
+
+    # per-block metadata in the C parser's global block order:
+    # ctx (c, r, p) -> band -> cblk
+    comp_l, mb_l, bw_l, bh_l, bucket_l, tails = [], [], [], [], [], []
+    bucket_ids: dict = {}
+    bucket_dims: list = []
+    for (c, r, p) in ctx_keys:
+        tcg = geo.tcgs[c]
+        quant = geo.quants[c]
+        irrev = bool(geo.styles[c].irreversible)
+        rg = tcg.resolutions[r]
+        for band_i, bg in enumerate(rg.bands):
+            mb = quant.mb(r, bg.orient)
+            delta = float(quant.delta(r, bg.orient))
+            bp = bg.precincts[p]
+            for cb in bp.cblks:
+                comp_l.append(c)
+                mb_l.append(mb)
+                bw_l.append(cb.rect.w)
+                bh_l.append(cb.rect.h)
+                key = (_pow2_at_least(cb.rect.w), _pow2_at_least(cb.rect.h))
+                bid = bucket_ids.setdefault(key, len(bucket_ids))
+                if bid == len(bucket_dims):
+                    bucket_dims.append(key)
+                bucket_l.append(bid)
+                tails.append((c, r, bg.orient if r > 0 else BAND_LL,
+                              cb.rect.y0 - bg.rect.y0,
+                              cb.rect.x0 - bg.rect.x0,
+                              cb.rect.h, cb.rect.w, delta, irrev))
+
+    comps_sig = []
+    for c, tcg in enumerate(geo.tcgs):
+        cs = geo.styles[c]
+        numres = cs.num_resolutions
+        bands = []
+        for rg in tcg.resolutions:
+            for bg in rg.bands:
+                bands.append((rg.r, bg.orient,
+                              (bg.rect.x0, bg.rect.y0, bg.rect.x1,
+                               bg.rect.y1),
+                              float(geo.quants[c].delta(rg.r, bg.orient))))
+        rect = geo.comp_rects[c]
+        comps_sig.append((
+            (rect.x0, rect.y0, rect.x1, rect.y1), numres, numres,
+            hdr.comps[c].prec, hdr.comps[c].sgnd,
+            bool(cs.irreversible), tuple(bands)))
+    mct_mode = 0
+    if geo.cod.mct and len(comps_sig) >= 3:
+        mct_mode = 2 if geo.styles[0].irreversible else 1
+
+    return ServePlan(
+        geo=geo, prep=prep, sop=geo.cod.sop, eph=geo.cod.eph,
+        n_blks=len(comp_l),
+        comp=np.asarray(comp_l, np.int32), mb=np.asarray(mb_l, np.int32),
+        bw=np.asarray(bw_l, np.int32), bh=np.asarray(bh_l, np.int32),
+        bucket=np.asarray(bucket_l, np.int32), bucket_dims=bucket_dims,
+        sig_tail=tails, all_ht=True, comps_sig=tuple(comps_sig),
+        mct_mode=mct_mode)
+
+
+def _plan_for(cs: bytes, hdr, t: int, th) -> ServePlan | None:
+    key = (bytes(cs[:hdr.main_header_end]), t)
+    plan = _PLANS.get(key)
+    if plan is None and key not in _PLANS:
+        plan = _build_plan(hdr, t, th)
+        if len(_PLANS) >= _PLANS_MAX:
+            _PLANS.clear()
+        _PLANS[key] = plan             # None cached too: don't re-derive
+    return plan
+
+
+def try_decode_serving(cs: bytes, hdr, t: int, th, body: bytes, dp):
+    """Fast-path decode of one tile; list[jax.Array] or None (fall back).
+
+    Caller guarantees: jax backend requested, keep_device semantics
+    handled by the caller (arrays are returned device-resident)."""
+    if (dp.reduce or dp.window is not None or dp.max_layers
+            or dp.mesh is not None or hdr.ppm is not None):
+        return None
+    if (th.cod is not None or th.qcd is not None or th.coc or th.qcc
+            or th.rgn or th.pocs or th.ppt is not None):
+        return None
+    if hdr.pocs:
+        return None
+    from grok_tpu.ops.pallas_ht import ht_pallas_enabled
+    if not ht_pallas_enabled():
+        return None
+    plan = _plan_for(cs, hdr, t, th)
+    if plan is None:
+        return None
+
+    from grok_tpu import native
+    parsed = native.t2_parse_prepared(body, plan.prep, plan.sop, plan.eph)
+    if parsed is None:
+        return None
+    incl, zb, npass, chunks, _end = parsed
+
+    idx = np.nonzero(incl)[0]
+    if idx.size == 0:
+        return None
+    # HT serving shape: exactly one cleanup segment per included block
+    if not (npass[idx] == 1).all():
+        return None
+    if len(chunks) != idx.size or (chunks[:, 2] != 0).any():
+        return None
+    offs = np.zeros(plan.n_blks, np.int64)
+    lens = np.zeros(plan.n_blks, np.int32)
+    offs[chunks[:, 0]] = chunks[:, 4]
+    lens[chunks[:, 0]] = chunks[:, 5]
+
+    scan = native.ht_scan(body, offs[idx], lens[idx])
+    if (scan[:, 0] < 0).any():
+        return None
+    numbps = plan.mb[idx] - zb[idx]
+    if ((numbps - scan[:, 0]) > 24).any():
+        return None
+    from grok_tpu.ops.pallas_ht import (LANES, MAX_STREAM, _quant_len,
+                                        sublanes_for_ht)
+    if int(scan[:, 1:].max()) > MAX_STREAM:
+        return None
+
+    # sub-stream start offsets within the body; the device stages the
+    # lane windows itself (ht3 gathers), vlc read reversed from its end
+    import jax.numpy as jnp
+    ms_start = (offs + 1).astype(np.int64)
+    bucket_sigs = []
+    bucket_arrays = []
+    for bid, (W, H) in enumerate(plan.bucket_dims):
+        sel = idx[plan.bucket[idx] == bid]
+        if sel.size == 0:
+            continue
+        sc = scan[np.searchsorted(idx, sel)]
+        mx = int(sc[:, 1:].max())
+        S = min(sublanes_for_ht(W, H, mx), -(-int(sel.size) // LANES))
+        step = S * LANES
+        for k in range(0, sel.size, step):
+            chunk = sel[k:k + step]
+            sck = sc[k:k + step]
+            Lms = _quant_len(int(sck[:, 1].max()))
+            Lmel = _quant_len(int(sck[:, 2].max()))
+            Lvlc = _quant_len(int(sck[:, 3].max()))
+            meta = np.zeros((S * LANES, 7), np.int32)
+            n = chunk.size
+            meta[:n, 0] = ms_start[chunk]
+            meta[:n, 1] = sck[:, 1]
+            meta[:n, 2] = ms_start[chunk] + sck[:, 1]       # mel start
+            meta[:n, 3] = sck[:, 2]
+            meta[:n, 4] = meta[:n, 2] + sck[:, 2]           # vlc start
+            meta[:n, 5] = sck[:, 3]
+            meta[:n, 6] = sck[:, 0]                         # p
+            blocks_sig = tuple((lane,) + plan.sig_tail[gi]
+                               for lane, gi in enumerate(chunk.tolist()))
+            bucket_sigs.append(("ht3", W, H, (S, Lms, Lmel, Lvlc),
+                                int(n), blocks_sig))
+            bucket_arrays.append((jnp.asarray(meta),))
+
+    # body uploaded once, padded to a 4 KiB multiple so repeated decodes
+    # of similar-size streams reuse the compiled program
+    blen = max(4096, -(-len(body) // 4096) * 4096)
+    body_pad = np.zeros(blen, np.uint8)
+    body_pad[:len(body)] = np.frombuffer(body, np.uint8)
+    body_d = jnp.asarray(body_pad)
+
+    from grok_tpu.ops.t1_dec import default_fold
+    from grok_tpu.pipeline.device import _build_decode_fn
+    sig = (len(plan.comps_sig), plan.mct_mode, default_fold(),
+           plan.comps_sig, tuple(bucket_sigs))
+    fn = _build_decode_fn(sig)
+    return list(fn(tuple(bucket_arrays), body_d))

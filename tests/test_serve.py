@@ -1,0 +1,74 @@
+"""Serving fast path (pipeline/serve.py): cached plan + C staging +
+device-side sub-stream gathers, vs the scalar oracle.  Runs the Pallas HT
+kernel in interpret mode on the CPU backend (GROK_PALLAS_INTERPRET)."""
+
+import numpy as np
+import pytest
+
+from grok_tpu import (CompressParams, DecompressParams, compress, decompress,
+                      native)
+from grok_tpu.util.oracle import synthetic_image
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no C toolchain")
+
+
+@pytest.fixture(autouse=True)
+def _ht_interpret_env(monkeypatch):
+    monkeypatch.setenv("GROK_HT_PALLAS", "1")
+    monkeypatch.setenv("GROK_PALLAS_INTERPRET", "1")
+
+
+def _serve_decode(data):
+    from grok_tpu.api import decompress_device
+    return decompress_device(data)
+
+
+def test_serving_lossless_bit_exact_and_plan_cached():
+    from grok_tpu.pipeline import serve
+    serve._PLANS.clear()
+    img = synthetic_image(96, 80, 1, seed=3)
+    data = compress(img, CompressParams(ht=True, num_resolutions=3,
+                                        cblk_w_exp=5, cblk_h_exp=5))
+    out = np.asarray(_serve_decode(data)[0])
+    assert np.array_equal(out, img)
+    assert sum(v is not None for v in serve._PLANS.values()) == 1
+    # second stream, same geometry: plan reused, still exact
+    img2 = synthetic_image(96, 80, 1, seed=4)
+    data2 = compress(img2, CompressParams(ht=True, num_resolutions=3,
+                                          cblk_w_exp=5, cblk_h_exp=5))
+    out2 = np.asarray(_serve_decode(data2)[0])
+    assert np.array_equal(out2, img2)
+    assert len([v for v in serve._PLANS.values() if v is not None]) == 1
+
+
+def test_serving_rgb_ict_matches_general_jax_path():
+    img = synthetic_image(64, 96, 3, seed=5)
+    data = compress(img, CompressParams(ht=True, irreversible=True,
+                                        num_resolutions=3, cblk_w_exp=5,
+                                        cblk_h_exp=5, rates=[6.0]))
+    got = np.stack([np.asarray(a) for a in _serve_decode(data)], axis=-1)
+    ref = decompress(data, DecompressParams(backend="jax")).to_array()
+    assert np.array_equal(got, ref)
+
+
+def test_serving_declines_to_general_path(monkeypatch):
+    """Non-HT streams and reduced decodes must fall back, not fail."""
+    from grok_tpu.pipeline import serve
+    calls = {"n": 0}
+    orig = serve.try_decode_serving
+
+    def counting(*a, **k):
+        r = orig(*a, **k)
+        calls["n"] += 1
+        calls["last"] = r
+        return r
+
+    monkeypatch.setattr(serve, "try_decode_serving", counting)
+    import grok_tpu.api  # noqa: F401  (binds at call time via module attr)
+    img = synthetic_image(64, 64, 1, seed=6)
+    part1 = compress(img, CompressParams(num_resolutions=3))
+    from grok_tpu.api import decompress_device
+    out = np.asarray(decompress_device(part1)[0])
+    assert np.array_equal(out, img)
+    assert calls["last"] is None      # declined (MQ stream), then fell back

@@ -206,13 +206,19 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
                     # required reduction = E0 - allowed error; E0 is
                     # resolved inside encode_tile from the hull maxima
                     quality_targets.append(mse * npix)
-        res = tile_pipe.encode_tile(image, geo, targets, mct_norms,
-                                    backend=params.backend,
-                                    roi_rect=params.roi_rect,
-                                    pocs=hdr.pocs,
-                                    quality_targets=quality_targets,
-                                    split_headers=params.write_ppm,
-                                    mesh=params.mesh)
+        res = None
+        if params.backend == "jax":
+            # serving fast path: fused device encode (HT, single layer)
+            from grok_tpu.pipeline.serve_enc import try_encode_serving
+            res = try_encode_serving(image, hdr, t, params, hdr.pocs)
+        if res is None:
+            res = tile_pipe.encode_tile(image, geo, targets, mct_norms,
+                                        backend=params.backend,
+                                        roi_rect=params.roi_rect,
+                                        pocs=hdr.pocs,
+                                        quality_targets=quality_targets,
+                                        split_headers=params.write_ppm,
+                                        mesh=params.mesh)
         if params.write_ppm:
             ppm_chunks.append(res.headers)
         nparts = max(1, min(params.max_tile_parts, len(res.packets) or 1))

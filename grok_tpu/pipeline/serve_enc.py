@@ -1,0 +1,394 @@
+"""Fused device encode (serving): pixels -> codestream with the chip
+doing everything between DC shift and the entropy-coded bytes.
+
+One jitted program (cached per geometry) runs DC shift + MCT + forward
+DWT + quantization + code-block batching + the Pallas HT encoder; a
+second tiny program compacts the per-lane sub-streams into ONE dense
+byte buffer on device, so the only downloads are the compressed bytes
+themselves (as int32 words — the axon runtime hangs on uint8 D2H) plus
+a small per-lane bit-count table.  The host then runs Tier-2 packet
+emission over the downloaded segments.
+
+Scope (falls back to the general encoder otherwise): HT cleanup-only
+styles, single quality layer with no byte/quality targets, no ROI, no
+custom MCT, no mesh, default precincts.  The reversible path produces
+codestreams byte-identical to the host encoder (the Pallas HT kernel is
+byte-exact vs t1ht.scalar); the irreversible path quantizes in f32 on
+device (vs f64 on host), so streams are self-consistent but may differ
+from the host encoder at isolated rounding boundaries.
+
+Reference parity: device analog of the reference's plugin batch
+compress surface [grok: src/lib/core/plugin/, grk_plugin_batch_compress]
+(SURVEY.md §3.5) — "device does the bitplane math, host does the bytes".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+
+from grok_tpu.core.geometry import Rect
+from grok_tpu.core.params import CBLK_HT
+
+LANES = 128
+
+_EPLANS: dict = {}
+_EPLANS_MAX = 16
+
+
+@dataclass
+class EncPlan:
+    geo: object
+    bucket: tuple            # (W, H, S, LMS, LMEL, LVLC, nlaunch)
+    lane_block: list         # lane -> (c, r, p, band_i, cblk_i) or None
+    lane_mb: np.ndarray      # Mb per lane
+    sig: tuple               # full signature for _build_encode_fn
+
+
+def _pow2_at_least(v: int, lo: int = 4) -> int:
+    p = lo
+    while p < v:
+        p *= 2
+    return p
+
+
+@lru_cache(maxsize=32)
+def _build_encode_fn(sig):
+    """Phase-A program: pixels -> (ms, mel, vlc word buffers, bit counts,
+    numbps) for every launch, all device-resident."""
+    import jax
+    import jax.numpy as jnp
+
+    from grok_tpu.ops import dwt as jdwt
+    from grok_tpu.ops import mct as jmct
+    from grok_tpu.ops.pallas_ht import _ht_interpret
+    from grok_tpu.ops.pallas_ht_enc import pallas_ht_encode
+
+    (ncomps, mct_mode, comps_sig, bucket_sig, blocks_sig) = sig
+    (W, H, S, LMS, LMEL, LVLC, nlaunch) = bucket_sig
+    NL = S * LANES
+
+    @jax.jit
+    def run(comps):
+        outs = []
+        for ci, csig in enumerate(comps_sig):
+            (_rect, _numres, prec, sgnd, irrev, _bands) = csig
+            outs.append(jmct.dc_shift_fwd(comps[ci].astype(jnp.int32),
+                                          prec, sgnd))
+        if mct_mode and ncomps >= 3:
+            if mct_mode == 2:
+                y, cb, cr = jmct.ict_fwd(outs[0].astype(jnp.float32),
+                                         outs[1].astype(jnp.float32),
+                                         outs[2].astype(jnp.float32))
+            else:
+                y, cb, cr = jmct.rct_fwd(outs[0], outs[1], outs[2])
+            outs[0], outs[1], outs[2] = y, cb, cr
+
+        band_mneg = {}
+        for ci, csig in enumerate(comps_sig):
+            (rect_t, numres, _prec, _sgnd, irrev, bands) = csig
+            cur = outs[ci]
+            if irrev and cur.dtype != jnp.float32:
+                cur = cur.astype(jnp.float32)
+            blist = jdwt.fwd_multilevel(cur, Rect(*rect_t), numres, irrev)
+            for (r, orient, delta) in bands:
+                arr = blist[0] if r == 0 else blist[r][orient - 1]
+                if irrev:
+                    mag = jnp.floor(jnp.abs(arr)
+                                    * jnp.float32(1.0 / delta)) \
+                        .astype(jnp.int32)
+                else:
+                    mag = jnp.abs(arr).astype(jnp.int32)
+                neg = (arr < 0).astype(jnp.int32)
+                band_mneg[(ci, r, orient)] = (mag << 1) | neg
+
+        # batch code-blocks into lane tensors (static placements)
+        results = []
+        for li in range(nlaunch):
+            lanes = []
+            whc = np.ones((2, NL), np.int32)
+            vld = np.zeros((NL,), np.int32)
+            for lane in range(NL):
+                gi = li * NL + lane
+                if gi >= len(blocks_sig):
+                    break
+                (ci, r, orient, yoff, xoff, bh, bw) = blocks_sig[gi]
+                src = jax.lax.dynamic_slice(band_mneg[(ci, r, orient)],
+                                            (yoff, xoff), (bh, bw))
+                lanes.append(jnp.pad(src, ((0, H - bh), (0, W - bw))))
+                whc[0, lane] = bw
+                whc[1, lane] = bh
+                vld[lane] = 1
+            mneg = jnp.stack(lanes, axis=-1)            # (H, W, n)
+            if len(lanes) < NL:
+                mneg = jnp.pad(mneg, ((0, 0), (0, 0),
+                                      (0, NL - len(lanes))))
+            mags = (mneg >> 1).reshape(-1, NL)
+            mx = jnp.max(mags, axis=0)                  # (NL,)
+            numbps = 32 - jax.lax.clz(mx)               # bit_length(mx)
+            pv = jnp.zeros((S, LANES), jnp.int32) if S > 1 else \
+                jnp.zeros((1, LANES), jnp.int32)
+            if S > 1:
+                mneg_a = mneg.reshape(H, W, S, LANES)
+                wh_a = jnp.asarray(whc.reshape(2, S, LANES))
+                valid_a = jnp.asarray(vld.reshape(S, LANES))
+            else:
+                mneg_a = mneg
+                wh_a = jnp.asarray(whc)
+                valid_a = jnp.asarray(vld.reshape(1, LANES))
+            ms_w, mel_w, vlc_w, bits = pallas_ht_encode(
+                mneg_a, pv, wh_a, valid_a, W, H, S, LMS, LMEL, LVLC,
+                _ht_interpret())
+            if S > 1:
+                bits = bits.reshape(3, NL)
+                ms_w = ms_w.reshape(-1, NL)
+                mel_w = mel_w.reshape(-1, NL)
+                vlc_w = vlc_w.reshape(-1, NL)
+            results.append((ms_w, mel_w, vlc_w, bits,
+                            numbps * jnp.asarray(vld)))
+        return tuple(results)
+
+    return run
+
+
+@lru_cache(maxsize=32)
+def _build_compact_fn(T: int):
+    """Phase-C program: per-lane word buffers -> one dense byte stream of
+    T bytes (as T//4 int32 LE words).  Lane k's segment is the final
+    cleanup segment [p=0 | ms | mel | vlc-reversed | nm lo,hi, scup
+    lo,hi]; lanes with numbps == 0 contribute nothing.  The segment
+    layout and cumulative offsets are recomputed on device from the bit
+    counts, so this program needs NO host inputs beyond the buffers."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def compact(ms_w, mel_w, vlc_w, bits, numbps):
+        NL = bits.shape[1]
+        msb = (bits[0] + 7) >> 3
+        melb = (bits[1] + 7) >> 3
+        vlcb = (bits[2] + 7) >> 3
+        nzero = numbps > 0
+        seg = jnp.where(nzero, 1 + msb + melb + vlcb + 4, 0)
+        cum = jnp.cumsum(seg)
+        start = cum - seg
+        k = jnp.arange(T, dtype=jnp.int32)
+        lane = jnp.searchsorted(cum, k, side="right").astype(jnp.int32)
+        lane_c = jnp.clip(lane, 0, NL - 1)
+        r = k - start[lane_c]
+        msb_l = msb[lane_c]
+        melb_l = melb[lane_c]
+        vlcb_l = vlcb[lane_c]
+
+        def word_byte(wbuf, q):
+            flat = wbuf.reshape(-1)
+            idx = jnp.clip(q >> 2, 0, wbuf.shape[0] - 1) * NL + lane_c
+            w = flat[idx]
+            return (w >> ((q & 3) * 8)) & 0xFF
+
+        ms_q = r - 1
+        mel_q = r - 1 - msb_l
+        vlc_fwd = r - 1 - msb_l - melb_l
+        vlc_q = vlcb_l - 1 - vlc_fwd
+        suf = r - 1 - msb_l - melb_l - vlcb_l
+        nm = melb_l
+        scup = melb_l + vlcb_l + 4
+        val = jnp.zeros_like(k)          # r == 0: the p byte (cleanup p=0)
+        val = jnp.where((r >= 1) & (ms_q < msb_l),
+                        word_byte(ms_w, jnp.maximum(ms_q, 0)), val)
+        val = jnp.where((mel_q >= 0) & (mel_q < melb_l),
+                        word_byte(mel_w, jnp.maximum(mel_q, 0)), val)
+        val = jnp.where((vlc_fwd >= 0) & (vlc_fwd < vlcb_l),
+                        word_byte(vlc_w, jnp.maximum(vlc_q, 0)), val)
+        sufv = jnp.stack([nm & 0xFF, nm >> 8, scup & 0xFF, scup >> 8],
+                         axis=0)                       # (4, T)
+        val = jnp.where(suf >= 0,
+                        jnp.take_along_axis(
+                            sufv, jnp.clip(suf, 0, 3)[None, :],
+                            axis=0)[0], val)
+        val = jnp.where(k < cum[NL - 1], val, 0)
+        w4 = val.reshape(T // 4, 4)
+        words = (w4[:, 0] | (w4[:, 1] << 8) | (w4[:, 2] << 16)
+                 | (w4[:, 3] << 24))
+        return words
+
+    return compact
+
+
+def _build_plan(hdr, t: int, params) -> EncPlan | None:
+    from grok_tpu.ops.pallas_ht_enc import _cap_bytes, sublanes_for_ht_enc
+    from grok_tpu.pipeline.tile import TileGeometry
+
+    geo = TileGeometry.build(hdr, t)
+    if geo.rgn or geo.custom_mct is not None:
+        return None
+    if any(cs.cblk_style != CBLK_HT for cs in geo.styles):
+        return None
+    if any(cs.prec_exps for cs in geo.styles):
+        return None
+    mbmax = 0
+    Wm = Hm = 4
+    blocks = []               # (ci, r, orient, yoff, xoff, bh, bw)
+    lane_block = []
+    lane_mb = []
+    comps_sig = []
+    for c, tcg in enumerate(geo.tcgs):
+        quant = geo.quants[c]
+        cs = geo.styles[c]
+        bands_sig = []
+        for rg in tcg.resolutions:
+            for bg in rg.bands:
+                bands_sig.append((rg.r, bg.orient,
+                                  float(quant.delta(rg.r, bg.orient))))
+                mb = quant.mb(rg.r, bg.orient)
+                mbmax = max(mbmax, mb)
+                for p in range(rg.num_precincts):
+                    for cblk_i, cb in enumerate(bg.precincts[p].cblks):
+                        band_i = rg.bands.index(bg)
+                        blocks.append((c, rg.r, bg.orient,
+                                       cb.rect.y0 - bg.rect.y0,
+                                       cb.rect.x0 - bg.rect.x0,
+                                       cb.rect.h, cb.rect.w))
+                        lane_block.append((c, rg.r, p, band_i, cblk_i))
+                        lane_mb.append(mb)
+                        Wm = max(Wm, _pow2_at_least(cb.rect.w))
+                        Hm = max(Hm, _pow2_at_least(cb.rect.h))
+        rect = geo.comp_rects[c]
+        comps_sig.append(((rect.x0, rect.y0, rect.x1, rect.y1),
+                          cs.num_resolutions, hdr.comps[c].prec,
+                          hdr.comps[c].sgnd, bool(cs.irreversible),
+                          tuple(bands_sig)))
+    if mbmax > 24 or not blocks:
+        return None
+    LMS = _cap_bytes(Wm * Hm * (mbmax + 2) // 8 + 16)
+    if LMS > 128 * 32:
+        return None
+    LMEL = _cap_bytes(((Wm * Hm // 4) * 6) // 8 + 16)
+    LVLC = _cap_bytes(((Wm * Hm // 4) * 13) // 8 + 16)
+    # S stays at the kernel's native sublane count (8, or 1 under VMEM
+    # pressure): intermediate S values are novel Mosaic shapes that have
+    # been observed to send compiles off a cliff; idle lanes are cheap
+    # and every geometry reuses the same compiled kernel variant.
+    S = sublanes_for_ht_enc(Wm, Hm, LMS)
+    NL = S * LANES
+    nlaunch = -(-len(blocks) // NL)
+    mct_mode = 0
+    if geo.cod.mct and len(comps_sig) >= 3:
+        mct_mode = 2 if geo.styles[0].irreversible else 1
+    sig = (len(comps_sig), mct_mode, tuple(comps_sig),
+           (Wm, Hm, S, LMS, LMEL, LVLC, nlaunch), tuple(blocks))
+    return EncPlan(geo=geo, bucket=(Wm, Hm, S, LMS, LMEL, LVLC, nlaunch),
+                   lane_block=lane_block,
+                   lane_mb=np.asarray(lane_mb, np.int32), sig=sig)
+
+
+def try_encode_serving(image, hdr, t: int, params, pocs):
+    """Fused device encode of one tile -> TileEncodeResult or None."""
+    if (params.num_layers != 1 or params.mesh is not None
+            or params.roi_rect is not None or params.write_ppm
+            or params.fixed_quality or pocs):
+        return None
+    if params.rates and any(r > 1 for r in params.rates):
+        return None
+    from grok_tpu.ops.pallas_ht import ht_pallas_enabled
+    if not ht_pallas_enabled():
+        return None
+
+    key = ("enc", _hdr_key(hdr), t)
+    plan = _EPLANS.get(key)
+    if plan is None and key not in _EPLANS:
+        plan = _build_plan(hdr, t, params)
+        if len(_EPLANS) >= _EPLANS_MAX:
+            _EPLANS.clear()
+        _EPLANS[key] = plan
+    if plan is None:
+        return None
+
+    import jax
+    import jax.numpy as jnp
+
+    geo = plan.geo
+    # tile-view of the component samples (serving shape: image == tile)
+    comps = []
+    for c, comp in enumerate(image.components):
+        cr = geo.comp_rects[c]
+        gx0 = -(-image.x0 // comp.dx)
+        gy0 = -(-image.y0 // comp.dy)
+        arr = comp.data[cr.y0 - gy0:cr.y1 - gy0, cr.x0 - gx0:cr.x1 - gx0]
+        comps.append(jnp.asarray(np.ascontiguousarray(arr, np.int32)))
+
+    fn = _build_encode_fn(plan.sig)
+    launches = fn(tuple(comps))
+
+    # download the per-lane bit counts + numbps (small int32 tables)
+    bits_h = [np.asarray(b[3]) for b in launches]
+    nbps_h = [np.asarray(b[4]) for b in launches]
+
+    from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
+    encs: list = []
+    (Wm, Hm, S, LMS, LMEL, LVLC, nlaunch) = plan.bucket
+    NL = S * LANES
+    for li, (bits, nbps) in enumerate(zip(bits_h, nbps_h)):
+        msb = (bits[0] + 7) >> 3
+        melb = (bits[1] + 7) >> 3
+        vlcb = (bits[2] + 7) >> 3
+        seg = np.where(nbps > 0, 1 + msb + melb + vlcb + 4, 0)
+        total = int(seg.sum())
+        T = max(512, -(-total // 512) * 512)
+        words = np.asarray(_build_compact_fn(T)(
+            launches[li][0], launches[li][1], launches[li][2],
+            launches[li][3], launches[li][4]))
+        byts = words.astype("<u4").view(np.uint8)
+        starts = np.cumsum(seg) - seg
+        n_here = min(len(plan.lane_block) - li * NL, NL)
+        for lane in range(n_here):
+            if nbps[lane] == 0:
+                encs.append(EncodedBlock())
+                continue
+            sl = int(seg[lane])
+            data = bytes(byts[int(starts[lane]):int(starts[lane]) + sl])
+            encs.append(EncodedBlock(
+                data=data, numbps=int(nbps[lane]),
+                passes=[PassInfo(rate=sl, dist=0.0, term=True)],
+                seg_lens=[sl], seg_passes=[1]))
+
+    # Tier-2: single layer, all passes
+    from grok_tpu.pipeline.tile import TileEncodeResult
+    from grok_tpu.t2.progression import iter_packets
+    ctxs = geo.make_contexts()
+    for enc, keyb, mb in zip(encs, plan.lane_block, plan.lane_mb):
+        c, r, p, band_i, cblk_i = keyb
+        ctx = ctxs[(c, r, p)]
+        ctx.set_block(band_i, cblk_i, enc, int(mb))
+        ctx.eblocks[band_i][cblk_i].layer_cum = [len(enc.passes)]
+    from grok_tpu.t2.packet import EPH_MARKER, SOP_MARKER
+    pkts = []
+    for pc in iter_packets(geo.tcgs, geo.subsampling, 1,
+                           geo.cod.prog_order, geo.rect.x0, geo.rect.y0,
+                           None):
+        header, body = ctxs[(pc.comp, pc.res, pc.prec)].encode_packet(
+            pc.layer)
+        pkt = bytearray()
+        if geo.cod.sop:
+            idx = len(pkts) & 0xFFFF
+            pkt += SOP_MARKER + bytes([0, 4, idx >> 8, idx & 0xFF])
+        pkt += header
+        if geo.cod.eph:
+            pkt += EPH_MARKER
+        pkt += body
+        pkts.append(bytes(pkt))
+    body = b"".join(pkts)
+    return TileEncodeResult(packets=pkts, packet_lens=[len(p) for p in pkts],
+                            body=body)
+
+
+def _hdr_key(hdr):
+    """Geometry identity for the plan cache: the SIZ/COD/QCD content."""
+    g = hdr.siz
+    return (g.xsiz, g.ysiz, g.xosiz, g.yosiz, g.xtsiz, g.ytsiz,
+            g.xtosiz, g.ytosiz,
+            tuple((c.prec, c.sgnd, c.dx, c.dy) for c in hdr.comps),
+            repr(hdr.cod), repr(hdr.qcd),
+            tuple(sorted(hdr.coc)), tuple(sorted(hdr.qcc)))

@@ -72,3 +72,40 @@ def test_serving_declines_to_general_path(monkeypatch):
     out = np.asarray(decompress_device(part1)[0])
     assert np.array_equal(out, img)
     assert calls["last"] is None      # declined (MQ stream), then fell back
+
+
+def test_serving_encode_byte_identical_to_host():
+    """Fused device encode (serve_enc): byte-identical streams on the
+    reversible path, gray + RGB/RCT, odd sizes."""
+    import dataclasses
+    for shape, seed in (((96, 80, 1), 3), ((67, 83, 3), 9)):
+        img = synthetic_image(*shape, seed=seed)
+        ph = CompressParams(ht=True, num_resolutions=3,
+                            cblk_w_exp=5, cblk_h_exp=5)
+        pd = dataclasses.replace(ph, backend="jax")
+        a = compress(img, ph)
+        b = compress(img, pd)
+        assert a == b
+        from grok_tpu.pipeline import serve_enc
+        assert any(v is not None for v in serve_enc._EPLANS.values())
+        out = decompress(b, DecompressParams(backend="scalar")).to_array()
+        assert np.array_equal(out, img)
+
+
+def test_serving_encode_irreversible_self_consistent():
+    import dataclasses
+
+    from grok_tpu.util.oracle import psnr
+    img = synthetic_image(64, 64, 3, seed=10)
+    pd = CompressParams(ht=True, irreversible=True, num_resolutions=3,
+                        cblk_w_exp=5, cblk_h_exp=5, backend="jax")
+    out = decompress(compress(img, pd)).to_array()
+    assert psnr(img, out) > 38
+
+
+def test_serving_encode_declines_non_ht():
+    img = synthetic_image(64, 64, 1, seed=11)
+    p = CompressParams(num_resolutions=3, backend="jax")  # Part-1 MQ
+    data = compress(img, p)
+    out = decompress(data).to_array()
+    assert np.array_equal(out, img)

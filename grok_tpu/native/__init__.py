@@ -92,6 +92,15 @@ def _load():
             lib.grk_ht_scan.argtypes = [
                 ctypes.c_char_p, ctypes.c_longlong,
                 llp, ipp, ctypes.c_int, ipp]
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.grk_t2_emit.restype = ctypes.c_int
+            lib.grk_t2_emit.argtypes = [
+                ctypes.c_int, ipp, ipp, ipp, ipp, ipp, ipp,
+                ctypes.c_int, ipp, ipp,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ipp, ipp, ipp, ipp, u8p,
+                llp, ctypes.c_char_p,
+                u8p, ctypes.c_longlong, ipp]
             _lib = lib
         except Exception:
             _lib = None
@@ -457,3 +466,94 @@ def ht_scan(body: bytes, off: np.ndarray, lens: np.ndarray) -> np.ndarray:
     out = np.zeros((n, 4), np.int32)
     lib.grk_ht_scan(body, len(body), _llp(off), _ip(lens), n, _ip(out))
     return out
+
+
+def t2_emit(ctxs: dict, ctx_keys: list, packets: list[tuple[int, int]],
+            n_layers: int, sop: bool, eph: bool):
+    """Native Tier-2 packet emission for a whole tile.
+
+    ctxs: {key: PrecinctCtx} with eblocks populated (set_block +
+    layer_cum).  packets: [(ctx_index, layer), ...] in progression
+    order.  Returns the list of packet byte strings, or None if the
+    fast path declined (caller uses the Python emitter)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_ctx = len(ctx_keys)
+    ctx_band_start = np.zeros(n_ctx + 1, np.int32)
+    band_ttw, band_tth, band_blk_start = [], [], [0]
+    blk_x, blk_y = [], []
+    blk_zb, blk_lc = [], []
+    pass_off, pass_rates, pass_terms = [], [], []
+    data_off = []
+    data = bytearray()
+    for ci, k in enumerate(ctx_keys):
+        ctx = ctxs[k]
+        ctx_band_start[ci + 1] = ctx_band_start[ci] + len(ctx.bands)
+        for band_i, (_o, bp) in enumerate(ctx.bands):
+            band_ttw.append(bp.cblk_grid_w)
+            band_tth.append(bp.cblk_grid_h)
+            band_blk_start.append(band_blk_start[-1] + len(bp.cblks))
+            for cblk_i, g in enumerate(bp.cblks):
+                st = ctx.eblocks[band_i][cblk_i]
+                if st is None:
+                    return None
+                lc = list(st.layer_cum)
+                if len(lc) < n_layers:
+                    lc = lc + [lc[-1] if lc else 0] * (n_layers - len(lc))
+                x, y = g.idx_in_prec
+                blk_x.append(x)
+                blk_y.append(y)
+                blk_zb.append(st.zb)
+                blk_lc.extend(lc[:n_layers])
+                pass_off.append(len(pass_rates))
+                for p in st.enc.passes:
+                    pass_rates.append(p.rate)
+                    pass_terms.append(1 if p.term else 0)
+                data_off.append(len(data))
+                data.extend(st.enc.data)
+    n_blks = len(blk_x)
+    a = lambda v, dt=np.int32: np.asarray(v or [0], dt)
+    band_ttw_a = a(band_ttw)
+    band_tth_a = a(band_tth)
+    band_blk_a = np.asarray(band_blk_start, np.int32)
+    blk_x_a = a(blk_x)
+    blk_y_a = a(blk_y)
+    blk_zb_a = a(blk_zb)
+    blk_lc_a = a(blk_lc)
+    pass_off_a = a(pass_off)
+    pass_rates_a = a(pass_rates)
+    pass_terms_a = np.asarray(pass_terms or [0], np.uint8)
+    data_off_a = np.asarray(data_off or [0], np.int64)
+    pkt_ctx = a([p[0] for p in packets])
+    pkt_layer = a([p[1] for p in packets])
+    pkt_lens = np.zeros(max(len(packets), 1), np.int32)
+    cap = len(data) + len(packets) * 64 + n_blks * 24 + 65536
+    enc_data = bytes(data)
+    while True:
+        out = np.zeros(cap, np.uint8)
+        rc = lib.grk_t2_emit(
+            n_ctx, _ip(ctx_band_start), _ip(band_ttw_a), _ip(band_tth_a),
+            _ip(band_blk_a), _ip(blk_x_a), _ip(blk_y_a),
+            len(packets), _ip(pkt_ctx), _ip(pkt_layer),
+            n_layers, int(sop), int(eph),
+            _ip(blk_zb_a), _ip(blk_lc_a),
+            _ip(pass_off_a), _ip(pass_rates_a),
+            pass_terms_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _llp(data_off_a), enc_data,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_longlong(cap), _ip(pkt_lens))
+        if rc == 3:
+            cap *= 4
+            continue
+        if rc != 0:
+            return None
+        break
+    pkts = []
+    pos = 0
+    buf = out.tobytes()
+    for i in range(len(packets)):
+        ln = int(pkt_lens[i])
+        pkts.append(buf[pos:pos + ln])
+        pos += ln
+    return pkts

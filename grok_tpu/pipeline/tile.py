@@ -373,10 +373,24 @@ def encode_tile(image: Image, geo: TileGeometry,
             st.layer_cum = cums
 
     def emit(cs: dict, nlayers: int) -> list[bytes]:
+        pkt_cs = list(iter_packets(geo.tcgs, geo.subsampling, nlayers,
+                                   geo.cod.prog_order, geo.rect.x0,
+                                   geo.rect.y0, pocs or None))
+        if not pocs and _native.available():
+            # native fast path: the whole packet sequence in one C call
+            # (POC-reordered streams keep the Python emitter, whose lazy
+            # layer-0 tree priming matches per-segment ordering)
+            keys = list(cs.keys())
+            kidx = {k: i for i, k in enumerate(keys)}
+            res = _native.t2_emit(
+                cs, keys,
+                [(kidx[(pc.comp, pc.res, pc.prec)], pc.layer)
+                 for pc in pkt_cs],
+                nlayers, geo.cod.sop, geo.cod.eph)
+            if res is not None:
+                return res
         pkts = []
-        for pc in iter_packets(geo.tcgs, geo.subsampling, nlayers,
-                               geo.cod.prog_order, geo.rect.x0, geo.rect.y0,
-                               pocs or None):
+        for pc in pkt_cs:
             ctx = cs[(pc.comp, pc.res, pc.prec)]
             header, body = ctx.encode_packet(pc.layer)
             pkt = bytearray()

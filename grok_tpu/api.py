@@ -304,6 +304,62 @@ def _locate_codestream(data: bytes, permissive: bool = False):
     raise CodestreamError("not a JPEG 2000 codestream or JP2 file")
 
 
+def decompress_device_batch(streams: list[bytes],
+                            dparams: DecompressParams | None = None) -> list:
+    """Decode N same-geometry codestreams in one fused device program.
+
+    The batched serving surface: all N streams' code-blocks share kernel
+    launches, the N bodies go up as one transfer, and every stream's
+    inverse DWT/MCT runs in the same jit — amortizing dispatch and host
+    staging across the batch (a frame sequence or dataset shard).
+    Returns a list of N per-component device-array lists.
+
+    Requirements: single-tile streams sharing one main header geometry
+    (SIZ/COD/QCD), serving-eligible (HT, full-frame).  Anything else
+    decodes stream-by-stream via decompress_device.
+
+    Reference parity: batch analog of the reference's plugin batch
+    decompress surface [grok: grk_plugin_batch_decompress] (SURVEY §3.5).
+    """
+    dp = dparams or DecompressParams()
+    if not streams:
+        return []
+    from grok_tpu.pipeline.serve import try_decode_serving_batch
+    first_cs, _ = _locate_codestream(streams[0], permissive=not dp.strict)
+    hdr = j2k.read_main_header(first_cs)
+    mh = bytes(first_cs[:hdr.main_header_end])
+
+    bodies = []
+    ok = True
+    th0 = None
+    for s in streams:
+        cs, _ = _locate_codestream(s, permissive=not dp.strict)
+        if bytes(cs[:hdr.main_header_end]) != mh:
+            ok = False
+            break
+        parts = j2k.read_tile_parts(cs, hdr, strict=dp.strict)
+        if hdr.siz.num_tiles != 1 or \
+                {p.tile_index for p in parts} != {0}:
+            ok = False
+            break
+        th = TileHeader()
+        chunks = []
+        for p in sorted(parts, key=lambda p: p.part_index):
+            j2k.read_tile_part_header(cs, p, hdr, th)
+            chunks.append(cs[p.data_start:p.data_end])
+        if (th.cod is not None or th.qcd is not None or th.coc or th.qcc
+                or th.rgn or th.pocs or th.ppt is not None):
+            ok = False
+            break
+        bodies.append(b"".join(chunks))
+        th0 = th0 or th
+    if ok:
+        out = try_decode_serving_batch(mh, hdr, 0, th0, bodies, dp)
+        if out is not None:
+            return out
+    return [decompress_device(s, dp) for s in streams]
+
+
 def read_header(data: bytes) -> HeaderInfo:
     cs, meta = _locate_codestream(data)
     hdr = j2k.read_main_header(cs)
@@ -517,7 +573,7 @@ def decompress_device(data: bytes,
             j2k.read_tile_part_header(cs, p, hdr, th)
             chunks.append(cs[p.data_start:p.data_end])
         body = b"".join(chunks)
-        # serving fast path: cached plan + C staging (HT streams)
+        # serving fast path: cached plan + device-side staging (HT)
         from grok_tpu.pipeline.serve import try_decode_serving
         served = try_decode_serving(cs, hdr, t, th, body, dp)
         if served is not None:

@@ -50,7 +50,13 @@ def _build_decode_fn(sig):
     from grok_tpu.ops import mct as jmct
     from grok_tpu.ops.t1_dec import t1_decode_batch
 
-    (ncomps, mct_mode, fold, comps_sig, buckets_sig) = sig
+    if len(sig) == 6:
+        # batched serving: comps_sig holds N streams' components
+        # back-to-back; `group` components form one stream (MCT groups)
+        (ncomps, mct_mode, fold, comps_sig, buckets_sig, group) = sig
+    else:
+        (ncomps, mct_mode, fold, comps_sig, buckets_sig) = sig
+        group = ncomps
 
     @jax.jit
     def run(bucket_arrays, body_d=None):
@@ -172,18 +178,21 @@ def _build_decode_fn(sig):
                 cur = jdwt.inv_2d_level(cur, hl, lh, hh, rrect, irrev)
             outs.append(cur)
 
-        # 4. inverse MCT + DC unshift/clip
-        if mct_mode and ncomps >= 3:
-            if mct_mode == 2:    # ICT
-                r_, g_, b_ = jmct.ict_inv(outs[0], outs[1], outs[2])
-            else:                # RCT
-                r_, g_, b_ = jmct.rct_inv(outs[0], outs[1], outs[2])
-            outs[0], outs[1], outs[2] = r_, g_, b_
+        # 4. inverse MCT + DC unshift/clip (per stream group when batched)
+        if mct_mode and group >= 3:
+            for g0 in range(0, ncomps, group):
+                if mct_mode == 2:    # ICT
+                    r_, g_, b_ = jmct.ict_inv(outs[g0], outs[g0 + 1],
+                                              outs[g0 + 2])
+                else:                # RCT
+                    r_, g_, b_ = jmct.rct_inv(outs[g0], outs[g0 + 1],
+                                              outs[g0 + 2])
+                outs[g0], outs[g0 + 1], outs[g0 + 2] = r_, g_, b_
         final = []
         for ci, comp_sig in enumerate(comps_sig):
             (_rect, _numres, _r_lim, prec, sgnd, irrev, _bands) = comp_sig
             arr = outs[ci]
-            if irrev or (mct_mode == 2 and ci < 3):
+            if irrev or (mct_mode == 2 and (ci % group) < 3):
                 arr = jnp.rint(arr).astype(jnp.int32)
             final.append(jmct.dc_shift_inv(arr.astype(jnp.int32), prec,
                                            sgnd))

@@ -176,6 +176,19 @@ def try_decode_serving(cs: bytes, hdr, t: int, th, body: bytes, dp):
 
     Caller guarantees: jax backend requested, keep_device semantics
     handled by the caller (arrays are returned device-resident)."""
+    out = try_decode_serving_batch(cs, hdr, t, th, [body], dp)
+    return out[0] if out is not None else None
+
+
+def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
+                             bodies: list[bytes], dp):
+    """Fused decode of N same-geometry tile bodies in ONE device program.
+
+    The batch is the serving shape (a frame sequence / dataset shard
+    sharing one SIZ/COD/QCD): all N streams' code-blocks share kernel
+    launches, the N bodies go up as one buffer, and per-stream inverse
+    DWT/MCT run inside the same jit.  Returns a list of N per-component
+    array lists, or None (caller decodes individually / falls back)."""
     if (dp.reduce or dp.window is not None or dp.max_layers
             or dp.mesh is not None or hdr.ppm is not None):
         return None
@@ -192,80 +205,96 @@ def try_decode_serving(cs: bytes, hdr, t: int, th, body: bytes, dp):
         return None
 
     from grok_tpu import native
-    parsed = native.t2_parse_prepared(body, plan.prep, plan.sop, plan.eph)
-    if parsed is None:
-        return None
-    incl, zb, npass, chunks, _end = parsed
-
-    idx = np.nonzero(incl)[0]
-    if idx.size == 0:
-        return None
-    # HT serving shape: exactly one cleanup segment per included block
-    if not (npass[idx] == 1).all():
-        return None
-    if len(chunks) != idx.size or (chunks[:, 2] != 0).any():
-        return None
-    offs = np.zeros(plan.n_blks, np.int64)
-    lens = np.zeros(plan.n_blks, np.int32)
-    offs[chunks[:, 0]] = chunks[:, 4]
-    lens[chunks[:, 0]] = chunks[:, 5]
-
-    scan = native.ht_scan(body, offs[idx], lens[idx])
-    if (scan[:, 0] < 0).any():
-        return None
-    numbps = plan.mb[idx] - zb[idx]
-    if ((numbps - scan[:, 0]) > 24).any():
-        return None
     from grok_tpu.ops.pallas_ht import (LANES, MAX_STREAM, _quant_len,
                                         sublanes_for_ht)
-    if int(scan[:, 1:].max()) > MAX_STREAM:
-        return None
+    N = len(bodies)
+    ncomps = len(plan.comps_sig)
+    # one buffer for all bodies; each body at a 16-byte-aligned base
+    bases = []
+    pos = 0
+    for b in bodies:
+        bases.append(pos)
+        pos += -(-len(b) // 16) * 16
+    blen = max(4096, -(-pos // 4096) * 4096)
+    body_cat = np.zeros(blen, np.uint8)
+    for b, base in zip(bodies, bases):
+        body_cat[base:base + len(b)] = np.frombuffer(b, np.uint8)
 
-    # sub-stream start offsets within the body; the device stages the
-    # lane windows itself (ht3 gathers), vlc read reversed from its end
+    # per-stream T2 parse + HT framing scan
+    per = []                      # (idx, ms_start_sel, scan_sel)
+    for si, body in enumerate(bodies):
+        parsed = native.t2_parse_prepared(body, plan.prep, plan.sop,
+                                          plan.eph)
+        if parsed is None:
+            return None
+        incl, zb, npass, chunks, _end = parsed
+        idx = np.nonzero(incl)[0]
+        if idx.size == 0:
+            return None
+        # HT serving shape: exactly one cleanup segment per block
+        if not (npass[idx] == 1).all():
+            return None
+        if len(chunks) != idx.size or (chunks[:, 2] != 0).any():
+            return None
+        offs = np.zeros(plan.n_blks, np.int64)
+        lens = np.zeros(plan.n_blks, np.int32)
+        offs[chunks[:, 0]] = chunks[:, 4]
+        lens[chunks[:, 0]] = chunks[:, 5]
+        scan = native.ht_scan(body, offs[idx], lens[idx])
+        if (scan[:, 0] < 0).any():
+            return None
+        numbps = plan.mb[idx] - zb[idx]
+        if ((numbps - scan[:, 0]) > 24).any():
+            return None
+        if int(scan[:, 1:].max()) > MAX_STREAM:
+            return None
+        per.append((idx, (offs[idx] + 1 + bases[si]).astype(np.int64),
+                    scan))
+
     import jax.numpy as jnp
-    ms_start = (offs + 1).astype(np.int64)
     bucket_sigs = []
     bucket_arrays = []
     for bid, (W, H) in enumerate(plan.bucket_dims):
-        sel = idx[plan.bucket[idx] == bid]
-        if sel.size == 0:
+        # lanes from every stream, stream-major
+        lane_gi = []              # (stream, gi, ms_start, scan row)
+        for si, (idx, mss, scan) in enumerate(per):
+            m = plan.bucket[idx] == bid
+            for gi, s0, srow in zip(idx[m].tolist(), mss[m],
+                                    scan[m]):
+                lane_gi.append((si, gi, int(s0), srow))
+        if not lane_gi:
             continue
-        sc = scan[np.searchsorted(idx, sel)]
-        mx = int(sc[:, 1:].max())
-        S = min(sublanes_for_ht(W, H, mx), -(-int(sel.size) // LANES))
+        mx = max(int(r[3][1:].max()) for r in lane_gi)
+        S = min(sublanes_for_ht(W, H, mx), -(-len(lane_gi) // LANES))
         step = S * LANES
-        for k in range(0, sel.size, step):
-            chunk = sel[k:k + step]
-            sck = sc[k:k + step]
-            Lms = _quant_len(int(sck[:, 1].max()))
-            Lmel = _quant_len(int(sck[:, 2].max()))
-            Lvlc = _quant_len(int(sck[:, 3].max()))
+        for k in range(0, len(lane_gi), step):
+            chunk = lane_gi[k:k + step]
+            Lms = _quant_len(max(int(r[3][1]) for r in chunk))
+            Lmel = _quant_len(max(int(r[3][2]) for r in chunk))
+            Lvlc = _quant_len(max(int(r[3][3]) for r in chunk))
             meta = np.zeros((S * LANES, 7), np.int32)
-            n = chunk.size
-            meta[:n, 0] = ms_start[chunk]
-            meta[:n, 1] = sck[:, 1]
-            meta[:n, 2] = ms_start[chunk] + sck[:, 1]       # mel start
-            meta[:n, 3] = sck[:, 2]
-            meta[:n, 4] = meta[:n, 2] + sck[:, 2]           # vlc start
-            meta[:n, 5] = sck[:, 3]
-            meta[:n, 6] = sck[:, 0]                         # p
-            blocks_sig = tuple((lane,) + plan.sig_tail[gi]
-                               for lane, gi in enumerate(chunk.tolist()))
+            blocks_sig = []
+            for lane, (si, gi, s0, srow) in enumerate(chunk):
+                meta[lane, 0] = s0
+                meta[lane, 1] = srow[1]
+                meta[lane, 2] = s0 + srow[1]                # mel start
+                meta[lane, 3] = srow[2]
+                meta[lane, 4] = meta[lane, 2] + srow[2]     # vlc start
+                meta[lane, 5] = srow[3]
+                meta[lane, 6] = srow[0]                     # p
+                tail = plan.sig_tail[gi]
+                blocks_sig.append((lane, si * ncomps + tail[0])
+                                  + tail[1:])
             bucket_sigs.append(("ht3", W, H, (S, Lms, Lmel, Lvlc),
-                                int(n), blocks_sig))
+                                len(chunk), tuple(blocks_sig)))
             bucket_arrays.append((jnp.asarray(meta),))
 
-    # body uploaded once, padded to a 4 KiB multiple so repeated decodes
-    # of similar-size streams reuse the compiled program
-    blen = max(4096, -(-len(body) // 4096) * 4096)
-    body_pad = np.zeros(blen, np.uint8)
-    body_pad[:len(body)] = np.frombuffer(body, np.uint8)
-    body_d = jnp.asarray(body_pad)
+    body_d = jnp.asarray(body_cat)
 
     from grok_tpu.ops.t1_dec import default_fold
     from grok_tpu.pipeline.device import _build_decode_fn
-    sig = (len(plan.comps_sig), plan.mct_mode, default_fold(),
-           plan.comps_sig, tuple(bucket_sigs))
+    sig = (ncomps * N, plan.mct_mode, default_fold(),
+           plan.comps_sig * N, tuple(bucket_sigs), ncomps)
     fn = _build_decode_fn(sig)
-    return list(fn(tuple(bucket_arrays), body_d))
+    out = fn(tuple(bucket_arrays), body_d)
+    return [list(out[si * ncomps:(si + 1) * ncomps]) for si in range(N)]

@@ -109,3 +109,21 @@ def test_serving_encode_declines_non_ht():
     data = compress(img, p)
     out = decompress(data).to_array()
     assert np.array_equal(out, img)
+
+
+def test_serving_batch_decode():
+    """decompress_device_batch: N same-geometry streams in one program,
+    each bit-exact; mixed geometry falls back per stream."""
+    from grok_tpu.api import decompress_device_batch
+    p = CompressParams(ht=True, num_resolutions=3, cblk_w_exp=5,
+                       cblk_h_exp=5)
+    imgs = [synthetic_image(80, 96, 1, seed=s) for s in range(3)]
+    streams = [compress(im, p) for im in imgs]
+    outs = decompress_device_batch(streams)
+    for im, o in zip(imgs, outs):
+        assert np.array_equal(np.asarray(o[0]), im)
+    other = compress(synthetic_image(64, 64, 1, seed=9),
+                     CompressParams(ht=True, num_resolutions=2,
+                                    cblk_w_exp=5, cblk_h_exp=5))
+    mixed = decompress_device_batch(streams[:1] + [other])
+    assert np.array_equal(np.asarray(mixed[0][0]), imgs[0])

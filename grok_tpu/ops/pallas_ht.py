@@ -51,7 +51,12 @@ def ht_pallas_enabled() -> bool:
     env = os.environ.get("GROK_HT_PALLAS")
     if env is not None:
         return env not in ("0", "")
-    return jax.default_backend() in ("tpu", "axon")
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        # backend init can fail outright (e.g. the axon tunnel is held
+        # by another process) — treat as "no device", use host paths
+        return False
 
 
 def _ht_interpret() -> bool:

@@ -115,6 +115,31 @@ def _build_decode_fn(sig):
                     m = out.transpose(2, 0, 1)
                 bucket_out.append((jnp.abs(m), m < 0))
                 continue
+            if coder == "mq3":
+                # serving layout for Part-1 streams: raw body gathers
+                # feed the lockstep XLA MQ batch decoder.  arrs = one
+                # (B, 4) int32 array [start, dlen, npass, nbps]; orient
+                # and (w, h) are constants from the static block sig.
+                (L, mbp) = maxbp
+                (meta,) = arrs
+                B = meta.shape[0]
+                bmax = body_d.shape[0] - 1
+                ar = jax.lax.broadcasted_iota(jnp.int32, (B, L + 1), 1)
+                idxg = meta[:, 0:1] + ar
+                bby = body_d[jnp.clip(idxg, 0, bmax)].astype(jnp.int32)
+                bby = jnp.where(ar < meta[:, 1:2], bby, 0)
+                data16 = (bby[:, :L] << 8) | bby[:, 1:]
+                oric = np.zeros((B,), np.int32)
+                whc = np.ones((B, 2), np.int32)
+                for (lane, _ci, _r, orient, _yo, _xo, bh, bw, _d,
+                     _ir) in _blocks:
+                    oric[lane] = orient
+                    whc[lane] = (bw, bh)
+                mag2, neg = t1_decode_batch(
+                    data16, meta[:, 1], meta[:, 2], meta[:, 3],
+                    jnp.asarray(oric), jnp.asarray(whc), W, H, mbp, fold)
+                bucket_out.append((mag2, neg))
+                continue
             if coder == "ht":
                 from grok_tpu.ops.pallas_ht import (_ht_interpret,
                                                     pallas_ht_decode)

@@ -56,7 +56,7 @@ class ServePlan:
     bucket: np.ndarray                # bucket id per block
     bucket_dims: list                 # bucket id -> (Wpad, Hpad)
     sig_tail: list                    # per block: block_sig minus the lane
-    all_ht: bool
+    coder: str                        # "ht" or "mq"
     comps_sig: tuple
     mct_mode: int
 
@@ -78,9 +78,11 @@ def _build_plan(hdr, t: int, th) -> ServePlan | None:
     geo = TileGeometry.build(hdr, t, th)
     if geo.rgn or geo.custom_mct is not None:
         return None
-    all_ht = all((cs.cblk_style & CBLK_HT) and not (cs.cblk_style & ~CBLK_HT)
-                 for cs in geo.styles)
-    if not all_ht:
+    if all(cs.cblk_style == CBLK_HT for cs in geo.styles):
+        coder = "ht"
+    elif all(cs.cblk_style == 0 for cs in geo.styles):
+        coder = "mq"
+    else:
         return None
 
     ctxs = geo.make_contexts()
@@ -156,8 +158,8 @@ def _build_plan(hdr, t: int, th) -> ServePlan | None:
         comp=np.asarray(comp_l, np.int32), mb=np.asarray(mb_l, np.int32),
         bw=np.asarray(bw_l, np.int32), bh=np.asarray(bh_l, np.int32),
         bucket=np.asarray(bucket_l, np.int32), bucket_dims=bucket_dims,
-        sig_tail=tails, all_ht=True, comps_sig=tuple(comps_sig),
-        mct_mode=mct_mode)
+        sig_tail=tails, coder=coder,
+        comps_sig=tuple(comps_sig), mct_mode=mct_mode)
 
 
 def _plan_for(cs: bytes, hdr, t: int, th) -> ServePlan | None:
@@ -197,12 +199,13 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
         return None
     if hdr.pocs:
         return None
-    from grok_tpu.ops.pallas_ht import ht_pallas_enabled
-    if not ht_pallas_enabled():
-        return None
     plan = _plan_for(cs, hdr, t, th)
     if plan is None:
         return None
+    if plan.coder == "ht":
+        from grok_tpu.ops.pallas_ht import ht_pallas_enabled
+        if not ht_pallas_enabled():
+            return None
 
     from grok_tpu import native
     from grok_tpu.ops.pallas_ht import (LANES, MAX_STREAM, _quant_len,
@@ -220,8 +223,8 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
     for b, base in zip(bodies, bases):
         body_cat[base:base + len(b)] = np.frombuffer(b, np.uint8)
 
-    # per-stream T2 parse + HT framing scan
-    per = []                      # (idx, ms_start_sel, scan_sel)
+    # per-stream T2 parse (+ HT framing scan)
+    per = []             # (idx, offs_sel(+base), lens/npass/nbps, scan|None)
     for si, body in enumerate(bodies):
         parsed = native.t2_parse_prepared(body, plan.prep, plan.sop,
                                           plan.eph)
@@ -231,50 +234,77 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
         idx = np.nonzero(incl)[0]
         if idx.size == 0:
             return None
-        # HT serving shape: exactly one cleanup segment per block
-        if not (npass[idx] == 1).all():
-            return None
+        # serving shape: exactly one codeword segment per included block
         if len(chunks) != idx.size or (chunks[:, 2] != 0).any():
             return None
         offs = np.zeros(plan.n_blks, np.int64)
         lens = np.zeros(plan.n_blks, np.int32)
         offs[chunks[:, 0]] = chunks[:, 4]
         lens[chunks[:, 0]] = chunks[:, 5]
-        scan = native.ht_scan(body, offs[idx], lens[idx])
-        if (scan[:, 0] < 0).any():
-            return None
         numbps = plan.mb[idx] - zb[idx]
-        if ((numbps - scan[:, 0]) > 24).any():
-            return None
-        if int(scan[:, 1:].max()) > MAX_STREAM:
-            return None
-        per.append((idx, (offs[idx] + 1 + bases[si]).astype(np.int64),
-                    scan))
+        if plan.coder == "ht":
+            if not (npass[idx] == 1).all():
+                return None
+            scan = native.ht_scan(body, offs[idx], lens[idx])
+            if (scan[:, 0] < 0).any():
+                return None
+            if ((numbps - scan[:, 0]) > 24).any():
+                return None
+            if int(scan[:, 1:].max()) > MAX_STREAM:
+                return None
+        else:
+            if not ((npass[idx] >= 1) & (npass[idx] <= 109)).all():
+                return None
+            if (numbps < 0).any() or int(numbps.max()) > 30:
+                return None
+            scan = None
+        per.append((idx, (offs[idx] + bases[si]).astype(np.int64),
+                    lens[idx], npass[idx], numbps, scan))
 
     import jax.numpy as jnp
     bucket_sigs = []
     bucket_arrays = []
     for bid, (W, H) in enumerate(plan.bucket_dims):
         # lanes from every stream, stream-major
-        lane_gi = []              # (stream, gi, ms_start, scan row)
-        for si, (idx, mss, scan) in enumerate(per):
+        lane_gi = []     # (stream, gi, off, len, npass, nbps, scan row)
+        for si, (idx, offb, lns, nps, nbp, scan) in enumerate(per):
             m = plan.bucket[idx] == bid
-            for gi, s0, srow in zip(idx[m].tolist(), mss[m],
-                                    scan[m]):
-                lane_gi.append((si, gi, int(s0), srow))
+            mw = np.nonzero(m)[0]
+            for j in mw.tolist():
+                lane_gi.append((si, int(idx[j]), int(offb[j]),
+                                int(lns[j]), int(nps[j]), int(nbp[j]),
+                                None if scan is None else scan[j]))
         if not lane_gi:
             continue
-        mx = max(int(r[3][1:].max()) for r in lane_gi)
+        if plan.coder == "mq":
+            Bq = -(-len(lane_gi) // LANES) * LANES
+            L = max(256, -(-max(r[3] for r in lane_gi) // 256) * 256)
+            maxbp = -(-max(max(r[5] for r in lane_gi), 1) // 4) * 4
+            meta = np.zeros((Bq, 4), np.int32)
+            blocks_sig = []
+            for lane, (si, gi, off, ln, nps, nbp, _s) in \
+                    enumerate(lane_gi):
+                meta[lane] = (off, ln, nps, nbp)
+                tail = plan.sig_tail[gi]
+                blocks_sig.append((lane, si * ncomps + tail[0])
+                                  + tail[1:])
+            bucket_sigs.append(("mq3", W, H, (L, maxbp),
+                                len(lane_gi), tuple(blocks_sig)))
+            bucket_arrays.append((jnp.asarray(meta),))
+            continue
+        mx = max(int(r[6][1:].max()) for r in lane_gi)
         S = min(sublanes_for_ht(W, H, mx), -(-len(lane_gi) // LANES))
         step = S * LANES
         for k in range(0, len(lane_gi), step):
             chunk = lane_gi[k:k + step]
-            Lms = _quant_len(max(int(r[3][1]) for r in chunk))
-            Lmel = _quant_len(max(int(r[3][2]) for r in chunk))
-            Lvlc = _quant_len(max(int(r[3][3]) for r in chunk))
+            Lms = _quant_len(max(int(r[6][1]) for r in chunk))
+            Lmel = _quant_len(max(int(r[6][2]) for r in chunk))
+            Lvlc = _quant_len(max(int(r[6][3]) for r in chunk))
             meta = np.zeros((S * LANES, 7), np.int32)
             blocks_sig = []
-            for lane, (si, gi, s0, srow) in enumerate(chunk):
+            for lane, (si, gi, off, _ln, _nps, _nbp, srow) in \
+                    enumerate(chunk):
+                s0 = off + 1                                # ms start
                 meta[lane, 0] = s0
                 meta[lane, 1] = srow[1]
                 meta[lane, 2] = s0 + srow[1]                # mel start

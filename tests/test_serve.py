@@ -52,26 +52,38 @@ def test_serving_rgb_ict_matches_general_jax_path():
     assert np.array_equal(got, ref)
 
 
-def test_serving_declines_to_general_path(monkeypatch):
-    """Non-HT streams and reduced decodes must fall back, not fail."""
+def test_serving_mq_part1_route():
+    """Part-1 (MQ) streams take the serving path too (mq3 buckets:
+    raw-body gathers feeding the XLA batch decoder), bit-exact."""
     from grok_tpu.pipeline import serve
-    calls = {"n": 0}
-    orig = serve.try_decode_serving
-
-    def counting(*a, **k):
-        r = orig(*a, **k)
-        calls["n"] += 1
-        calls["last"] = r
-        return r
-
-    monkeypatch.setattr(serve, "try_decode_serving", counting)
-    import grok_tpu.api  # noqa: F401  (binds at call time via module attr)
     img = synthetic_image(64, 64, 1, seed=6)
     part1 = compress(img, CompressParams(num_resolutions=3))
     from grok_tpu.api import decompress_device
     out = np.asarray(decompress_device(part1)[0])
     assert np.array_equal(out, img)
-    assert calls["last"] is None      # declined (MQ stream), then fell back
+    assert any(v is not None and v.coder == "mq"
+               for v in serve._PLANS.values())
+
+
+def test_serving_declines_to_general_path(monkeypatch):
+    """Styled (mode-switch) streams must fall back, not fail."""
+    from grok_tpu.pipeline import serve
+    calls = {}
+    orig = serve.try_decode_serving
+
+    def counting(*a, **k):
+        r = orig(*a, **k)
+        calls["last"] = r
+        return r
+
+    monkeypatch.setattr(serve, "try_decode_serving", counting)
+    img = synthetic_image(64, 64, 1, seed=6)
+    styled = compress(img, CompressParams(num_resolutions=3,
+                                          cblk_style=0x3F))
+    from grok_tpu.api import decompress_device
+    out = np.asarray(decompress_device(styled)[0])
+    assert np.array_equal(out, img)
+    assert calls["last"] is None      # declined (styled), then fell back
 
 
 def test_serving_encode_byte_identical_to_host():

@@ -31,7 +31,25 @@ def _best(fn, reps: int) -> float:
     return best
 
 
+def _tpu_responsive(timeout_s: float = 120.0) -> bool:
+    """Probe device init in a subprocess: the axon service can hang
+    indefinitely at backend setup, which would wedge the bench."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
+    if not os.environ.get("GROK_BENCH_PLATFORM") and not _tpu_responsive():
+        os.environ["GROK_BENCH_PLATFORM"] = "cpu"
+        print("# TPU backend unresponsive; falling back to CPU",
+              file=sys.stderr)
     import jax
     if os.environ.get("GROK_BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["GROK_BENCH_PLATFORM"])

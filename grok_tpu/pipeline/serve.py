@@ -57,6 +57,7 @@ class ServePlan:
     bucket_dims: list                 # bucket id -> (Wpad, Hpad)
     sig_tail: list                    # per block: block_sig minus the lane
     coder: str                        # "ht" or "mq"
+    rok: np.ndarray                   # block contributes at this reduce
     comps_sig: tuple
     mct_mode: int
 
@@ -68,7 +69,7 @@ def _pow2_at_least(v: int, lo: int = 4, hi: int = 64) -> int:
     return p
 
 
-def _build_plan(hdr, t: int, th) -> ServePlan | None:
+def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
     from grok_tpu import native
     from grok_tpu.pipeline.tile import TileGeometry
     from grok_tpu.t2.progression import iter_packets
@@ -106,6 +107,7 @@ def _build_plan(hdr, t: int, th) -> ServePlan | None:
     # per-block metadata in the C parser's global block order:
     # ctx (c, r, p) -> band -> cblk
     comp_l, mb_l, bw_l, bh_l, bucket_l, tails = [], [], [], [], [], []
+    rok_l = []
     bucket_ids: dict = {}
     bucket_dims: list = []
     for (c, r, p) in ctx_keys:
@@ -113,6 +115,8 @@ def _build_plan(hdr, t: int, th) -> ServePlan | None:
         quant = geo.quants[c]
         irrev = bool(geo.styles[c].irreversible)
         rg = tcg.resolutions[r]
+        numres_c = geo.styles[c].num_resolutions
+        r_lim_c = max(numres_c - reduce, 1) if reduce else numres_c
         for band_i, bg in enumerate(rg.bands):
             mb = quant.mb(r, bg.orient)
             delta = float(quant.delta(r, bg.orient))
@@ -122,6 +126,7 @@ def _build_plan(hdr, t: int, th) -> ServePlan | None:
                 mb_l.append(mb)
                 bw_l.append(cb.rect.w)
                 bh_l.append(cb.rect.h)
+                rok_l.append(r < r_lim_c)
                 key = (_pow2_at_least(cb.rect.w), _pow2_at_least(cb.rect.h))
                 bid = bucket_ids.setdefault(key, len(bucket_ids))
                 if bid == len(bucket_dims):
@@ -136,8 +141,11 @@ def _build_plan(hdr, t: int, th) -> ServePlan | None:
     for c, tcg in enumerate(geo.tcgs):
         cs = geo.styles[c]
         numres = cs.num_resolutions
+        r_lim = max(numres - reduce, 1) if reduce else numres
         bands = []
         for rg in tcg.resolutions:
+            if rg.r >= r_lim:
+                continue
             for bg in rg.bands:
                 bands.append((rg.r, bg.orient,
                               (bg.rect.x0, bg.rect.y0, bg.rect.x1,
@@ -145,7 +153,7 @@ def _build_plan(hdr, t: int, th) -> ServePlan | None:
                               float(geo.quants[c].delta(rg.r, bg.orient))))
         rect = geo.comp_rects[c]
         comps_sig.append((
-            (rect.x0, rect.y0, rect.x1, rect.y1), numres, numres,
+            (rect.x0, rect.y0, rect.x1, rect.y1), numres, r_lim,
             hdr.comps[c].prec, hdr.comps[c].sgnd,
             bool(cs.irreversible), tuple(bands)))
     mct_mode = 0
@@ -158,15 +166,16 @@ def _build_plan(hdr, t: int, th) -> ServePlan | None:
         comp=np.asarray(comp_l, np.int32), mb=np.asarray(mb_l, np.int32),
         bw=np.asarray(bw_l, np.int32), bh=np.asarray(bh_l, np.int32),
         bucket=np.asarray(bucket_l, np.int32), bucket_dims=bucket_dims,
-        sig_tail=tails, coder=coder,
+        sig_tail=tails, coder=coder, rok=np.asarray(rok_l, bool),
         comps_sig=tuple(comps_sig), mct_mode=mct_mode)
 
 
-def _plan_for(cs: bytes, hdr, t: int, th) -> ServePlan | None:
-    key = (bytes(cs[:hdr.main_header_end]), t)
+def _plan_for(cs: bytes, hdr, t: int, th,
+              reduce: int = 0) -> ServePlan | None:
+    key = (bytes(cs[:hdr.main_header_end]), t, reduce)
     plan = _PLANS.get(key)
     if plan is None and key not in _PLANS:
-        plan = _build_plan(hdr, t, th)
+        plan = _build_plan(hdr, t, th, reduce)
         if len(_PLANS) >= _PLANS_MAX:
             _PLANS.clear()
         _PLANS[key] = plan             # None cached too: don't re-derive
@@ -191,7 +200,7 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
     launches, the N bodies go up as one buffer, and per-stream inverse
     DWT/MCT run inside the same jit.  Returns a list of N per-component
     array lists, or None (caller decodes individually / falls back)."""
-    if (dp.reduce or dp.window is not None or dp.max_layers
+    if (dp.window is not None or dp.max_layers
             or dp.mesh is not None or hdr.ppm is not None):
         return None
     if (th.cod is not None or th.qcd is not None or th.coc or th.qcc
@@ -199,7 +208,7 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
         return None
     if hdr.pocs:
         return None
-    plan = _plan_for(cs, hdr, t, th)
+    plan = _plan_for(cs, hdr, t, th, int(dp.reduce or 0))
     if plan is None:
         return None
     if plan.coder == "ht":
@@ -231,11 +240,11 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
         if parsed is None:
             return None
         incl, zb, npass, chunks, _end = parsed
-        idx = np.nonzero(incl)[0]
+        if len(chunks) != int(np.count_nonzero(incl)) \
+                or (chunks[:, 2] != 0).any():
+            return None   # serving shape: one codeword segment per block
+        idx = np.nonzero(np.asarray(incl, bool) & plan.rok)[0]
         if idx.size == 0:
-            return None
-        # serving shape: exactly one codeword segment per included block
-        if len(chunks) != idx.size or (chunks[:, 2] != 0).any():
             return None
         offs = np.zeros(plan.n_blks, np.int64)
         lens = np.zeros(plan.n_blks, np.int32)

@@ -139,3 +139,18 @@ def test_serving_batch_decode():
                                     cblk_w_exp=5, cblk_h_exp=5))
     mixed = decompress_device_batch(streams[:1] + [other])
     assert np.array_equal(np.asarray(mixed[0][0]), imgs[0])
+
+
+def test_serving_reduced_resolution():
+    """reduce= decodes stay on the serving path (thumbnail serving) and
+    match the general path exactly, both coders."""
+    img = synthetic_image(128, 96, 1, seed=3)
+    from grok_tpu.api import decompress_device
+    for kw in (dict(ht=True, cblk_w_exp=5, cblk_h_exp=5), dict()):
+        data = compress(img, CompressParams(num_resolutions=4, **kw))
+        for red in (1, 2):
+            dp = DecompressParams(reduce=red)
+            ref = decompress(data, dp).to_array()
+            got = np.asarray(decompress_device(data, dp)[0])
+            assert got.shape == ref.shape
+            assert np.array_equal(got, ref)

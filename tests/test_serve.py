@@ -154,3 +154,36 @@ def test_serving_reduced_resolution():
             got = np.asarray(decompress_device(data, dp)[0])
             assert got.shape == ref.shape
             assert np.array_equal(got, ref)
+
+
+def test_serving_corrupt_streams_never_crash():
+    """Corrupted bodies must decode to something or fall back — never
+    raise through decompress_device (permissive serving)."""
+    from grok_tpu.api import decompress_device
+    img = synthetic_image(64, 64, 1, seed=13)
+    rng = np.random.default_rng(0)
+    data = bytearray(compress(img, CompressParams(
+        ht=True, num_resolutions=2, cblk_w_exp=5, cblk_h_exp=5)))
+    hdr_end = 120                      # keep the main header intact
+    for _ in range(3):
+        buf = bytearray(data)
+        for _ in range(8):
+            pos = int(rng.integers(hdr_end, len(buf)))
+            buf[pos] = int(rng.integers(0, 256))
+        try:
+            out = decompress_device(bytes(buf),
+                                    DecompressParams(strict=False))
+            np.asarray(out[0])
+        except (ValueError, EOFError):
+            pass                        # clean parse error is acceptable
+
+
+def test_serving_multi_tile():
+    """Tiled streams: per-tile plans, assembled full canvas."""
+    from grok_tpu.api import decompress_device
+    img = synthetic_image(100, 120, 1, seed=14)
+    data = compress(img, CompressParams(ht=True, num_resolutions=3,
+                                        cblk_w_exp=5, cblk_h_exp=5,
+                                        tile_w=64, tile_h=64))
+    out = np.asarray(decompress_device(data)[0])
+    assert np.array_equal(out, img)

@@ -304,6 +304,35 @@ def _locate_codestream(data: bytes, permissive: bool = False):
     raise CodestreamError("not a JPEG 2000 codestream or JP2 file")
 
 
+def compress_device(arrays, params: CompressParams | None = None,
+                    prec: int = 8, sgnd: bool = False) -> bytes:
+    """Encode DEVICE-RESIDENT component arrays to a codestream.
+
+    The encode mirror of decompress_device: `arrays` is a list of (h, w)
+    jax arrays (one per component, e.g. straight from decompress_device
+    or a model's output in HBM) — or numpy arrays, which are uploaded.
+    All the sample math (DC shift, MCT, DWT, quantization, HT entropy
+    coding, stream compaction) runs on device; only the compressed bytes
+    come down.  Requires an HT single-layer config (the serving shape);
+    other configs fall back to the host encoder, downloading the pixels.
+
+    Reference parity: device-input analog of grk_compress with the
+    plugin batch path [grok: grk_plugin_batch_compress] (SURVEY §3.5).
+    """
+    from grok_tpu.core.image import Component
+    params = params or CompressParams(ht=True)
+    params = replace(params, backend="jax")
+    if not isinstance(arrays, (list, tuple)):
+        if getattr(arrays, "ndim", 2) == 3:
+            arrays = [arrays[:, :, c] for c in range(arrays.shape[2])]
+        else:
+            arrays = [arrays]
+    comps = [Component(data=a, prec=prec, sgnd=sgnd) for a in arrays]
+    color = ColorSpace.GRAY if len(comps) == 1 else ColorSpace.SRGB
+    img = Image(components=comps, color_space=color)
+    return compress(img, params)
+
+
 def decompress_device_batch(streams: list[bytes],
                             dparams: DecompressParams | None = None) -> list:
     """Decode N same-geometry codestreams in one fused device program.

@@ -310,14 +310,18 @@ def try_encode_serving(image, hdr, t: int, params, pocs):
     import jax.numpy as jnp
 
     geo = plan.geo
-    # tile-view of the component samples (serving shape: image == tile)
+    # tile-view of the component samples (serving shape: image == tile);
+    # device-resident inputs stay on device (no pixel download)
     comps = []
     for c, comp in enumerate(image.components):
         cr = geo.comp_rects[c]
         gx0 = -(-image.x0 // comp.dx)
         gy0 = -(-image.y0 // comp.dy)
         arr = comp.data[cr.y0 - gy0:cr.y1 - gy0, cr.x0 - gx0:cr.x1 - gx0]
-        comps.append(jnp.asarray(np.ascontiguousarray(arr, np.int32)))
+        if isinstance(arr, jax.Array):
+            comps.append(arr.astype(jnp.int32))
+        else:
+            comps.append(jnp.asarray(np.ascontiguousarray(arr, np.int32)))
 
     fn = _build_encode_fn(plan.sig)
     launches = fn(tuple(comps))

@@ -187,3 +187,19 @@ def test_serving_multi_tile():
                                         tile_w=64, tile_h=64))
     out = np.asarray(decompress_device(data)[0])
     assert np.array_equal(out, img)
+
+
+def test_device_resident_loop_byte_identical():
+    """decompress_device -> compress_device without the pixels ever
+    leaving the device: the re-encoded stream is byte-identical."""
+    import jax
+
+    from grok_tpu.api import compress_device, decompress_device
+    img = synthetic_image(96, 80, 1, seed=3)
+    p = CompressParams(ht=True, num_resolutions=3, cblk_w_exp=5,
+                       cblk_h_exp=5)
+    stream = compress(img, p)
+    dev = decompress_device(stream)
+    assert all(isinstance(a, jax.Array) for a in dev)
+    restream = compress_device(dev, p)
+    assert restream == stream

@@ -256,10 +256,19 @@ class Compressor:
                 targets.append(max(budget, 100.0) * frac)
             else:
                 targets.append(None)
-        res = tile_pipe.encode_tile(timg, geo, targets, self._mct_norms,
-                                    backend=self.params.backend,
-                                    pocs=self._hdr.pocs,
-                                    mesh=self.params.mesh)
+        res = None
+        if self.params.backend == "jax":
+            # fused device encode (serving path); same-shaped tiles of
+            # the grid share one compiled program
+            from grok_tpu.pipeline.serve_enc import try_encode_serving
+            res = try_encode_serving(timg, self._hdr, t, self.params,
+                                     self._hdr.pocs)
+        if res is None:
+            res = tile_pipe.encode_tile(timg, geo, targets,
+                                        self._mct_norms,
+                                        backend=self.params.backend,
+                                        pocs=self._hdr.pocs,
+                                        mesh=self.params.mesh)
         plt_seg = j2k.write_plt(res.packet_lens) if self.params.write_plt \
             else b""
         psot = 12 + len(plt_seg) + 2 + len(res.body)

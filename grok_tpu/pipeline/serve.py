@@ -152,8 +152,18 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
                                bg.rect.y1),
                               float(geo.quants[c].delta(rg.r, bg.orient))))
         rect = geo.comp_rects[c]
+        # translation-normalized signature: shift the component rect by
+        # a multiple of 2^levels (every DWT parity preserved) and keep
+        # only band SIZES (positions never enter the program), so
+        # same-shaped tiles of a grid share one compiled program
+        nl = numres - 1
+        txc = (rect.x0 >> nl) << nl
+        tyc = (rect.y0 >> nl) << nl
+        bands = [(r, o, (0, 0, bx1 - bx0, by1 - by0), d)
+                 for (r, o, (bx0, by0, bx1, by1), d) in bands]
         comps_sig.append((
-            (rect.x0, rect.y0, rect.x1, rect.y1), numres, r_lim,
+            (rect.x0 - txc, rect.y0 - tyc,
+             rect.x1 - txc, rect.y1 - tyc), numres, r_lim,
             hdr.comps[c].prec, hdr.comps[c].sgnd,
             bool(cs.irreversible), tuple(bands)))
     mct_mode = 0

@@ -256,7 +256,14 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
                         Wm = max(Wm, _pow2_at_least(cb.rect.w))
                         Hm = max(Hm, _pow2_at_least(cb.rect.h))
         rect = geo.comp_rects[c]
-        comps_sig.append(((rect.x0, rect.y0, rect.x1, rect.y1),
+        # translation-normalized signature: shift the component rect by
+        # a multiple of 2^levels (every DWT parity preserved) so
+        # same-shaped tiles of a grid share one compiled program
+        nl = cs.num_resolutions - 1
+        txc = (rect.x0 >> nl) << nl
+        tyc = (rect.y0 >> nl) << nl
+        comps_sig.append(((rect.x0 - txc, rect.y0 - tyc,
+                           rect.x1 - txc, rect.y1 - tyc),
                           cs.num_resolutions, hdr.comps[c].prec,
                           hdr.comps[c].sgnd, bool(cs.irreversible),
                           tuple(bands_sig)))
@@ -296,7 +303,9 @@ def try_encode_serving(image, hdr, t: int, params, pocs):
     if not ht_pallas_enabled():
         return None
 
-    key = ("enc", _hdr_key(hdr), t)
+    # same-shaped tiles (interior tiles of a grid) share one plan
+    rect = hdr.siz.tile_rect(t)
+    key = ("enc", _hdr_key(hdr), (rect.x0, rect.y0, rect.x1, rect.y1))
     plan = _EPLANS.get(key)
     if plan is None and key not in _EPLANS:
         plan = _build_plan(hdr, t, params)

@@ -203,3 +203,34 @@ def test_device_resident_loop_byte_identical():
     assert all(isinstance(a, jax.Array) for a in dev)
     restream = compress_device(dev, p)
     assert restream == stream
+
+
+def test_streaming_compressor_device_encode():
+    """Compressor.write_tile(backend='jax') rides the fused device
+    encoder per tile, byte-identical to the host streaming encode."""
+    import dataclasses
+    import os
+    import tempfile
+
+    from grok_tpu import Compressor
+    from grok_tpu.codestream.j2k import SizGrid
+    img = synthetic_image(100, 120, 1, seed=14)
+
+    def run(p):
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "out.j2k")
+            c = Compressor(path, width=120, height=100, numcomps=1,
+                           params=p)
+            siz = SizGrid(xsiz=120, ysiz=100, xtsiz=p.tile_w,
+                          ytsiz=p.tile_h)
+            for t in range(c.num_tiles):
+                r = siz.tile_rect(t)
+                c.write_tile(t, img[r.y0:r.y1, r.x0:r.x1])
+            c.finish()
+            return open(path, "rb").read()
+
+    p = CompressParams(ht=True, num_resolutions=3, cblk_w_exp=5,
+                       cblk_h_exp=5, tile_w=64, tile_h=64, backend="jax")
+    data = run(p)
+    assert data == run(dataclasses.replace(p, backend="scalar"))
+    assert np.array_equal(decompress(data).to_array(), img)

@@ -342,19 +342,19 @@ def t2_parse_prepared(body: bytes, prep, sop: bool, eph: bool):
     (n_ctx, ctx_style, ctx_band_start, band_ttw, band_tth,
      band_blk_start, blk_x, blk_y, pkt_ctx, pkt_layer) = prep
     n_blks = len(blk_x)
-    packets = pkt_ctx
+    n_pkts = len(pkt_ctx)
     blk_included = np.zeros(n_blks, np.int32)
     blk_zb = np.zeros(n_blks, np.int32)
     blk_np = np.zeros(n_blks, np.int32)
     counts = np.zeros(2, np.int32)
-    cap = max(256, n_blks * max(1, len(packets) // max(n_ctx, 1)) * 2 + 64)
+    cap = max(256, n_blks * max(1, n_pkts // max(n_ctx, 1)) * 2 + 64)
     while True:
         chunks = np.zeros((cap, 6), np.int32)
         rc = lib.grk_t2_parse(
             body, len(body), n_ctx, _ip(ctx_style), _ip(ctx_band_start),
             _ip(band_ttw), _ip(band_tth), _ip(band_blk_start),
             _ip(blk_x), _ip(blk_y),
-            len(packets), _ip(pkt_ctx), _ip(pkt_layer),
+            n_pkts, _ip(pkt_ctx), _ip(pkt_layer),
             int(sop), int(eph),
             _ip(blk_included), _ip(blk_zb), _ip(blk_np),
             _ip(chunks), cap, _ip(counts))

@@ -289,7 +289,10 @@ int grk_t1_decode(const uint8_t *data, int dlen,
     uint32_t *fl = calloc((size_t)stride * (h + 2), sizeof(uint32_t));
     uint32_t *vknown = calloc((size_t)wh, sizeof(uint32_t));
     int8_t *lastp = malloc((size_t)wh);
-    if (!fl || !vknown || !lastp) return -1;
+    if (!fl || !vknown || !lastp) {
+        free(fl); free(vknown); free(lastp);
+        return -1;
+    }
     memset(lastp, -1, (size_t)wh);
     memset(negout, 0, (size_t)wh);
     int vsc = (style & CBLK_VSC) != 0;
@@ -825,7 +828,10 @@ int grk_t1_encode_ref(const int32_t *mag, const uint8_t *neg,
     uint32_t *fl = calloc((size_t)stride * (h + 2), sizeof(uint32_t));
     double *rec = calloc((size_t)wh, sizeof(double));
     uint8_t *scratch = malloc((size_t)wh * 8 + 1024);
-    if (!fl || !rec || !scratch) return -1;
+    if (!fl || !rec || !scratch) {
+        free(fl); free(rec); free(scratch);
+        return -1;
+    }
     const uint8_t *zlut = g_zc_lut[orient & 3];
     int vsc = (style & CBLK_VSC) != 0;
 
@@ -1154,7 +1160,10 @@ int grk_t1_decode_fast(const uint8_t *data, int dlen,
                           sizeof(uint32_t));
     uint32_t *vknown = calloc((size_t)wh, sizeof(uint32_t));
     int8_t *lastp = malloc((size_t)wh);
-    if (!fl || !vknown || !lastp) return -1;
+    if (!fl || !vknown || !lastp) {
+        free(fl); free(vknown); free(lastp);
+        return -1;
+    }
     memset(lastp, -1, (size_t)wh);
     memset(negout, 0, (size_t)wh);
 
@@ -1348,7 +1357,10 @@ static int t1_encode_fast(const int32_t *mag, const uint8_t *neg,
                           sizeof(uint32_t));
     double *rec = calloc((size_t)wh, sizeof(double));
     uint8_t *scratch = malloc((size_t)wh * 8 + 1024);
-    if (!fl || !rec || !scratch) return -1;
+    if (!fl || !rec || !scratch) {
+        free(fl); free(rec); free(scratch);
+        return -1;
+    }
     const uint8_t *z9 = g_zc9[orient & 3];
 
     mqe_t mq; mqe_init(&mq, scratch);

@@ -422,7 +422,11 @@ def t1_decode_batch(data16, dlen, numpasses, numbps, orient, wh,
 # Host wrapper
 # ---------------------------------------------------------------------------
 
-def _pow2_at_least(v: int, lo: int = 4, hi: int = 64) -> int:
+def _pow2_at_least(v: int, lo: int = 4, hi: int = 1024) -> int:
+    """Bucket dimension for a block extent.  The XLA kernel is
+    shape-generic, so the cap is the standard's own max code-block
+    extent (2^10); the Pallas route keeps its 64-px VMEM bound and
+    larger buckets take the XLA kernel."""
     p = lo
     while p < v and p < hi:
         p *= 2
@@ -459,7 +463,7 @@ def decode_blocks(blocks: list[dict], interpret: bool = False):
     use_pallas = bool(os.environ.get("GROK_T1_PALLAS")) and \
         jax.default_backend() in ("tpu", "axon")
     for (W, H), idxs in buckets.items():
-        if use_pallas:
+        if use_pallas and W <= 64 and H <= 64:
             from grok_tpu.ops.pallas_t1 import (LANES, decode_bucket_pallas,
                                                 sublanes_for)
             step = sublanes_for(W, H) * LANES

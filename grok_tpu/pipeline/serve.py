@@ -127,6 +127,8 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
                 bw_l.append(cb.rect.w)
                 bh_l.append(cb.rect.h)
                 rok_l.append(r < r_lim_c)
+                if cb.rect.w > 64 or cb.rect.h > 64:
+                    return None   # beyond the device kernels' bucket cap
                 key = (_pow2_at_least(cb.rect.w), _pow2_at_least(cb.rect.h))
                 bid = bucket_ids.setdefault(key, len(bucket_ids))
                 if bid == len(bucket_dims):
@@ -187,7 +189,7 @@ def _plan_for(cs: bytes, hdr, t: int, th,
     if plan is None and key not in _PLANS:
         plan = _build_plan(hdr, t, th, reduce)
         if len(_PLANS) >= _PLANS_MAX:
-            _PLANS.clear()
+            _PLANS.pop(next(iter(_PLANS)))   # evict the oldest entry
         _PLANS[key] = plan             # None cached too: don't re-derive
     return plan
 

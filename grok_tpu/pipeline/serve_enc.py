@@ -239,14 +239,13 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
         cs = geo.styles[c]
         bands_sig = []
         for rg in tcg.resolutions:
-            for bg in rg.bands:
+            for band_i, bg in enumerate(rg.bands):
                 bands_sig.append((rg.r, bg.orient,
                                   float(quant.delta(rg.r, bg.orient))))
                 mb = quant.mb(rg.r, bg.orient)
                 mbmax = max(mbmax, mb)
                 for p in range(rg.num_precincts):
                     for cblk_i, cb in enumerate(bg.precincts[p].cblks):
-                        band_i = rg.bands.index(bg)
                         blocks.append((c, rg.r, bg.orient,
                                        cb.rect.y0 - bg.rect.y0,
                                        cb.rect.x0 - bg.rect.x0,
@@ -310,7 +309,7 @@ def try_encode_serving(image, hdr, t: int, params, pocs):
     if plan is None and key not in _EPLANS:
         plan = _build_plan(hdr, t, params)
         if len(_EPLANS) >= _EPLANS_MAX:
-            _EPLANS.clear()
+            _EPLANS.pop(next(iter(_EPLANS)))   # evict the oldest entry
         _EPLANS[key] = plan
     if plan is None:
         return None
@@ -404,4 +403,5 @@ def _hdr_key(hdr):
             g.xtosiz, g.ytosiz,
             tuple((c.prec, c.sgnd, c.dx, c.dy) for c in hdr.comps),
             repr(hdr.cod), repr(hdr.qcd),
-            tuple(sorted(hdr.coc)), tuple(sorted(hdr.qcc)))
+            tuple(sorted((k, repr(v)) for k, v in hdr.coc.items())),
+            tuple(sorted((k, repr(v)) for k, v in hdr.qcc.items())))

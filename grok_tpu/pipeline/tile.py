@@ -727,9 +727,12 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                             by=cb.rect.y0 - bg.rect.y0))
 
     use_mesh = dp.mesh is not None
-    all_eligible = all(j["style"] == 0 and len(j["seg_lens"]) <= 1
-                       for j in jobs)
-    if not all_eligible and use_jax and jobs and not use_mesh:
+    # the fused device path buckets blocks into <=64-px lane windows;
+    # larger (legal) code blocks must take the host/per-block paths
+    fits = all(j["w"] <= 64 and j["h"] <= 64 for j in jobs)
+    all_eligible = fits and all(j["style"] == 0 and len(j["seg_lens"]) <= 1
+                                for j in jobs)
+    if fits and not all_eligible and use_jax and jobs and not use_mesh:
         # HT blocks join the fused path through the Pallas HT kernel
         from grok_tpu.ops.pallas_ht import (ht_block_eligible,
                                             ht_pallas_enabled)

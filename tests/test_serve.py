@@ -234,3 +234,17 @@ def test_streaming_compressor_device_encode():
     data = run(p)
     assert data == run(dataclasses.replace(p, backend="scalar"))
     assert np.array_equal(decompress(data).to_array(), img)
+
+
+def test_large_code_blocks_fall_back_correctly():
+    """Legal streams with >64-px code blocks exceed the device bucket
+    cap and must decode exactly via the fallback (regression: they used
+    to decode silently wrong through the device paths)."""
+    from grok_tpu.api import decompress_device
+    img = synthetic_image(160, 160, 1, seed=15)
+    data = compress(img, CompressParams(num_resolutions=2, cblk_w_exp=7,
+                                        cblk_h_exp=5))
+    out = np.asarray(decompress_device(data)[0])
+    assert np.array_equal(out, img)
+    jx = decompress(data, DecompressParams(backend="jax")).to_array()
+    assert np.array_equal(jx, img)

@@ -468,25 +468,20 @@ def ht_scan(body: bytes, off: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return out
 
 
-def t2_emit(ctxs: dict, ctx_keys: list, packets: list[tuple[int, int]],
-            n_layers: int, sop: bool, eph: bool):
-    """Native Tier-2 packet emission for a whole tile.
-
-    ctxs: {key: PrecinctCtx} with eblocks populated (set_block +
-    layer_cum).  packets: [(ctx_index, layer), ...] in progression
-    order.  Returns the list of packet byte strings, or None if the
-    fast path declined (caller uses the Python emitter)."""
-    lib = _load()
-    if lib is None:
-        return None
+def t2_emit_prepare(ctxs: dict, ctx_keys: list):
+    """Flatten the static emitter inputs (geometry, zero-bitplanes, pass
+    rates/terms, codeword bytes) ONCE for a tile.  The result is reused
+    across every layer allocation of the PCRD bisection and the final
+    emission — only the per-layer pass counts (blk_lc) vary per call.
+    Returns a dict, or None if any block state is missing."""
     n_ctx = len(ctx_keys)
     ctx_band_start = np.zeros(n_ctx + 1, np.int32)
     band_ttw, band_tth, band_blk_start = [], [], [0]
-    blk_x, blk_y = [], []
-    blk_zb, blk_lc = [], []
+    blk_x, blk_y, blk_zb = [], [], []
     pass_off, pass_rates, pass_terms = [], [], []
     data_off = []
     data = bytearray()
+    order = []                 # global block index -> (ctx_key, band, cblk)
     for ci, k in enumerate(ctx_keys):
         ctx = ctxs[k]
         ctx_band_start[ci + 1] = ctx_band_start[ci] + len(ctx.bands)
@@ -498,49 +493,59 @@ def t2_emit(ctxs: dict, ctx_keys: list, packets: list[tuple[int, int]],
                 st = ctx.eblocks[band_i][cblk_i]
                 if st is None:
                     return None
-                lc = list(st.layer_cum)
-                if len(lc) < n_layers:
-                    lc = lc + [lc[-1] if lc else 0] * (n_layers - len(lc))
                 x, y = g.idx_in_prec
                 blk_x.append(x)
                 blk_y.append(y)
                 blk_zb.append(st.zb)
-                blk_lc.extend(lc[:n_layers])
                 pass_off.append(len(pass_rates))
                 for p in st.enc.passes:
                     pass_rates.append(p.rate)
                     pass_terms.append(1 if p.term else 0)
                 data_off.append(len(data))
                 data.extend(st.enc.data)
-    n_blks = len(blk_x)
+                order.append((k, band_i, cblk_i))
     a = lambda v, dt=np.int32: np.asarray(v or [0], dt)
-    band_ttw_a = a(band_ttw)
-    band_tth_a = a(band_tth)
-    band_blk_a = np.asarray(band_blk_start, np.int32)
-    blk_x_a = a(blk_x)
-    blk_y_a = a(blk_y)
-    blk_zb_a = a(blk_zb)
-    blk_lc_a = a(blk_lc)
-    pass_off_a = a(pass_off)
-    pass_rates_a = a(pass_rates)
-    pass_terms_a = np.asarray(pass_terms or [0], np.uint8)
-    data_off_a = np.asarray(data_off or [0], np.int64)
-    pkt_ctx = a([p[0] for p in packets])
-    pkt_layer = a([p[1] for p in packets])
-    pkt_lens = np.zeros(max(len(packets), 1), np.int32)
-    cap = len(data) + len(packets) * 64 + n_blks * 24 + 65536
-    enc_data = bytes(data)
+    return dict(
+        n_ctx=n_ctx, n_blks=len(blk_x),
+        ctx_idx={k: i for i, k in enumerate(ctx_keys)},
+        ctx_band_start=ctx_band_start,
+        band_ttw=a(band_ttw), band_tth=a(band_tth),
+        band_blk_start=np.asarray(band_blk_start, np.int32),
+        blk_x=a(blk_x), blk_y=a(blk_y), blk_zb=a(blk_zb),
+        pass_off=a(pass_off), pass_rates=a(pass_rates),
+        pass_terms=np.asarray(pass_terms or [0], np.uint8),
+        data_off=np.asarray(data_off or [0], np.int64),
+        enc_data=bytes(data), order=order)
+
+
+def t2_emit_prepared(prep: dict, pkt_ctx: np.ndarray, pkt_layer: np.ndarray,
+                     blk_lc: np.ndarray, n_layers: int,
+                     sop: bool, eph: bool):
+    """Run the C emitter over prepared arrays.  blk_lc: (n_blks, n_layers)
+    int32 cumulative passes per layer in GLOBAL block order.  Returns the
+    list of packet byte strings, or None if the emitter declined."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_pkts = len(pkt_ctx)
+    blk_lc = np.ascontiguousarray(blk_lc, np.int32)
+    pkt_lens = np.zeros(max(n_pkts, 1), np.int32)
+    cap = (len(prep["enc_data"]) + n_pkts * 64
+           + prep["n_blks"] * 24 + 65536)
     while True:
         out = np.zeros(cap, np.uint8)
         rc = lib.grk_t2_emit(
-            n_ctx, _ip(ctx_band_start), _ip(band_ttw_a), _ip(band_tth_a),
-            _ip(band_blk_a), _ip(blk_x_a), _ip(blk_y_a),
-            len(packets), _ip(pkt_ctx), _ip(pkt_layer),
+            prep["n_ctx"], _ip(prep["ctx_band_start"]),
+            _ip(prep["band_ttw"]), _ip(prep["band_tth"]),
+            _ip(prep["band_blk_start"]),
+            _ip(prep["blk_x"]), _ip(prep["blk_y"]),
+            n_pkts, _ip(pkt_ctx), _ip(pkt_layer),
             n_layers, int(sop), int(eph),
-            _ip(blk_zb_a), _ip(blk_lc_a),
-            _ip(pass_off_a), _ip(pass_rates_a),
-            pass_terms_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            _llp(data_off_a), enc_data,
+            _ip(prep["blk_zb"]), _ip(blk_lc),
+            _ip(prep["pass_off"]), _ip(prep["pass_rates"]),
+            prep["pass_terms"].ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)),
+            _llp(prep["data_off"]), prep["enc_data"],
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.c_longlong(cap), _ip(pkt_lens))
         if rc == 3:
@@ -552,8 +557,32 @@ def t2_emit(ctxs: dict, ctx_keys: list, packets: list[tuple[int, int]],
     pkts = []
     pos = 0
     buf = out.tobytes()
-    for i in range(len(packets)):
+    for i in range(n_pkts):
         ln = int(pkt_lens[i])
         pkts.append(buf[pos:pos + ln])
         pos += ln
     return pkts
+
+
+def t2_emit(ctxs: dict, ctx_keys: list, packets: list[tuple[int, int]],
+            n_layers: int, sop: bool, eph: bool):
+    """Native Tier-2 packet emission for a whole tile (one-shot wrapper
+    over t2_emit_prepare + t2_emit_prepared; layer_cum read from the
+    block states)."""
+    lib = _load()
+    if lib is None:
+        return None
+    prep = t2_emit_prepare(ctxs, ctx_keys)
+    if prep is None:
+        return None
+    blk_lc = np.zeros((prep["n_blks"], n_layers), np.int32)
+    for gi, (k, band_i, cblk_i) in enumerate(prep["order"]):
+        lc = list(ctxs[k].eblocks[band_i][cblk_i].layer_cum)
+        if len(lc) < n_layers:
+            lc = lc + [lc[-1] if lc else 0] * (n_layers - len(lc))
+        blk_lc[gi] = lc[:n_layers]
+    pkt_ctx = np.asarray([p[0] for p in packets] or [0], np.int32)
+    pkt_layer = np.asarray([p[1] for p in packets] or [0], np.int32)
+    return t2_emit_prepared(prep, pkt_ctx[:len(packets)],
+                            pkt_layer[:len(packets)], blk_lc, n_layers,
+                            sop, eph)

@@ -404,8 +404,48 @@ def encode_tile(image: Image, geo: TileGeometry,
             pkts.append(bytes(pkt))
         return pkts
 
+    # prepared emitter: the static arrays (geometry, zb, pass tables,
+    # codeword bytes) are flattened ONCE; every PCRD bisection step and
+    # the final emission then cost one numpy scatter + one C call
+    emit_prep = None
+    if _native.available() and not pocs and entry_keys:
+        ctx_keys_all = list(ctxs.keys())
+        _prep = _native.t2_emit_prepare(ctxs, ctx_keys_all)
+        if _prep is not None:
+            _gidx = {(k, b, cb): i
+                     for i, (k, b, cb) in enumerate(_prep["order"])}
+            _e2g = np.asarray(
+                [_gidx[((c, r, p), band_i, cblk_i)]
+                 for (c, r, p, band_i, cblk_i) in entry_keys], np.int64)
+            _kidx = {k: i for i, k in enumerate(ctx_keys_all)}
+            _pkt_cache: dict[int, tuple] = {}
+
+            def _pkts_for(nl: int):
+                if nl not in _pkt_cache:
+                    pl = list(iter_packets(geo.tcgs, geo.subsampling, nl,
+                                           geo.cod.prog_order, geo.rect.x0,
+                                           geo.rect.y0, None))
+                    _pkt_cache[nl] = (
+                        np.asarray([_kidx[(pc.comp, pc.res, pc.prec)]
+                                    for pc in pl], np.int32),
+                        np.asarray([pc.layer for pc in pl], np.int32))
+                return _pkt_cache[nl]
+
+            def emit_prepared(layer_cum, nlayers):
+                lc = np.zeros((_prep["n_blks"], nlayers), np.int32)
+                lc[_e2g] = np.asarray(layer_cum, np.int32)
+                pc_a, pl_a = _pkts_for(nlayers)
+                return _native.t2_emit_prepared(
+                    _prep, pc_a, pl_a, lc, nlayers, geo.cod.sop,
+                    geo.cod.eph)
+            emit_prep = emit_prepared
+
     def simulate(layer_cum: list[list[int]]) -> int:
         nlayers = len(layer_cum[0]) if layer_cum else num_layers
+        if emit_prep is not None:
+            pkts = emit_prep(layer_cum, nlayers)
+            if pkts is not None:
+                return sum(len(p) for p in pkts)
         cs = geo.make_contexts()
         for i, key in enumerate(entry_keys):
             c, r, p, band_i, cblk_i = key
@@ -448,15 +488,21 @@ def encode_tile(image: Image, geo: TileGeometry,
                                     pass_rates=rate_tables)
 
     _pcrd.__exit__(None, None, None)
-    final_cs = geo.make_contexts()
-    for i, key in enumerate(entry_keys):
-        c, r, p, band_i, cblk_i = key
-        src = ctxs[(c, r, p)].eblocks[band_i][cblk_i]
-        mbv = src.enc.numbps + src.zb
-        final_cs[(c, r, p)].set_block(band_i, cblk_i, src.enc, mbv)
-        final_cs[(c, r, p)].eblocks[band_i][cblk_i].layer_cum = layer_cum[i]
     with trace("t2_emit"):
-        packets = emit(final_cs, num_layers)
+        packets = None
+        if emit_prep is not None and not split_headers:
+            packets = emit_prep(layer_cum, num_layers)
+        if packets is None:
+            final_cs = geo.make_contexts()
+            for i, key in enumerate(entry_keys):
+                c, r, p, band_i, cblk_i = key
+                src = ctxs[(c, r, p)].eblocks[band_i][cblk_i]
+                mbv = src.enc.numbps + src.zb
+                final_cs[(c, r, p)].set_block(band_i, cblk_i, src.enc,
+                                              mbv)
+                final_cs[(c, r, p)].eblocks[band_i][
+                    cblk_i].layer_cum = layer_cum[i]
+            packets = emit(final_cs, num_layers)
     if split_headers:
         # PPM: re-emit with headers and bodies separated (headers go to the
         # main header; bodies stay in the tile-part)

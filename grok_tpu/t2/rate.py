@@ -79,6 +79,47 @@ def passes_for_lambda(hull: Hull, lam: float, min_passes: int = 0) -> int:
     return max(n, min_passes)
 
 
+class _HullBank:
+    """All hulls as padded matrices: one vectorized threshold query per
+    lambda instead of a Python loop over every block (the bisection's
+    inner op — dominant at multi-tile/gigapixel block counts)."""
+
+    def __init__(self, hulls: list[Hull]):
+        nb = len(hulls)
+        kmax = max((len(h.slopes) for h in hulls), default=0)
+        self.slopes = np.full((nb, max(kmax, 1)), -np.inf)
+        self.ends = np.zeros((nb, max(kmax, 1)), np.int64)
+        for b, h in enumerate(hulls):
+            k = len(h.slopes)
+            if k:
+                self.slopes[b, :k] = h.slopes
+                self.ends[b, :k] = h.pass_idx + 1
+
+    def passes(self, lam: float, prev: np.ndarray) -> np.ndarray:
+        counts = (self.slopes >= lam).sum(axis=1)
+        idx = np.maximum(counts - 1, 0)
+        n = np.take_along_axis(self.ends, idx[:, None], axis=1)[:, 0]
+        return np.maximum(np.where(counts > 0, n, 0), prev)
+
+
+def _cum_table(per_block: list) -> tuple[np.ndarray, np.ndarray]:
+    """(nb, pmax) cumulative-value matrix + row lengths, zero padded."""
+    nb = len(per_block)
+    pmax = max((len(v) for v in per_block), default=0)
+    mat = np.zeros((nb, max(pmax, 1)), np.float64)
+    for b, v in enumerate(per_block):
+        if len(v):
+            mat[b, :len(v)] = v
+    return mat
+
+
+def _cum_lookup(mat: np.ndarray, cum: np.ndarray) -> float:
+    """sum over blocks of mat[b, cum[b]-1] for cum[b] > 0."""
+    idx = np.maximum(cum - 1, 0)
+    vals = np.take_along_axis(mat, idx[:, None], axis=1)[:, 0]
+    return float(np.where(cum > 0, vals, 0.0).sum())
+
+
 def allocate_layers(hulls: list[Hull], num_layers: int,
                     targets: list[float | None], simulate,
                     total_passes: list[int] | None = None,
@@ -109,13 +150,11 @@ def allocate_layers(hulls: list[Hull], num_layers: int,
                         for h in hulls]
     layer_cum: list[list[int]] = [[] for _ in range(nb)]
     prev = [0] * nb
+    bank = _HullBank(hulls)
+    rates_mat = _cum_table(pass_rates) if pass_rates is not None else None
 
-    def body_bytes(cum: list[int]) -> float:
-        tot = 0.0
-        for b in range(nb):
-            if cum[b] > 0:
-                tot += float(pass_rates[b][cum[b] - 1])
-        return tot
+    def body_bytes(cum) -> float:
+        return _cum_lookup(rates_mat, np.asarray(cum, np.int64))
 
     if slope_bounds is not None:
         # e.g. the sharded-encode collective (parallel.sharding.
@@ -145,10 +184,10 @@ def allocate_layers(hulls: list[Hull], num_layers: int,
             lo, hi = smin, smax      # lo: too much data, hi: fits
             chosen = prev[:]         # fallback: nothing new this layer
             header_est = None        # calibrated by exact simulations
+            prev_a = np.asarray(prev, np.int64)
             for _ in range(40):
                 mid = 0.5 * (lo + hi)
-                trial = [passes_for_lambda(hulls[b], mid, prev[b])
-                         for b in range(nb)]
+                trial = bank.passes(mid, prev_a).tolist()
                 if pass_rates is not None and header_est is not None:
                     est = body_bytes(trial) + header_est
                     if est > tgt:
@@ -190,17 +229,15 @@ def allocate_layers_quality(hulls: list[Hull], num_layers: int,
     nb = len(hulls)
     layer_cum: list[list[int]] = [[] for _ in range(nb)]
     prev = [0] * nb
+    bank = _HullBank(hulls)
+    dists_mat = _cum_table(dists)
     all_slopes = np.concatenate([h.slopes for h in hulls if len(h.slopes)]) \
         if any(len(h.slopes) for h in hulls) else np.array([1.0])
     smin = float(all_slopes.min()) * 0.5
     smax = float(all_slopes.max()) * 2.0 + 1.0
 
     def reduction(chosen):
-        tot = 0.0
-        for b in range(nb):
-            if chosen[b] > 0:
-                tot += float(dists[b][chosen[b] - 1])
-        return tot
+        return _cum_lookup(dists_mat, np.asarray(chosen, np.int64))
 
     for l in range(num_layers):
         tgt = dist_targets[l] if l < len(dist_targets) else None
@@ -209,10 +246,10 @@ def allocate_layers_quality(hulls: list[Hull], num_layers: int,
         else:
             lo, hi = smin, smax
             chosen = [max(total_passes[b], prev[b]) for b in range(nb)]
+            prev_a = np.asarray(prev, np.int64)
             for _ in range(40):
                 mid = 0.5 * (lo + hi)
-                trial = [passes_for_lambda(hulls[b], mid, prev[b])
-                         for b in range(nb)]
+                trial = bank.passes(mid, prev_a).tolist()
                 if reduction(trial) >= tgt:
                     chosen = trial
                     lo = mid        # try fewer bytes (higher threshold)

@@ -32,8 +32,9 @@ def _build() -> str | None:
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return _SO
         cc = os.environ.get("CC", "gcc")
-        cmd = [cc, "-O3", "-march=native", "-funroll-loops", "-shared",
-               "-fPIC", "-pthread", "-o", _SO, _SRC, _SRC_T2]
+        cmd = [cc, "-O3", "-march=native", "-funroll-loops",
+               "-ffp-contract=off",     # 9/7 f64 must match NumPy exactly
+               "-shared", "-fPIC", "-pthread", "-o", _SO, _SRC, _SRC_T2]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _SO
     except Exception:
@@ -88,6 +89,16 @@ def _load():
             lib.grk_fwd53_level.restype = ctypes.c_int
             lib.grk_t1_encode_tile.restype = ctypes.c_int
             llp = ctypes.POINTER(ctypes.c_longlong)
+            dp_ = ctypes.POINTER(ctypes.c_double)
+            lib.grk_fwd97_level.restype = ctypes.c_int
+            lib.grk_fwd97_level.argtypes = [
+                dp_, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, dp_, dp_, dp_, dp_]
+            lib.grk_inv97_level.restype = ctypes.c_int
+            lib.grk_inv97_level.argtypes = [
+                dp_, dp_, dp_, dp_,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, dp_]
             lib.grk_ht_scan.restype = ctypes.c_int
             lib.grk_ht_scan.argtypes = [
                 ctypes.c_char_p, ctypes.c_longlong,
@@ -586,3 +597,41 @@ def t2_emit(ctxs: dict, ctx_keys: list, packets: list[tuple[int, int]],
     return t2_emit_prepared(prep, pkt_ctx[:len(packets)],
                             pkt_layer[:len(packets)], blk_lc, n_layers,
                             sop, eph)
+
+
+def _dp(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def fwd97_level(x, x0: int, y0: int):
+    """C forward 9/7 2D level (f64), bit-identical to dwt_np.fwd_2d_level."""
+    lib = _load()
+    xin = np.ascontiguousarray(x, np.float64)
+    h, w = xin.shape
+    ylo = (h + (0 if (y0 & 1) else 1)) // 2
+    xlo = (w + (0 if (x0 & 1) else 1)) // 2
+    ll = np.zeros((ylo, xlo), np.float64)
+    hl = np.zeros((ylo, w - xlo), np.float64)
+    lh = np.zeros((h - ylo, xlo), np.float64)
+    hh = np.zeros((h - ylo, w - xlo), np.float64)
+    rc = lib.grk_fwd97_level(_dp(xin), w, h, x0, y0,
+                             _dp(ll), _dp(hl), _dp(lh), _dp(hh))
+    if rc != 0:
+        raise RuntimeError("grk_fwd97_level failed")
+    return ll, hl, lh, hh
+
+
+def inv97_level(ll, hl, lh, hh, w: int, h: int, x0: int, y0: int):
+    """C inverse 9/7 2D level (f64), bit-identical to dwt_np.inv_2d_level."""
+    lib = _load()
+    llc = np.ascontiguousarray(ll, np.float64)
+    hlc = np.ascontiguousarray(hl, np.float64)
+    lhc = np.ascontiguousarray(lh, np.float64)
+    hhc = np.ascontiguousarray(hh, np.float64)
+    out = np.zeros((h, w), np.float64)
+    rc = lib.grk_inv97_level(_dp(llc), _dp(hlc), _dp(lhc), _dp(hhc),
+                             llc.shape[1], llc.shape[0], w, h, x0, y0,
+                             _dp(out))
+    if rc != 0:
+        raise RuntimeError("grk_inv97_level failed")
+    return out

@@ -1739,3 +1739,145 @@ int grk_t1_encode_tile(const int32_t *mag_flat, const uint8_t *neg_flat,
     }
     return c.err;
 }
+
+/* ---- 9/7 irreversible lifting, one 2D level (float64) -------------------
+ * Bit-identical to transform/dwt_np.fwd97_1d/inv97_1d: same extension,
+ * same in-place alternating-parity updates (neighbors of a target index
+ * are untouched in that pass, so in-place == the NumPy Jacobi update),
+ * same operation order `a + coef * (left + right)`.  The build uses
+ * -ffp-contract=off so no FMA contraction can change the rounding. */
+
+static const double W97_ALPHA = -1.586134342059924;
+static const double W97_BETA = -0.052980118572961;
+static const double W97_GAMMA = 0.882911075530934;
+static const double W97_DELTA = 0.443506852043971;
+static const double W97_K = 1.230174104914001;
+
+static int mir97(int t, int n) {
+    int p = 2 * n - 2;
+    int m = ((t % p) + p) % p;
+    return m >= n ? p - m : m;
+}
+
+static void lift97(double *a, int len, double coef, int tpar, int off) {
+    for (int j = 1; j < len - 1; j++)
+        if (((j + off) & 1) == tpar)
+            a[j] = a[j] + coef * (a[j - 1] + a[j + 1]);
+}
+
+/* forward along a row; x[n] -> lo/hi (caller-sized by parity split) */
+static void fwd97_row(const double *x, int n, int off,
+                      double *lo, double *hi, double *buf) {
+    if (n == 0) return;
+    if (n == 1) {
+        if ((off & 1) == 0) lo[0] = x[0]; else hi[0] = x[0] * 2.0;
+        return;
+    }
+    for (int j = 0; j < n + 8; j++)
+        buf[j] = x[mir97(j - 4, n)];
+    /* abs parity of buf[j] == (j + off) & 1  (j-4+off ≡ j+off mod 2) */
+    lift97(buf, n + 8, W97_ALPHA, 1, off & 1);
+    lift97(buf, n + 8, W97_BETA, 0, off & 1);
+    lift97(buf, n + 8, W97_GAMMA, 1, off & 1);
+    lift97(buf, n + 8, W97_DELTA, 0, off & 1);
+    int nl = 0, nh = 0;
+    for (int i = 0; i < n; i++) {
+        if (((i + off) & 1) == 0) lo[nl++] = buf[i + 4] * (1.0 / W97_K);
+        else hi[nh++] = buf[i + 4] * (W97_K / 2.0);
+    }
+}
+
+/* inverse along a row; lo[nlo], hi[n-nlo] -> out[n] */
+static void inv97_row(const double *lo, int nlo, const double *hi,
+                      int n, int off, double *out, double *buf) {
+    if (n == 0) return;
+    if (n == 1) {
+        out[0] = (off & 1) == 0 ? lo[0] : hi[0] / 2.0;
+        return;
+    }
+    int nl = 0, nh = 0;
+    for (int i = 0; i < n; i++) {
+        if (((i + off) & 1) == 0) out[i] = lo[nl++] * W97_K;
+        else out[i] = hi[nh++] * (2.0 / W97_K);
+    }
+    for (int j = 0; j < n + 8; j++)
+        buf[j] = out[mir97(j - 4, n)];
+    lift97(buf, n + 8, -W97_DELTA, 0, off & 1);
+    lift97(buf, n + 8, -W97_GAMMA, 1, off & 1);
+    lift97(buf, n + 8, -W97_BETA, 0, off & 1);
+    lift97(buf, n + 8, -W97_ALPHA, 1, off & 1);
+    for (int i = 0; i < n; i++) out[i] = buf[i + 4];
+}
+
+/* forward one level: VERTICAL split then horizontal (dwt_np order).
+ * in (h, w) f64; outputs ll/hl/lh/hh with ceil parity splits. */
+int grk_fwd97_level(const double *in, int w, int h, int x0, int y0,
+                    double *ll, double *hl, double *lh, double *hh) {
+    int ylo = (h + ((y0 & 1) ? 0 : 1)) / 2;
+    int xlo = (w + ((x0 & 1) ? 0 : 1)) / 2;
+    int xhi = w - xlo, yhi = h - ylo;
+    double *tmp = malloc(sizeof(double) * (size_t)w * h);
+    double *col = malloc(sizeof(double) * (size_t)(h > 0 ? h : 1));
+    double *clo = malloc(sizeof(double) * (size_t)(ylo > 0 ? ylo : 1));
+    double *chi = malloc(sizeof(double) * (size_t)(yhi > 0 ? yhi : 1));
+    double *buf = malloc(sizeof(double) * (size_t)((w > h ? w : h) + 8));
+    double *rlo = malloc(sizeof(double) * (size_t)(xlo > 0 ? xlo : 1));
+    double *rhi = malloc(sizeof(double) * (size_t)(xhi > 0 ? xhi : 1));
+    if (!tmp || !col || !clo || !chi || !buf || !rlo || !rhi) {
+        free(tmp); free(col); free(clo); free(chi); free(buf);
+        free(rlo); free(rhi);
+        return -1;
+    }
+    for (int x = 0; x < w; x++) {
+        for (int y = 0; y < h; y++) col[y] = in[(size_t)y * w + x];
+        fwd97_row(col, h, y0, clo, chi, buf);
+        for (int y = 0; y < ylo; y++) tmp[(size_t)y * w + x] = clo[y];
+        for (int y = 0; y < yhi; y++)
+            tmp[(size_t)(ylo + y) * w + x] = chi[y];
+    }
+    for (int y = 0; y < ylo; y++) {
+        fwd97_row(tmp + (size_t)y * w, w, x0, rlo, rhi, buf);
+        memcpy(ll + (size_t)y * xlo, rlo, sizeof(double) * (size_t)xlo);
+        memcpy(hl + (size_t)y * xhi, rhi, sizeof(double) * (size_t)xhi);
+    }
+    for (int y = 0; y < yhi; y++) {
+        fwd97_row(tmp + (size_t)(ylo + y) * w, w, x0, rlo, rhi, buf);
+        memcpy(lh + (size_t)y * xlo, rlo, sizeof(double) * (size_t)xlo);
+        memcpy(hh + (size_t)y * xhi, rhi, sizeof(double) * (size_t)xhi);
+    }
+    free(tmp); free(col); free(clo); free(chi); free(buf);
+    free(rlo); free(rhi);
+    return 0;
+}
+
+/* inverse one level: horizontal first then vertical (dwt_np order). */
+int grk_inv97_level(const double *ll, const double *hl,
+                    const double *lh, const double *hh,
+                    int lw, int lh_n, int w, int h,
+                    int x0, int y0, double *out) {
+    int nlo_c = lh_n, nhi_c = h - lh_n;
+    double *tmp = malloc(sizeof(double) * (size_t)w * h);
+    double *buf = malloc(sizeof(double) * (size_t)((w > h ? w : h) + 8));
+    double *col = malloc(sizeof(double) * (size_t)(h > 0 ? h : 1));
+    double *lob = malloc(sizeof(double) * (size_t)(nlo_c > 0 ? nlo_c : 1));
+    double *hib = malloc(sizeof(double) * (size_t)(nhi_c > 0 ? nhi_c : 1));
+    if (!tmp || !buf || !col || !lob || !hib) {
+        free(tmp); free(buf); free(col); free(lob); free(hib);
+        return -1;
+    }
+    for (int y = 0; y < nlo_c; y++)
+        inv97_row(ll + (size_t)y * lw, lw, hl + (size_t)y * (w - lw),
+                  w, x0, tmp + (size_t)y * w, buf);
+    for (int y = 0; y < nhi_c; y++)
+        inv97_row(lh + (size_t)y * lw, lw, hh + (size_t)y * (w - lw),
+                  w, x0, tmp + (size_t)(nlo_c + y) * w, buf);
+    for (int x = 0; x < w; x++) {
+        for (int y = 0; y < nlo_c; y++) lob[y] = tmp[(size_t)y * w + x];
+        for (int y = 0; y < nhi_c; y++)
+            hib[y] = tmp[(size_t)(nlo_c + y) * w + x];
+        inv97_row(lob, nlo_c, hib, h, y0, col, buf);
+        for (int y = 0; y < h; y++) out[(size_t)y * w + x] = col[y];
+    }
+    free(tmp); free(buf); free(col); free(lob); free(hib);
+    return 0;
+}

@@ -167,12 +167,22 @@ def _forward_transform(image: Image, geo: TileGeometry,
 
 def _fwd_multilevel_fast(samples, tc_rect: Rect, num_resolutions: int,
                          irreversible: bool) -> list:
-    """fwd_multilevel with the C 5/3 level kernel when available
-    (bit-identical to dwt_np; 9/7 stays on the NumPy float path)."""
-    if irreversible or not _native.available():
+    """fwd_multilevel with the C level kernels when available
+    (bit-identical to dwt_np for both 5/3 int and 9/7 f64)."""
+    if not _native.available():
         return dwt_np.fwd_multilevel(samples, tc_rect, num_resolutions,
                                      irreversible)
     nl = num_resolutions - 1
+    if irreversible:
+        cur = np.asarray(samples, dtype=np.float64)
+        out: list = [None] * num_resolutions
+        for r in range(nl, 0, -1):
+            rect = tc_rect.ceil_scale(1 << (nl - r), 1 << (nl - r))
+            ll, hl, lh, hh = _native.fwd97_level(cur, rect.x0, rect.y0)
+            out[r] = (hl, lh, hh)
+            cur = ll
+        out[0] = cur
+        return out
     cur = np.asarray(samples, dtype=np.int32)
     out: list = [None] * num_resolutions
     for r in range(nl, 0, -1):
@@ -994,7 +1004,9 @@ def _decode_tile_native(jobs, geo, hdr, dp) -> list[np.ndarray]:
             lh = band_arrays[(c, r, 2)]
             hh = band_arrays[(c, r, 3)]
             if irrev:
-                cur = dwt_np.inv_2d_level(cur, hl, lh, hh, rect, True)
+                cur = _native.inv97_level(cur, hl, lh, hh,
+                                          rect.w, rect.h, rect.x0,
+                                          rect.y0)
             else:
                 cur = _native.inv53_level(cur, hl, lh, hh, rect.w, rect.h,
                                           rect.x0, rect.y0)

@@ -28,7 +28,7 @@ class Decompressor:
         dec = Decompressor(data, DecompressParams(backend="native"))
         info = dec.header            # cheap: no pixel work
         arr  = dec.decompress_tile(3)        # one tile, cached
-        img  = dec.decompress()              # everything (reuses the cache)
+        img  = dec.decompress()              # everything (one-shot path)
     """
 
     def __init__(self, data, params: DecompressParams | None = None):
@@ -41,6 +41,7 @@ class Decompressor:
             self._mm = mmap.mmap(self._fh.fileno(), 0,
                                  access=mmap.ACCESS_READ)
             data = self._mm
+        self._data = data              # original (JP2 boxes included)
         self._cs, self._meta = _locate_codestream(data)
         self._hdr = j2k.read_main_header(self._cs)
         self._parts = j2k.read_tile_parts(self._cs, self._hdr,
@@ -83,15 +84,14 @@ class Decompressor:
         return out
 
     def decompress(self) -> Image:
-        """Decode all (window-intersecting) tiles into a full Image."""
+        """Decode all (window-intersecting) tiles into a full Image.
+
+        Delegates to the one-shot path with the ORIGINAL input so JP2
+        color metadata (palette/cdef/ICC/color space) is applied; the
+        per-tile cache serves decompress_tile callers."""
         from grok_tpu.api import decompress as _full
 
-        # delegate to the one-shot path for assembly correctness; per-tile
-        # results stay cached for subsequent decompress_tile calls
-        return _full(self._raw_bytes(), self.params)
-
-    def _raw_bytes(self) -> bytes:
-        return self._cs
+        return _full(self._data, self.params)
 
     def cache_info(self) -> dict:
         return {"tiles_cached": len(self._cache)}
@@ -151,6 +151,9 @@ class Compressor:
             raise ValueError("PPM/PLM need the whole stream: use compress()")
         if self.params.max_tile_parts != 1:
             raise ValueError("streaming encode emits one tile-part per tile")
+        if self.params.roi_rect is not None or self.params.fixed_quality:
+            raise ValueError("ROI rect / fixed-quality targets are "
+                             "whole-stream features: use compress()")
         if self.params.jp2:
             raise ValueError("JP2 boxes need the stream length: wrap the "
                              "finished file with jp2.wrap_jp2")

@@ -93,6 +93,11 @@ def compress_distributed(image_or_array, params=None) -> bytes | None:
     if params.jp2 or params.write_ppm or params.write_plm:
         raise ValueError("distributed encode: raw J2K with inline "
                          "headers only")
+    if (params.roi_rect is not None or params.fixed_quality
+            or params.max_tile_parts != 1):
+        raise ValueError("distributed encode: ROI rect, fixed-quality "
+                         "targets and tile-part splitting are "
+                         "whole-stream features: use compress()")
     image = (image_or_array if isinstance(image_or_array, Image)
              else Image.from_array(np.asarray(image_or_array)))
     hdr = _build_main_header(image, params)

@@ -83,7 +83,7 @@ def make_codec_roundtrip_step(rect, num_resolutions: int, prec: int = 8):
 # Huge-tile spatial sharding: vertical 5/3 with ppermute halo exchange
 # ---------------------------------------------------------------------------
 
-def make_inv53_vertical_sharded(mesh, rows_per_shard: int, width: int):
+def make_inv53_vertical_sharded(mesh, rows_per_shard: int):
     """Inverse vertical 5/3 lifting over a row-sharded (R, W) image.
 
     Input: interleaved low/high rows in natural order (even abs row = low),
@@ -472,6 +472,12 @@ def fwd_2d_level_sharded(cur, rect, irrev: bool, mesh):
     dt = np.float32 if irrev else np.int32
     arr = np.asarray(cur, dt)
     pad = (-R) % n
+    if 0 < pad < 4:
+        # the kernel applies its own symmetric extension at the PADDED
+        # edge; mirror rows shallower than the lifting cone (4 taps for
+        # 9/7) would make it reflect about the wrong row — deepen the
+        # pad by whole shards so the cone never reaches real rows
+        pad += n * (-(-(4 - pad) // n))
     if pad:
         if pad + 4 > R - 1:
             return dwt_np.fwd_2d_level(cur, rect, irrev)
@@ -557,6 +563,11 @@ def inv_2d_level_sharded(ll, hl, lh, hh, rect, irrev: bool, mesh):
     inter[ye ^ 1::2, xe::2] = lh
     inter[ye ^ 1::2, xe ^ 1::2] = hh
     pad = (-R) % n
+    if 0 < pad < 4:
+        # see fwd_2d_level_sharded: the mirror depth must cover the
+        # lifting cone or the kernel's edge extension reflects about the
+        # padded end instead of the true last row
+        pad += n * (-(-(4 - pad) // n))
     if pad:
         if pad + 4 > R - 1:
             return dwt_np.inv_2d_level(ll, hl, lh, hh, rect, irrev)

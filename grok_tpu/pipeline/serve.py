@@ -224,6 +224,8 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
     if plan is None:
         return None
     if plan.coder == "ht":
+        if dp.strict:
+            return None   # strict HT decode needs the validating scalar
         from grok_tpu.ops.pallas_ht import ht_pallas_enabled
         if not ht_pallas_enabled():
             return None

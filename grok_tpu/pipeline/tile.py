@@ -788,8 +788,12 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
     fits = all(j["w"] <= 64 and j["h"] <= 64 for j in jobs)
     all_eligible = fits and all(j["style"] == 0 and len(j["seg_lens"]) <= 1
                                 for j in jobs)
-    if fits and not all_eligible and use_jax and jobs and not use_mesh:
-        # HT blocks join the fused path through the Pallas HT kernel
+    if fits and not all_eligible and use_jax and jobs and not use_mesh \
+            and not dp.strict:
+        # HT blocks join the fused path through the Pallas HT kernel.
+        # strict mode keeps the scalar HT decoder, which validates VLC
+        # codewords and raises on corrupt segments (the branch-free
+        # kernel decodes bad codes as garbage instead of bailing).
         from grok_tpu.ops.pallas_ht import (ht_block_eligible,
                                             ht_pallas_enabled)
         if ht_pallas_enabled():
@@ -840,7 +844,7 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
             dev_res = _dev_decode([jobs[i] for i in dev_idx])
             for i, r_ in zip(dev_idx, dev_res):
                 results[i] = r_
-    if use_jax and any_ht:
+    if use_jax and any_ht and not dp.strict:
         from grok_tpu.ops.pallas_ht import (decode_ht_blocks,
                                             ht_block_eligible,
                                             ht_pallas_enabled)

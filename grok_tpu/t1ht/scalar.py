@@ -383,7 +383,6 @@ def ht_decode_block(data: bytes, seg_lens: list[int], numpasses: int,
                 st[y + 1, x + 1] = True
                 v[y, x] = 1
                 lp[y, x] = bp
-        new_sig = (v == 1) & (lp == bp)
 
         if numpasses >= 3 and len(seg_lens) >= 3:
             s2 = s1 + seg_lens[2]

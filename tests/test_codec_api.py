@@ -220,3 +220,21 @@ class TestStreamingCompressor:
         with pytest.raises(ValueError):
             Compressor(str(tmp_path / "x.j2k"), width=64, height=64,
                        params=CompressParams(write_ppm=True))
+
+
+def test_decompressor_applies_jp2_metadata():
+    """Regression: Decompressor.decompress() used to pass the bare
+    codestream to the one-shot path, dropping JP2 color metadata
+    (palette/cdef/ICC/color space)."""
+    from grok_tpu import (CompressParams, Decompressor, compress,
+                          decompress)
+    from grok_tpu.util.oracle import synthetic_image
+    img = synthetic_image(48, 56, 4, seed=8)         # RGBA -> cdef box
+    data = compress(img, CompressParams(num_resolutions=3, jp2=True))
+    ref = decompress(data)
+    with Decompressor(data) as dec:
+        got = dec.decompress()
+    assert got.color_space == ref.color_space
+    assert len(got.components) == len(ref.components)
+    import numpy as np
+    assert np.array_equal(got.to_array(), ref.to_array())

@@ -39,7 +39,7 @@ def test_huge_tile_halo_exchange_bit_exact(mesh):
     W = 32
     R = n * rows_per_shard
     y = rng.integers(-500, 500, (R, W)).astype(np.int32)
-    fn = make_inv53_vertical_sharded(mesh, rows_per_shard, W)
+    fn = make_inv53_vertical_sharded(mesh, rows_per_shard)
     sharded = shard_tile_batch(y, mesh)
     out = np.asarray(fn(sharded))
     ref = reference_inv53_vertical(y)
@@ -205,3 +205,27 @@ def test_pcrd_slope_bounds_collective(mesh):
     all_s = np.concatenate([h.slopes for h in hulls])
     assert smin == float(all_s.min()) * 0.5
     assert smax == float(all_s.max()) * 2.0 + 1.0
+
+
+def test_sharded_dwt_ragged_pads_all_depths(mesh):
+    """Regression: mirror pads shallower than the lifting cone used to
+    make the kernel's edge extension reflect about the wrong row
+    (silent bottom-row corruption for pad depths 1..3)."""
+    import numpy as np
+
+    from grok_tpu.core.geometry import Rect
+    from grok_tpu.parallel.sharding import (fwd_2d_level_sharded,
+                                            inv_2d_level_sharded)
+    from grok_tpu.transform import dwt_np
+    rng = np.random.default_rng(3)
+    for R in (71, 70, 69, 68, 66, 65):       # pads 1..7 over 8 devices
+        rect = Rect(0, 0, 16, R)
+        x = rng.integers(-500, 500, (R, 16)).astype(np.int64)
+        ref = dwt_np.fwd_2d_level(x, rect, False)
+        got = fwd_2d_level_sharded(x, rect, False, mesh)
+        for a, b in zip(ref, got):
+            assert np.array_equal(a, b), R
+        ll, hl, lh, hh = ref
+        iref = dwt_np.inv_2d_level(ll, hl, lh, hh, rect, False)
+        igot = inv_2d_level_sharded(ll, hl, lh, hh, rect, False, mesh)
+        assert np.array_equal(iref, igot), R

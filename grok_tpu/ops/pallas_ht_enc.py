@@ -5,9 +5,20 @@ The encode mirror of ops/pallas_ht.py: one fori iteration codes a whole
 k/run registers), the fixed-width rho VLC + UVLC, and up to four MagSgn
 fields.  All three sub-streams are LSB-first and append-only into
 zero-initialized buffers, so every write is a pure OR of a <= 25-bit
-word across four staged bytes (no read-modify-clear), through the
-staged 64-byte output windows of ops/pallas_t1_enc.py (flush + rebase
-per quad).
+word across four staged bytes (no read-modify-clear).
+
+Output staging is hierarchical so the full (G, 8, lanes) buffers are
+never touched per quad (the round-2 rework: the original flush+rebase
+of all three full buffers every quad made the encoder ~15x slower than
+the decoder):
+
+  - 64-byte windows (16 staged words) take every or_bits write;
+  - the MagSgn window (<= 12.5 B/quad advance) flushes into a 10-granule
+    `mid` scratch per quad (O(10) selects) and `mid` flushes into the
+    full buffer with an append-only OR once per K=16 quads;
+  - MEL (<= 6 bits/quad) and VLC (<= 13 bits/quad) windows fit 16 quads
+    of growth exactly, so they restage against their full buffers only
+    at the outer-loop boundary.
 
 Host wrapper (encode_ht_blocks) packs mag/sign (sign in bit 0), runs
 the kernel, downloads the byte streams as packed int32 words (the axon
@@ -55,11 +66,17 @@ def pallas_ht_encode(mneg, pv, wh, valid,
     def iota_for(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * nd, 0)
 
+    NQ = GH * GW
+    K = min(16, NQ)           # NQ is a pow2 product: K always divides it
+    NO = NQ // K
+    MIDG = 10                 # MagSgn mid granules: 31 B skew + 16 quads
+                              # * 12.5 B + 2-granule window <= 10 * 32 B
+
     def kernel(mneg_ref, p_ref, wh_ref, valid_ref,
                ms_ref, mel_ref, vlc_ref,
                msb_ref, melb_ref, vlcb_ref,
                rho_ref, ms_st, mel_st, vlc_st,
-               ms_ba, mel_ba, vlc_ba):
+               ms_ba, mel_ba, vlc_ba, ms_mid, ms_mba):
         if S == 1:
             p_l = p_ref[...]
             val_l = valid_ref[...]
@@ -78,14 +95,17 @@ def pallas_ht_encode(mneg, pv, wh, valid,
         rho_ref[...] = jnp.zeros((GH + 1, GW + 2) + arr_tail, jnp.int32)
         for st in (ms_st, mel_st, vlc_st):
             st[...] = jnp.zeros((16,) + arr_tail, jnp.int32)
-        for ba in (ms_ba, mel_ba, vlc_ba):
+        for ba in (ms_ba, mel_ba, vlc_ba, ms_mba):
             ba[...] = jnp.zeros(lane_sh, jnp.int32)
+        ms_mid[...] = jnp.zeros((MIDG, 8) + arr_tail, jnp.int32)
 
         siota = iota_for(16)
         qiota = iota_for(GW + 2)
         giotas = {G: jax.lax.broadcasted_iota(
             jnp.int32, (G,) + (1,) * (nd + 1), 0)
             for G in {LMS // 32, LMEL // 32, LVLC // 32}}
+        miota = jax.lax.broadcasted_iota(
+            jnp.int32, (MIDG,) + (1,) * (nd + 1), 0)
         one = jnp.int32(1)
 
         def restage(out_ref, st_ref, ba_ref, bp):
@@ -114,6 +134,60 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             hi2 = jnp.sum(d * s1, axis=0)
             st_ref[...] = jnp.concatenate([lo2, hi2], axis=0)
             ba_ref[...] = g_new << 5
+
+        def ms_win_to_mid():
+            """Scatter the MagSgn window into the mid scratch (O(MIDG)).
+            Append-only streams: a plain replace of the two granules the
+            window covers (mid held their previous content)."""
+            rel = (ms_ba[...] >> 5) - (ms_mba[...] >> 5)   # 0..MIDG-2
+            d = ms_mid[...]
+            sel0 = (miota == rel[None]).astype(jnp.int32)
+            sel1 = (miota == (rel + 1)[None]).astype(jnp.int32)
+            d = jnp.where(sel0 == 1, ms_st[0:8][None], d)
+            d = jnp.where(sel1 == 1, ms_st[8:16][None], d)
+            ms_mid[...] = d
+
+        def ms_win_rebase(bp_bytes):
+            """Reload the window from mid around bp (O(MIDG))."""
+            rel = (bp_bytes >> 5) - (ms_mba[...] >> 5)
+            d = ms_mid[...]
+            s0 = (miota == rel[None]).astype(jnp.int32)
+            s1 = (miota == (rel + 1)[None]).astype(jnp.int32)
+            lo2 = jnp.sum(d * s0, axis=0)
+            hi2 = jnp.sum(d * s1, axis=0)
+            ms_st[...] = jnp.concatenate([lo2, hi2], axis=0)
+            ms_ba[...] = (bp_bytes >> 5) << 5
+
+        def ms_mid_to_full():
+            """OR mid's granules into the full buffer at [mg, mg+MIDG).
+            Append-only: bits never change once written, so OR-ing a
+            granule's complete content over an earlier partial flush is
+            exact, and untouched granules OR with zero."""
+            G = ms_ref.shape[0]
+            giota = giotas[G]
+            mg = ms_mba[...] >> 5
+            mid = ms_mid[...]
+            d = ms_ref[...]
+            acc = jnp.zeros_like(d)
+            zero = jnp.zeros_like(d)
+            for j in range(MIDG):
+                selj = (giota == (mg + j)[None]).astype(jnp.int32)
+                acc = acc | jnp.where(selj == 1, mid[j][None], zero)
+            ms_ref[...] = d | acc
+
+        def ms_mid_shift(bp_bytes):
+            """Slide mid so its base is bp's granule: a MIDG^2 one-hot
+            gather from mid itself (granules that slide in from above
+            mid's old range are past the write head, i.e. zero)."""
+            mg_new = bp_bytes >> 5
+            dg = mg_new - (ms_mba[...] >> 5)               # 0..8
+            mid = ms_mid[...]
+            parts = []
+            for j in range(MIDG):
+                sj = (miota == (dg + j)[None]).astype(jnp.int32)
+                parts.append(jnp.sum(mid * sj, axis=0))
+            ms_mid[...] = jnp.stack(parts, axis=0)
+            ms_mba[...] = mg_new << 5
 
         def or_bits(st_ref, ba_ref, bitpos, w, mask):
             """OR the <= 25-bit word w at bit position bitpos (LSB-first)
@@ -165,9 +239,11 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             qx = t - g * GW
             act = (val_l == 1) & (g < gh_l) & (qx < gw_l)
 
-            restage(ms_ref, ms_st, ms_ba, ms_bp >> 3)
-            restage(mel_ref, mel_st, mel_ba, mel_bp >> 3)
-            restage(vlc_ref, vlc_st, vlc_ba, vlc_bp >> 3)
+            # MagSgn window slides up to 12.5 B/quad: flush + rebase it
+            # against the mid scratch (O(MIDG)); MEL/VLC windows absorb
+            # a full inner block of K quads and restage at outer level.
+            ms_win_to_mid()
+            ms_win_rebase(ms_bp >> 3)
 
             # quad samples (scan order n0=(0,0) n1=(1,0) n2=(0,1) n3)
             y0 = 2 * g
@@ -258,14 +334,24 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             rho_ref[g + 1] = jnp.where((qiota == qx + 1) & act, rho, rowr)
             return (ms_bp, mel_bp, vlc_bp, k, run)
 
+        def outer_body(o, carry):
+            carry = jax.lax.fori_loop(o * K, o * K + K, quad_body, carry)
+            (ms_bp, mel_bp, vlc_bp, _, _) = carry
+            # retire mid into the full buffer, slide it to bp's granule,
+            # and re-aim all three windows for the next K quads
+            ms_win_to_mid()
+            ms_mid_to_full()
+            ms_mid_shift(ms_bp >> 3)
+            ms_win_rebase(ms_bp >> 3)
+            restage(mel_ref, mel_st, mel_ba, mel_bp >> 3)
+            restage(vlc_ref, vlc_st, vlc_ba, vlc_bp >> 3)
+            return carry
+
         zi = jnp.zeros(lane_sh, jnp.int32)
         carry = jax.lax.fori_loop(
-            0, GH * GW, quad_body, (zi, zi, zi, zi, zi))
+            0, NO, outer_body, (zi, zi, zi, zi, zi))
         ms_bp, mel_bp, vlc_bp, _, _ = carry
-        # final flush of all three windows
-        restage(ms_ref, ms_st, ms_ba, ms_bp >> 3)
-        restage(mel_ref, mel_st, mel_ba, mel_bp >> 3)
-        restage(vlc_ref, vlc_st, vlc_ba, vlc_bp >> 3)
+        # outer_body already flushed every window after the last quad
         # one lane-shaped output per stream: a (3, L) ref would need a
         # sub-8-sublane store (Mosaic's replicated-relayout crash path)
         msb_ref[...] = ms_bp
@@ -292,6 +378,8 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             pltpu.VMEM(lane_sh, jnp.int32),                      # ms base
             pltpu.VMEM(lane_sh, jnp.int32),                      # mel base
             pltpu.VMEM(lane_sh, jnp.int32),                      # vlc base
+            pltpu.VMEM((MIDG, 8) + arr_tail, jnp.int32),         # ms mid
+            pltpu.VMEM(lane_sh, jnp.int32),                      # mid base
         ],
         interpret=interpret,
     )(mneg, pv, wh, valid)

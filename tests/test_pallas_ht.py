@@ -89,6 +89,30 @@ def test_encoder_interpret_byte_identical():
         assert abs(got.passes[0].dist - ref.passes[0].dist) < 1e-6
 
 
+def test_encoder_interpret_multi_outer_blocks():
+    """NQ=32 quads -> two outer staging blocks: exercises the MagSgn
+    mid flush into the full buffer, the mid self-shift, and window
+    re-entry (the round-2 hierarchical staging), with one dense block
+    near the 24-bit magnitude ceiling (worst-case window advance)."""
+    from grok_tpu.ops.pallas_ht_enc import encode_ht_blocks
+    rng = np.random.default_rng(5)
+    blocks, refs = [], []
+    for i, (w, h, sig, dens) in enumerate([(16, 8, 3000000, 0.95),
+                                           (13, 8, 80, 0.5),
+                                           (9, 13, 900, 0.7)]):
+        mag = np.abs(rng.normal(0, sig, (h, w))).astype(np.int64)
+        mag[rng.random((h, w)) >= dens] = 0
+        mag = np.minimum(mag, (1 << 24) - 1)
+        neg = (rng.random((h, w)) < 0.5) & (mag > 0)
+        mag[0, 0] = max(int(mag[0, 0]), 3)
+        blocks.append(dict(mag=mag, neg=neg, orient=i % 4, w=w, h=h))
+        refs.append(ht_encode_block(mag, neg, i % 4))
+    res = encode_ht_blocks(blocks, interpret=True)
+    for i, (got, ref) in enumerate(zip(res, refs)):
+        assert got.data == ref.data, f"block {i} bytes"
+        assert got.numbps == ref.numbps
+
+
 def test_mq_pallas_kernels_trace():
     """The MQ Pallas kernels' full interpret runs take minutes (still
     gated behind GROK_RUN_PALLAS_TESTS); this traces both through

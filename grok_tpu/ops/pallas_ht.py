@@ -18,9 +18,16 @@ Part 15 design intends (SURVEY.md §7 phase 7).
 
 Byte access reuses the staged-window structure of ops/pallas_t1.py (the
 one Mosaic lowers cleanly): each stream is packed as little-endian byte
-pairs in 32-byte granules; a 64-byte window is staged per quad with two
-one-hot granule sums, and a 25-bit-valid word is read at any bit
-position with one one-hot sum over the window.
+pairs in 32-byte granules; a 25-bit-valid word is read at any bit
+position with one one-hot sum over a 64-byte window.  Round-2 rework
+(mirrors the encoder's hierarchy): windows live in VMEM scratch; the
+MagSgn window (<= 12.5 B/quad advance) reloads per quad from a
+10-granule `mid` scratch that is refreshed from the full stream buffer
+once per K=16 quads, and the MEL/VLC windows (<= 6 / 13 bits per quad)
+refresh only at the outer-loop boundary — the full (G, 32, lanes)
+buffers are never scanned per quad.  16-bit pair entries let every
+granule fetch ride half the one-hot passes (second granule packed into
+the high 16 bits).
 
 Reads past a lane's stream return 0 (zero padding; out-of-range granule
 one-hots select nothing), matching the scalar readers' semantics.
@@ -204,12 +211,18 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
     nd = len(arr_tail)
     lane_sh = (S, LANES) if S > 1 else (1, LANES)
     kd = S == 1
+    NQ = GH * GW
+    K = min(16, NQ)           # NQ is a pow2 product: K always divides it
+    NO = NQ // K
+    MIDG = 10                 # MagSgn mid granules: 31 B skew + 16 quads
+                              # * 12.5 B + 2-granule window <= 10 * 32 B
 
     def iota_for(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * nd, 0)
 
     def kernel(ms_ref, mel_ref, vlc_ref, p_ref, wh_ref, valid_ref,
-               out_ref, rho_ref):
+               out_ref, rho_ref, ms_st, mel_st, vlc_st,
+               ms_ba, mel_ba, vlc_ba, ms_mid, ms_mba):
         if S == 1:
             p_l = p_ref[...]
             val_l = valid_ref[...]
@@ -225,6 +238,11 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
 
         out_ref[...] = jnp.zeros((H, W) + arr_tail, jnp.int32)
         rho_ref[...] = jnp.zeros((GH + 1, GW + 2) + arr_tail, jnp.int32)
+        for st in (ms_st, mel_st, vlc_st):
+            st[...] = jnp.zeros((64,) + arr_tail, jnp.int32)
+        for ba in (ms_ba, mel_ba, vlc_ba, ms_mba):
+            ba[...] = jnp.zeros(lane_sh, jnp.int32)
+        ms_mid[...] = jnp.zeros((MIDG, 32) + arr_tail, jnp.int32)
 
         siota = iota_for(64)
         wiota = iota_for(W)
@@ -232,18 +250,52 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
         giotas = {G: jax.lax.broadcasted_iota(
             jnp.int32, (G,) + (1,) * (nd + 1), 0)
             for G in {ms_ref.shape[0], mel_ref.shape[0], vlc_ref.shape[0]}}
+        miota = jax.lax.broadcasted_iota(
+            jnp.int32, (MIDG,) + (1,) * (nd + 1), 0)
 
         def stage_load(ref, bytepos):
             """64-byte LE-pair window at the 32-aligned base of bytepos;
-            out-of-range granules stage as zeros (safe overrun)."""
+            out-of-range granules stage as zeros (safe overrun).  16-bit
+            pair entries: both granules ride ONE one-hot sum pass, the
+            second packed into the high 16 bits (halves the per-quad
+            staging cost, the kernel's hot loop)."""
             G = ref.shape[0]
             g0 = bytepos >> 5
-            sel0 = (giotas[G] == g0[None]).astype(jnp.int32)
-            sel1 = (giotas[G] == (g0 + 1)[None]).astype(jnp.int32)
-            d = ref[...]
-            lo = jnp.sum(d * sel0, axis=0)
-            hi = jnp.sum(d * sel1, axis=0)
+            sel = (giotas[G] == g0[None]).astype(jnp.int32) + \
+                ((giotas[G] == (g0 + 1)[None]).astype(jnp.int32) << 16)
+            packed = jnp.sum(ref[...] * sel, axis=0)
+            lo = packed & 0xFFFF
+            hi = (packed >> 16) & 0xFFFF
             return jnp.concatenate([lo, hi], axis=0), (g0 << 5)
+
+        def ms_mid_refresh(bp_bytes):
+            """Reload the MagSgn mid scratch (MIDG granules) from the
+            full stream buffer around bp — once per K quads; pair
+            entries ride two granules per one-hot pass."""
+            G = ms_ref.shape[0]
+            giota = giotas[G]
+            mg = bp_bytes >> 5
+            d = ms_ref[...]
+            parts = []
+            for jj in range(0, MIDG, 2):
+                sel = (giota == (mg + jj)[None]).astype(jnp.int32) + \
+                    ((giota == (mg + jj + 1)[None])
+                     .astype(jnp.int32) << 16)
+                packed = jnp.sum(d * sel, axis=0)
+                parts.append(packed & 0xFFFF)
+                parts.append((packed >> 16) & 0xFFFF)
+            ms_mid[...] = jnp.stack(parts, axis=0)
+            ms_mba[...] = mg << 5
+
+        def ms_win_refresh(bp_bytes):
+            """Reload the MagSgn 64-byte window from mid (O(MIDG))."""
+            rel = (bp_bytes >> 5) - (ms_mba[...] >> 5)
+            sel = (miota == rel[None]).astype(jnp.int32) + \
+                ((miota == (rel + 1)[None]).astype(jnp.int32) << 16)
+            packed = jnp.sum(ms_mid[...] * sel, axis=0)
+            ms_st[...] = jnp.concatenate(
+                [packed & 0xFFFF, (packed >> 16) & 0xFFFF], axis=0)
+            ms_ba[...] = (bp_bytes >> 5) << 5
 
         def bits_at(stage, base, bp):
             """Word with >= 25 valid bits whose bit 0 is stream bit bp."""
@@ -269,9 +321,16 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
             qx = t - g * GW
             act = (val_l == 1) & (g < gh_l) & (qx < gw_l)
 
-            ms_stage, ms_base = stage_load(ms_ref, ms_bp >> 3)
-            mel_stage, mel_base = stage_load(mel_ref, mel_bp >> 3)
-            vlc_stage, vlc_base = stage_load(vlc_ref, vlc_bp >> 3)
+            # MagSgn window slides up to 12.5 B/quad: reload from mid
+            # (O(MIDG)); MEL/VLC windows absorb K quads of growth and
+            # refresh at the outer boundary only.
+            ms_win_refresh(ms_bp >> 3)
+            ms_stage = ms_st[...]
+            ms_base = ms_ba[...]
+            mel_stage = mel_st[...]
+            mel_base = mel_ba[...]
+            vlc_stage = vlc_st[...]
+            vlc_base = vlc_ba[...]
 
             left = rho_read(g + 1, qx)
             top = rho_read(g, qx + 1)
@@ -370,8 +429,19 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
                                     jnp.where(sel3, svals[3], row1))
             return (ms_bp, mel_bp, vlc_bp, k, run, pend)
 
+        def outer_body(o, carry):
+            (ms_bp, mel_bp, vlc_bp, _, _, _) = carry
+            ms_mid_refresh(ms_bp >> 3)
+            st, ba = stage_load(mel_ref, mel_bp >> 3)
+            mel_st[...] = st
+            mel_ba[...] = ba
+            st, ba = stage_load(vlc_ref, vlc_bp >> 3)
+            vlc_st[...] = st
+            vlc_ba[...] = ba
+            return jax.lax.fori_loop(o * K, o * K + K, quad_body, carry)
+
         zi = jnp.zeros(lane_sh, jnp.int32)
-        jax.lax.fori_loop(0, GH * GW, quad_body,
+        jax.lax.fori_loop(0, NO, outer_body,
                           (zi, zi, zi, zi, zi, zi))
 
     out = pl.pallas_call(
@@ -381,6 +451,14 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # rho
+            pltpu.VMEM((64,) + arr_tail, jnp.int32),             # ms win
+            pltpu.VMEM((64,) + arr_tail, jnp.int32),             # mel win
+            pltpu.VMEM((64,) + arr_tail, jnp.int32),             # vlc win
+            pltpu.VMEM(lane_sh, jnp.int32),                      # ms base
+            pltpu.VMEM(lane_sh, jnp.int32),                      # mel base
+            pltpu.VMEM(lane_sh, jnp.int32),                      # vlc base
+            pltpu.VMEM((MIDG, 32) + arr_tail, jnp.int32),        # ms mid
+            pltpu.VMEM(lane_sh, jnp.int32),                      # mid base
         ],
         interpret=interpret,
     )(ms_d, mel_d, vlc_d, pv, wh, valid)

@@ -193,14 +193,16 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh, ptbl, stylev,
 
         def stage_load(bp):
             """(64, [S,] L) staged byte-pair window at each lane's
-            32-aligned base (two one-hot granule sums — the round-1
-            staging structure, the one Mosaic lowers cleanly)."""
+            32-aligned base.  Entries are 16-bit pairs, so BOTH granules
+            ride ONE one-hot sum pass over the stream buffer: the second
+            granule's one-hot is packed into the high 16 bits (halves
+            the per-column-group staging cost, the kernel's hot loop)."""
             g0 = bp >> 5
-            sel0 = (giota == g0[None]).astype(jnp.int32)
-            sel1 = (giota == (g0 + 1)[None]).astype(jnp.int32)
-            d = data_ref[...]
-            lo = jnp.sum(d * sel0, axis=0)
-            hi = jnp.sum(d * sel1, axis=0)
+            sel = (giota == g0[None]).astype(jnp.int32) + \
+                ((giota == (g0 + 1)[None]).astype(jnp.int32) << 16)
+            packed = jnp.sum(data_ref[...] * sel, axis=0)
+            lo = packed & 0xFFFF
+            hi = (packed >> 16) & 0xFFFF
             return jnp.concatenate([lo, hi], axis=0), (g0 << 5)
 
         def stage_read(stage, base, bp):

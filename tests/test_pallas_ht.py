@@ -89,6 +89,35 @@ def test_encoder_interpret_byte_identical():
         assert abs(got.passes[0].dist - ref.passes[0].dist) < 1e-6
 
 
+def test_decoder_interpret_multi_outer_blocks():
+    """NQ=32 quads -> two outer staging blocks on the DECODE side:
+    exercises the MagSgn mid refresh from the full stream buffer, the
+    per-quad window reload from mid, and the MEL/VLC outer-boundary
+    window refresh (round-2 hierarchical staging), with one dense block
+    near the 24-bit magnitude ceiling (worst-case window advance)."""
+    rng = np.random.default_rng(7)
+    jobs, refs = [], []
+    for i, (w, h, sig, dens) in enumerate([(16, 8, 3000000, 0.95),
+                                           (13, 8, 80, 0.5),
+                                           (9, 13, 900, 0.7)]):
+        mag = np.abs(rng.normal(0, sig, (h, w))).astype(np.int64)
+        mag[rng.random((h, w)) >= dens] = 0
+        mag = np.minimum(mag, (1 << 24) - 1)
+        neg = (rng.random((h, w)) < 0.5) & (mag > 0)
+        mag[0, 0] = max(int(mag[0, 0]), 3)
+        enc = ht_encode_block(mag, neg, i % 4)
+        job = dict(data=enc.data, seg_lens=enc.seg_lens, numpasses=1,
+                   numbps=enc.numbps, orient=i % 4, w=w, h=h)
+        assert ht_block_eligible(job)
+        jobs.append(job)
+        refs.append(ht_decode_block(enc.data, enc.seg_lens, 1,
+                                    enc.numbps, i % 4, w, h))
+    res = decode_ht_blocks(jobs, interpret=True)
+    for i, ((m, n), (rm, rn)) in enumerate(zip(res, refs)):
+        assert np.array_equal(m, rm), f"block {i} mag"
+        assert np.array_equal(n, rn), f"block {i} neg"
+
+
 def test_encoder_interpret_multi_outer_blocks():
     """NQ=32 quads -> two outer staging blocks: exercises the MagSgn
     mid flush into the full buffer, the mid self-shift, and window

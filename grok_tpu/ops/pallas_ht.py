@@ -213,6 +213,7 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
     kd = S == 1
     NQ = GH * GW
     K = min(16, NQ)           # NQ is a pow2 product: K always divides it
+    assert NQ % K == 0, (W, H)   # callers bucket W/H to powers of two
     NO = NQ // K
     MIDG = 10                 # MagSgn mid granules: 31 B skew + 16 quads
                               # * 12.5 B + 2-granule window <= 10 * 32 B
@@ -467,12 +468,16 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
 
 def sublanes_for_ht(W: int, H: int, max_stream: int = 0) -> int:
     """Sublane batch bounded by VMEM: out + rho scratch + the three
-    staged byte-pair stream buffers (int32 words per lane)."""
+    staged byte-pair stream buffers + the window/mid staging scratches
+    (int32 words per lane).  Threshold 12.5 MB under the ~16 MB scoped
+    VMEM budget (the pre-hierarchy guard at 11 MB ignored the staging
+    values the old kernel carried in registers/spills)."""
     GH, GW = (H + 1) // 2, (W + 1) // 2
     words = H * W + (GH + 1) * (GW + 2)
+    words += 3 * 64 + 10 * 32 + 4          # windows + MagSgn mid + bases
     if max_stream:
         words += _quant_len(max_stream) + 2 * 256   # ms + mel + vlc pairs
-    return 8 if words * 8 * 128 * 4 <= 11 * 2 ** 20 else 1
+    return 8 if words * 8 * 128 * 4 <= 12.5 * 2 ** 20 else 1
 
 
 def _pow2_at_least(n: int) -> int:

@@ -68,6 +68,7 @@ def pallas_ht_encode(mneg, pv, wh, valid,
 
     NQ = GH * GW
     K = min(16, NQ)           # NQ is a pow2 product: K always divides it
+    assert NQ % K == 0, (W, H)   # callers bucket W/H to powers of two
     NO = NQ // K
     MIDG = 10                 # MagSgn mid granules: 31 B skew + 16 quads
                               # * 12.5 B + 2-granule window <= 10 * 32 B

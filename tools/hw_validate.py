@@ -1,0 +1,220 @@
+"""On-hardware validation + timing of the Pallas kernels.
+
+Run on a TPU-attached host after kernel changes:
+
+    python tools/hw_validate.py [ht_dec] [ht_enc] [mq_dec] [mq_enc]
+
+For each requested kernel: compile on the device (persistent cache in
+.jax_cache), check bit/byte-exactness vs the scalar oracle, and report
+an amortized launch time (N back-to-back launches with a final D2H read
+as the completion barrier — per-call timings lie on the axon runtime,
+see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def _setup_jax():
+    import jax
+    try:
+        import os
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+    return jax
+
+
+def _amortized(fn, barrier, n=20, rounds=3):
+    import jax
+    fn()                      # warm (compile)
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn()
+        jax.block_until_ready(out)
+        barrier(out)          # force a D2H read
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
+def _ht_jobs(rng, w, h, nblocks, sigma=300.0, dens=0.5):
+    from grok_tpu.t1ht import ht_decode_block, ht_encode_block
+    jobs, refs = [], []
+    for i in range(nblocks):
+        mag = np.abs(rng.normal(0, sigma, (h, w))).astype(np.int64)
+        mag[rng.random((h, w)) >= dens] = 0
+        mag = np.minimum(mag, (1 << 24) - 1)
+        neg = (rng.random((h, w)) < 0.5) & (mag > 0)
+        mag[0, 0] = max(int(mag[0, 0]), 3)
+        enc = ht_encode_block(mag, neg, i % 4)
+        jobs.append(dict(data=enc.data, seg_lens=enc.seg_lens,
+                         numpasses=1, numbps=enc.numbps, orient=i % 4,
+                         w=w, h=h, mag=mag, neg=neg))
+        refs.append(ht_decode_block(enc.data, enc.seg_lens, 1,
+                                    enc.numbps, i % 4, w, h))
+    return jobs, refs
+
+
+def run_ht_dec(jax, w=32, h=32, nblocks=1024):
+    import jax.numpy as jnp
+
+    from grok_tpu.ops.pallas_ht import (pack_ht_for_pallas,
+                                        pallas_ht_decode, sublanes_for_ht)
+    rng = np.random.default_rng(0)
+    jobs, refs = _ht_jobs(rng, w, h, nblocks)
+    mx = max(max(len(s) for s in j["_ht_hdr"][1:4]) for j in jobs)
+    S = min(sublanes_for_ht(w, h, mx), -(-len(jobs) // 128))
+    ms_d, mel_d, vlc_d, pv, wh, valid = pack_ht_for_pallas(jobs, S)
+    args = [jnp.asarray(a) for a in (ms_d, mel_d, vlc_d, pv, wh, valid)]
+
+    def fn():
+        return pallas_ht_decode(*args, w, h, S, False)
+
+    t = _amortized(fn, lambda o: np.asarray(o[:1, :1]))
+    out = np.asarray(fn())
+    ok = 0
+    for j, (rm, rn) in enumerate(refs):
+        v = out[:h, :w, j // 128, j % 128] if S > 1 else out[:h, :w, j]
+        if np.array_equal(np.abs(v).astype(np.int64), rm) and \
+                np.array_equal(v < 0, rn):
+            ok += 1
+    mp = len(jobs) * w * h / 1e6
+    print(f"ht_dec {w}x{h}x{len(jobs)}: {ok}/{len(jobs)} bit-exact, "
+          f"{t * 1e3:.2f} ms/launch, {mp / t:.1f} MP/s/core")
+
+
+def run_ht_enc(jax, w=32, h=32, nblocks=1024):
+    from grok_tpu.ops.pallas_ht_enc import encode_ht_blocks
+    from grok_tpu.t1ht import ht_encode_block
+    rng = np.random.default_rng(1)
+    blocks, refs = [], []
+    for i in range(nblocks):
+        mag = np.abs(rng.normal(0, 300, (h, w))).astype(np.int64)
+        mag[rng.random((h, w)) >= 0.5] = 0
+        neg = (rng.random((h, w)) < 0.5) & (mag > 0)
+        mag[0, 0] = max(int(mag[0, 0]), 3)
+        blocks.append(dict(mag=mag, neg=neg, orient=i % 4, w=w, h=h))
+        refs.append(ht_encode_block(mag, neg, i % 4))
+    t0 = time.perf_counter()
+    res = encode_ht_blocks(blocks)
+    warm = time.perf_counter() - t0
+    ok = sum(1 for g, r in zip(res, refs) if g.data == r.data)
+    t0 = time.perf_counter()
+    res = encode_ht_blocks(blocks)
+    steady = time.perf_counter() - t0
+    mp = nblocks * w * h / 1e6
+    print(f"ht_enc {w}x{h}x{nblocks}: {ok}/{nblocks} byte-exact, "
+          f"first {warm:.2f} s, steady {steady * 1e3:.1f} ms "
+          f"({mp / steady:.1f} MP/s/core incl host pack)")
+
+
+def run_mq_dec(jax, w=64, h=64, nblocks=128):
+    from grok_tpu.ops.pallas_t1 import decode_bucket_pallas
+    from grok_tpu.t1.t1_scalar import decode_block, encode_block
+    rng = np.random.default_rng(2)
+    jobs, refs = [], []
+    for i in range(nblocks):
+        mag = np.abs((rng.normal(0, 30, (h, w))
+                      * (rng.random((h, w)) < 0.6))).astype(np.int64)
+        neg = rng.random((h, w)) < 0.5
+        enc = encode_block(mag, neg, i % 4, 0)
+        jobs.append(dict(data=enc.data, seg_lens=enc.seg_lens,
+                         seg_passes=enc.seg_passes,
+                         numpasses=len(enc.passes), numbps=enc.numbps,
+                         orient=i % 4, w=w, h=h, style=0))
+        refs.append(decode_block(enc.data, enc.seg_lens,
+                                 len(enc.passes), enc.numbps, i % 4,
+                                 w, h, 0))
+    t0 = time.perf_counter()
+    res = decode_bucket_pallas(jobs, w, h)
+    warm = time.perf_counter() - t0
+    ok = sum(1 for (m, n), (rm, rn) in zip(res, refs)
+             if np.array_equal(m, rm) and np.array_equal(n, rn))
+    t0 = time.perf_counter()
+    decode_bucket_pallas(jobs, w, h)
+    steady = time.perf_counter() - t0
+    mp = nblocks * w * h / 1e6
+    print(f"mq_dec {w}x{h}x{nblocks}: {ok}/{nblocks} bit-exact, "
+          f"first {warm:.2f} s, steady {steady * 1e3:.1f} ms "
+          f"({mp / steady:.1f} MP/s/core incl host pack)")
+
+
+def run_mq_enc(jax, w=64, h=64, nblocks=128):
+    from grok_tpu.ops.pallas_t1_enc import encode_bucket_pallas
+    from grok_tpu.t1.t1_scalar import encode_block
+    rng = np.random.default_rng(3)
+    blocks, refs = [], []
+    for i in range(nblocks):
+        mag = np.abs((rng.normal(0, 30, (h, w))
+                      * (rng.random((h, w)) < 0.6))).astype(np.int64)
+        neg = rng.random((h, w)) < 0.5
+        blocks.append(dict(mag=mag, neg=neg, orient=i % 4, style=0))
+        refs.append(encode_block(mag, neg, i % 4, 0))
+    t0 = time.perf_counter()
+    res = encode_bucket_pallas(blocks)
+    warm = time.perf_counter() - t0
+    ok = sum(1 for g, r in zip(res, refs) if g.data == r.data)
+    t0 = time.perf_counter()
+    encode_bucket_pallas(blocks)
+    steady = time.perf_counter() - t0
+    mp = nblocks * w * h / 1e6
+    print(f"mq_enc {w}x{h}x{nblocks}: {ok}/{nblocks} byte-exact, "
+          f"first {warm:.2f} s, steady {steady * 1e3:.1f} ms "
+          f"({mp / steady:.1f} MP/s/core incl host pack)")
+
+
+def run_gather_probe(jax, rows=64):
+    """Probe tpu.dynamic_gather support: jnp.take_along_axis on a 2D
+    (rows, 128) array with per-lane row indices.  If Mosaic lowers and
+    runs this correctly, the staged-window one-hot machinery in the T1
+    kernels could be replaced by native per-lane gathers."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, idx_ref, o_ref):
+        o_ref[...] = jnp.take_along_axis(x_ref[...], idx_ref[...], axis=0)
+
+    x = np.arange(rows * 128, dtype=np.int32).reshape(rows, 128)
+    idx = np.random.default_rng(0).integers(0, rows, (rows, 128),
+                                            dtype=np.int32)
+    try:
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(jnp.asarray(x), jnp.asarray(idx))
+        out = np.asarray(out)
+        ok = np.array_equal(out, np.take_along_axis(x, idx, axis=0))
+        print(f"gather_probe rows={rows}: lowers, correct={ok}")
+    except Exception as e:
+        print(f"gather_probe rows={rows}: UNSUPPORTED ({type(e).__name__}:"
+              f" {str(e)[:120]})")
+
+
+def main():
+    jax = _setup_jax()
+    print("backend:", jax.default_backend(), jax.devices())
+    which = sys.argv[1:] or ["gather_probe", "ht_dec", "ht_enc",
+                             "mq_dec", "mq_enc"]
+    for k in which:
+        t0 = time.perf_counter()
+        globals()[f"run_{k}"](jax)
+        print(f"  [{k} total {time.perf_counter() - t0:.1f} s]",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

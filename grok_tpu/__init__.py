@@ -4,8 +4,9 @@ Capability parity target: the Grok (ao2/grok) C++ codec — see SURVEY.md.
 """
 
 from grok_tpu.api import (HeaderInfo, compress, compress_device,  # noqa: F401
-                          decompress, decompress_device,
-                          decompress_device_batch, read_header)
+                          compress_device_batch, decompress,
+                          decompress_device, decompress_device_batch,
+                          read_header)
 from grok_tpu.codec import Compressor, Decompressor  # noqa: F401
 from grok_tpu.util.msg import set_msg_handlers  # noqa: F401
 from grok_tpu.core.image import ColorSpace, Component, Image  # noqa: F401

@@ -333,6 +333,76 @@ def compress_device(arrays, params: CompressParams | None = None,
     return compress(img, params)
 
 
+def compress_device_batch(arrays_list, params: CompressParams | None = None,
+                          prec: int = 8, sgnd: bool = False) -> list[bytes]:
+    """Encode N same-geometry frames to N codestreams in one fused
+    device program — the encode mirror of decompress_device_batch.
+
+    arrays_list: one entry per frame, each a list of (h, w) component
+    arrays (jax device arrays stay on device; numpy uploads), or a
+    single (h, w) / (h, w, c) array.  All frames' code-blocks pack into
+    shared kernel launches of one cached program, amortizing per-frame
+    host staging and dispatch (a frame sequence or dataset shard).
+
+    Requirements: same shape/components across frames and an HT
+    single-tile single-layer config (the serving shape); anything else
+    encodes frame-by-frame via the general path.
+
+    Reference parity: batch analog of the reference's plugin batch
+    compress surface [grok: grk_plugin_batch_compress] (SURVEY §3.5).
+    """
+    from grok_tpu.core.image import Component
+    params = params or CompressParams(ht=True)
+    params = replace(params, backend="jax")
+    if not arrays_list:
+        return []
+    imgs = []
+    for arrays in arrays_list:
+        if not isinstance(arrays, (list, tuple)):
+            if getattr(arrays, "ndim", 2) == 3:
+                arrays = [arrays[:, :, c] for c in range(arrays.shape[2])]
+            else:
+                arrays = [arrays]
+        comps = [Component(data=a, prec=prec, sgnd=sgnd) for a in arrays]
+        color = ColorSpace.GRAY if len(comps) == 1 else ColorSpace.SRGB
+        imgs.append(Image(components=comps, color_space=color))
+
+    hdr = _build_main_header(imgs[0], params)
+    same = all(im.w == imgs[0].w and im.h == imgs[0].h
+               and len(im.components) == len(imgs[0].components)
+               for im in imgs)
+    results = None
+    if same and hdr.siz.num_tiles == 1 and params.max_tile_parts == 1 \
+            and not params.write_ppm:
+        from grok_tpu.pipeline.serve_enc import try_encode_serving_batch
+        results = try_encode_serving_batch(imgs, hdr, 0, params, hdr.pocs)
+    if results is None:
+        return [compress(im, params) for im in imgs]
+
+    out = []
+    for res in results:
+        plt_seg = j2k.write_plt(res.packet_lens) if params.write_plt \
+            else b""
+        psot = 12 + len(plt_seg) + 2 + len(res.body)
+        tp = j2k.write_sot(0, psot, 0, 1) + plt_seg + \
+            struct.pack(">H", j2k.SOD) + res.body
+        mh = _main_header_bytes(
+            hdr, params, [(0, len(tp))] if params.write_tlm else None)
+        stream = mh + tp + struct.pack(">H", j2k.EOC)
+        if params.jp2:
+            im = imgs[0]
+            c0 = im.components[0]
+            per_comp = [(c.prec, c.sgnd) for c in im.components]
+            stream = jp2.wrap_jp2(
+                stream, width=im.w, height=im.h,
+                numcomps=len(im.components), prec=c0.prec, sgnd=c0.sgnd,
+                color_space=im.color_space, icc_profile=im.icc_profile,
+                capture_resolution=im.capture_resolution,
+                per_comp_prec=per_comp)
+        out.append(stream)
+    return out
+
+
 def decompress_device_batch(streams: list[bytes],
                             dparams: DecompressParams | None = None) -> list:
     """Decode N same-geometry codestreams in one fused device program.

@@ -57,7 +57,12 @@ def _pow2_at_least(v: int, lo: int = 4) -> int:
 @lru_cache(maxsize=32)
 def _build_encode_fn(sig):
     """Phase-A program: pixels -> (ms, mel, vlc word buffers, bit counts,
-    numbps) for every launch, all device-resident."""
+    numbps) for every launch, all device-resident.
+
+    Batched over N same-geometry frames (the serving shape): comps[ci]
+    is an (N, h, w) stack; code-blocks pack frame-major into the lane
+    axis so frames share kernel launches (the encode mirror of
+    decompress_device_batch's shared program)."""
     import jax
     import jax.numpy as jnp
 
@@ -66,9 +71,10 @@ def _build_encode_fn(sig):
     from grok_tpu.ops.pallas_ht import _ht_interpret
     from grok_tpu.ops.pallas_ht_enc import pallas_ht_encode
 
-    (ncomps, mct_mode, comps_sig, bucket_sig, blocks_sig) = sig
+    (N, ncomps, mct_mode, comps_sig, bucket_sig, blocks_sig) = sig
     (W, H, S, LMS, LMEL, LVLC, nlaunch) = bucket_sig
     NL = S * LANES
+    NB = N * len(blocks_sig)
 
     @jax.jit
     def run(comps):
@@ -92,7 +98,9 @@ def _build_encode_fn(sig):
             cur = outs[ci]
             if irrev and cur.dtype != jnp.float32:
                 cur = cur.astype(jnp.float32)
-            blist = jdwt.fwd_multilevel(cur, Rect(*rect_t), numres, irrev)
+            blist = jax.vmap(
+                lambda a, _r=Rect(*rect_t), _n=numres, _ir=irrev:
+                jdwt.fwd_multilevel(a, _r, _n, _ir))(cur)
             for (r, orient, delta) in bands:
                 arr = blist[0] if r == 0 else blist[r][orient - 1]
                 if irrev:
@@ -104,7 +112,8 @@ def _build_encode_fn(sig):
                 neg = (arr < 0).astype(jnp.int32)
                 band_mneg[(ci, r, orient)] = (mag << 1) | neg
 
-        # batch code-blocks into lane tensors (static placements)
+        # batch code-blocks into lane tensors (static placements,
+        # frame-major: lane gi = fi * len(blocks_sig) + bi)
         results = []
         for li in range(nlaunch):
             lanes = []
@@ -112,11 +121,13 @@ def _build_encode_fn(sig):
             vld = np.zeros((NL,), np.int32)
             for lane in range(NL):
                 gi = li * NL + lane
-                if gi >= len(blocks_sig):
+                if gi >= NB:
                     break
-                (ci, r, orient, yoff, xoff, bh, bw) = blocks_sig[gi]
+                fi, bi = divmod(gi, len(blocks_sig))
+                (ci, r, orient, yoff, xoff, bh, bw) = blocks_sig[bi]
                 src = jax.lax.dynamic_slice(band_mneg[(ci, r, orient)],
-                                            (yoff, xoff), (bh, bw))
+                                            (fi, yoff, xoff),
+                                            (1, bh, bw))[0]
                 lanes.append(jnp.pad(src, ((0, H - bh), (0, W - bw))))
                 whc[0, lane] = bw
                 whc[1, lane] = bh
@@ -292,6 +303,18 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
 
 def try_encode_serving(image, hdr, t: int, params, pocs):
     """Fused device encode of one tile -> TileEncodeResult or None."""
+    out = try_encode_serving_batch([image], hdr, t, params, pocs)
+    return None if out is None else out[0]
+
+
+def try_encode_serving_batch(images, hdr, t: int, params, pocs):
+    """Fused device encode of one tile of N same-geometry frames.
+
+    The encode mirror of the batched serving decode: all frames' code
+    blocks pack frame-major into shared kernel launches of one cached
+    program, amortizing the per-frame host and dispatch overheads.
+    Returns a list of TileEncodeResult (one per frame) or None if the
+    config is outside the serving shape."""
     if (params.num_layers != 1 or params.mesh is not None
             or params.roi_rect is not None or params.write_ppm
             or params.fixed_quality or pocs):
@@ -317,21 +340,34 @@ def try_encode_serving(image, hdr, t: int, params, pocs):
     import jax
     import jax.numpy as jnp
 
+    N = len(images)
     geo = plan.geo
     # tile-view of the component samples (serving shape: image == tile);
     # device-resident inputs stay on device (no pixel download)
     comps = []
-    for c, comp in enumerate(image.components):
-        cr = geo.comp_rects[c]
-        gx0 = -(-image.x0 // comp.dx)
-        gy0 = -(-image.y0 // comp.dy)
-        arr = comp.data[cr.y0 - gy0:cr.y1 - gy0, cr.x0 - gx0:cr.x1 - gx0]
-        if isinstance(arr, jax.Array):
-            comps.append(arr.astype(jnp.int32))
-        else:
-            comps.append(jnp.asarray(np.ascontiguousarray(arr, np.int32)))
+    for c in range(len(hdr.comps)):
+        frames = []
+        for image in images:
+            comp = image.components[c]
+            cr = geo.comp_rects[c]
+            gx0 = -(-image.x0 // comp.dx)
+            gy0 = -(-image.y0 // comp.dy)
+            arr = comp.data[cr.y0 - gy0:cr.y1 - gy0,
+                            cr.x0 - gx0:cr.x1 - gx0]
+            if isinstance(arr, jax.Array):
+                frames.append(arr.astype(jnp.int32))
+            else:
+                frames.append(jnp.asarray(
+                    np.ascontiguousarray(arr, np.int32)))
+        comps.append(jnp.stack(frames))
 
-    fn = _build_encode_fn(plan.sig)
+    (Wm, Hm, S, LMS, LMEL, LVLC, _nl1) = plan.bucket
+    NL = S * LANES
+    B = len(plan.lane_block)
+    nlaunch = -(-(N * B) // NL)
+    sig_n = (N, plan.sig[0], plan.sig[1], plan.sig[2],
+             (Wm, Hm, S, LMS, LMEL, LVLC, nlaunch), plan.sig[4])
+    fn = _build_encode_fn(sig_n)
     launches = fn(tuple(comps))
 
     # download the per-lane bit counts + numbps (small int32 tables)
@@ -340,8 +376,6 @@ def try_encode_serving(image, hdr, t: int, params, pocs):
 
     from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
     encs: list = []
-    (Wm, Hm, S, LMS, LMEL, LVLC, nlaunch) = plan.bucket
-    NL = S * LANES
     for li, (bits, nbps) in enumerate(zip(bits_h, nbps_h)):
         msb = (bits[0] + 7) >> 3
         melb = (bits[1] + 7) >> 3
@@ -354,7 +388,7 @@ def try_encode_serving(image, hdr, t: int, params, pocs):
             launches[li][3], launches[li][4]))
         byts = words.astype("<u4").view(np.uint8)
         starts = np.cumsum(seg) - seg
-        n_here = min(len(plan.lane_block) - li * NL, NL)
+        n_here = min(N * B - li * NL, NL)
         for lane in range(n_here):
             if nbps[lane] == 0:
                 encs.append(EncodedBlock())
@@ -366,7 +400,12 @@ def try_encode_serving(image, hdr, t: int, params, pocs):
                 passes=[PassInfo(rate=sl, dist=0.0, term=True)],
                 seg_lens=[sl], seg_passes=[1]))
 
-    # Tier-2: single layer, all passes
+    return [_t2_for_frame(plan, geo, encs[fi * B:(fi + 1) * B])
+            for fi in range(N)]
+
+
+def _t2_for_frame(plan, geo, encs):
+    """Tier-2 for one frame: single layer, all passes."""
     from grok_tpu.pipeline.tile import TileEncodeResult
     from grok_tpu.t2.progression import iter_packets
     ctxs = geo.make_contexts()

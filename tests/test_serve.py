@@ -141,6 +141,26 @@ def test_serving_batch_decode():
     assert np.array_equal(np.asarray(mixed[0][0]), imgs[0])
 
 
+def test_serving_batch_encode():
+    """compress_device_batch: N same-geometry frames share one fused
+    program; every codestream is byte-identical to the host encoder
+    (and mixed shapes fall back per frame)."""
+    from grok_tpu.api import compress_device_batch
+    p = CompressParams(ht=True, num_resolutions=3, cblk_w_exp=5,
+                       cblk_h_exp=5)
+    imgs = [synthetic_image(96, 80, 1, seed=s) for s in (11, 12, 13)]
+    streams = compress_device_batch(imgs, p)
+    for im, s in zip(imgs, streams):
+        assert s == compress(im, p)
+        assert np.array_equal(decompress(s).to_array(), im)
+    # RGB + MCT batch through the same surface
+    rgbs = [synthetic_image(48, 64, 3, seed=s) for s in (14, 15)]
+    pr = CompressParams(ht=True, num_resolutions=2, mct=True,
+                        cblk_w_exp=5, cblk_h_exp=5)
+    for f, s in zip(rgbs, compress_device_batch(rgbs, pr)):
+        assert s == compress(f, pr)
+
+
 def test_serving_reduced_resolution():
     """reduce= decodes stay on the serving path (thumbnail serving) and
     match the general path exactly, both coders."""

@@ -76,6 +76,18 @@ def main():
     print(f"encode device : {dt*1e3:7.2f} ms/frame  {mp/dt:6.1f} MP/s",
           flush=True)
 
+    # batched fused encode (8 frames share kernel launches)
+    from grok_tpu.api import compress_device_batch
+    bb = compress_device_batch(imgs, p)
+    assert bb[0] == streams[0], "batched device encode != host encode"
+    rounds = max(2, n // 8)
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        bb = compress_device_batch(imgs, p)
+    dt = (time.perf_counter() - t0) / (rounds * 8)
+    print(f"encode batch=8: {dt*1e3:7.2f} ms/frame  {mp/dt:6.1f} MP/s",
+          flush=True)
+
     # device-resident loop (decode -> re-encode without pixel download)
     dev = decompress_device(streams[0])
     t0 = time.perf_counter()

@@ -92,13 +92,15 @@ def main():
     # completion with a D2H read of the last frame (the axon runtime's
     # block_until_ready can ack early, so per-call timings lie both ways).
     device_mps = 0.0
+    batch_mps = 0.0
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu:
-        from grok_tpu.api import decompress_device
+        from grok_tpu.api import decompress_device, decompress_device_batch
         # 32x32 code-blocks: short per-lane streams (small staged windows)
-        # and 1024-lane kernel launches — the device coder's sweet spot
-        ht = compress(img, CompressParams(ht=True, num_resolutions=5,
-                                          cblk_w_exp=5, cblk_h_exp=5))
+        # and wide kernel launches — the device coder's sweet spot
+        cp = CompressParams(ht=True, num_resolutions=5,
+                            cblk_w_exp=5, cblk_h_exp=5)
+        ht = compress(img, cp)
         devs = decompress_device(ht)
         jax.block_until_ready(devs)
         assert np.array_equal(np.asarray(devs[0]), img), \
@@ -114,10 +116,33 @@ def main():
             best = min(best, (time.perf_counter() - t0) / n)
         device_mps = mp / best
 
-    if device_mps >= host_mps:
-        value, path = device_mps, "tpu_device_resident"
-    else:
-        value, path = host_mps, "host_native"
+        # batched serving decode: 8 same-geometry frames per program (a
+        # frame sequence / dataset shard) — shared kernel launches, one
+        # body upload; the framework's throughput shape.
+        nb = 8
+        imgs_b = [synthetic_image(side, side, 1, seed=100 + i)
+                  for i in range(nb)]
+        streams = [compress(im, cp) for im in imgs_b]
+        outs = decompress_device_batch(streams)
+        jax.block_until_ready(outs[-1])
+        for im, ob in zip(imgs_b, outs):
+            assert np.array_equal(np.asarray(ob[0]), im), \
+                "batched device decode is not lossless"
+        rounds = max(3, (n + nb - 1) // nb)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(rounds):
+                outs = decompress_device_batch(streams)
+            jax.block_until_ready(outs[-1])
+            np.asarray(outs[-1][0][:1, :1])
+            best = min(best, (time.perf_counter() - t0) / (rounds * nb))
+        batch_mps = mp / best
+
+    value, path = max(
+        (host_mps, "host_native"),
+        (device_mps, "tpu_device_resident"),
+        (batch_mps, "tpu_device_batch"), key=lambda t: t[0])
     vs_baseline = value / oracle_mps if oracle_mps else 0.0
 
     print(json.dumps({
@@ -129,6 +154,7 @@ def main():
         "host_native_mps": round(host_mps, 3),
         "oracle_mps": round(oracle_mps, 3),
         "device_mps": round(device_mps, 3),
+        "device_batch_mps": round(batch_mps, 3),
         "size": side,
     }))
 

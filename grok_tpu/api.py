@@ -417,10 +417,13 @@ def decompress_device_batch(streams: list[bytes],
     (SIZ/COD/QCD), serving-eligible (HT, full-frame).  Anything else
     decodes stream-by-stream via decompress_device.
 
+    Default mode is PERMISSIVE, like `decompress_device` (the serving
+    surfaces validate framing via the C scan, not per-pass payloads).
+
     Reference parity: batch analog of the reference's plugin batch
     decompress surface [grok: grk_plugin_batch_decompress] (SURVEY §3.5).
     """
-    dp = dparams or DecompressParams()
+    dp = dparams or DecompressParams(strict=False)
     if not streams:
         return []
     from grok_tpu.pipeline.serve import try_decode_serving_batch
@@ -634,13 +637,19 @@ def decompress_device(data: bytes,
     HT, ROI, multi-segment blocks).  Postprocessing (force_rgb, ICC,
     upsample) is host-side and not applied here.
 
+    Default mode is PERMISSIVE (unlike `decompress`): the serving fast
+    path validates stream framing with the C scan but decodes bodies
+    in-kernel without per-pass validation, so malformed payloads yield
+    best-effort pixels rather than raising.  Pass
+    DecompressParams(strict=True) for a validating (host-coder) decode.
+
     Reference parity: device analog of the tile-cache decode surface
     [grok: grk_decompress_tile] (SURVEY.md §1.1).
     """
     import jax
     import jax.numpy as jnp
 
-    dp = dparams or DecompressParams()
+    dp = dparams or DecompressParams(strict=False)
     dp = replace(dp, backend="jax", keep_device=True)
     cs, meta = _locate_codestream(data, permissive=not dp.strict)
     hdr = j2k.read_main_header(cs)

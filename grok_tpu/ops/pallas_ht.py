@@ -471,13 +471,30 @@ def sublanes_for_ht(W: int, H: int, max_stream: int = 0) -> int:
     staged byte-pair stream buffers + the window/mid staging scratches
     (int32 words per lane).  Threshold 12.5 MB under the ~16 MB scoped
     VMEM budget (the pre-hierarchy guard at 11 MB ignored the staging
-    values the old kernel carried in registers/spills)."""
+    values the old kernel carried in registers/spills).  Returns the
+    largest power-of-two S in {8, 4, 2, 1} that fits: long-stream
+    (dense lossless) buckets that can't afford S=8 still batch 512/256
+    lanes per launch instead of collapsing straight to 128 — launch
+    time is nearly S-independent, so this is ~S× decode throughput."""
     GH, GW = (H + 1) // 2, (W + 1) // 2
     words = H * W + (GH + 1) * (GW + 2)
     words += 3 * 64 + 10 * 32 + 4          # windows + MagSgn mid + bases
     if max_stream:
         words += _quant_len(max_stream) + 2 * 256   # ms + mel + vlc pairs
-    return 8 if words * 8 * 128 * 4 <= 12.5 * 2 ** 20 else 1
+    for s in (8, 4, 2):
+        if words * s * 128 * 4 <= 12.5 * 2 ** 20:
+            return s
+    return 1
+
+
+def floor_pow2(n: int) -> int:
+    """Largest power of two <= n (n >= 1).  Kernel S values must be
+    powers of two: intermediate sublane counts (e.g. S=3 from a
+    count-limited min) send Mosaic compiles off a cliff (CLAUDE.md)."""
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return p
 
 
 def _pow2_at_least(n: int) -> int:
@@ -503,7 +520,8 @@ def decode_ht_blocks(blocks: list[dict], interpret: bool = False):
     for (W, H), idxs in buckets.items():
         mx = max(max(len(s) for s in blocks[i]["_ht_hdr"][1:4])
                  for i in idxs)
-        S = min(sublanes_for_ht(W, H, mx), -(-len(idxs) // LANES))
+        S = floor_pow2(min(sublanes_for_ht(W, H, mx),
+                           -(-len(idxs) // LANES)))
         step = S * LANES
         for kchunk in range(0, len(idxs), step):
             chunk = idxs[kchunk:kchunk + step]

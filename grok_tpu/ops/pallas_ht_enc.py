@@ -433,7 +433,9 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
                 results[i] = ht_encode_block(b["mag"], b["neg"],
                                              b["orient"])
             continue
-        S = min(sublanes_for_ht_enc(W, H, LMS), -(-len(idxs) // LANES))
+        from grok_tpu.ops.pallas_ht import floor_pow2
+        S = floor_pow2(min(sublanes_for_ht_enc(W, H, LMS),
+                           -(-len(idxs) // LANES)))
         step = S * LANES
         for kc in range(0, len(idxs), step):
             chunk = idxs[kc:kc + step]

@@ -260,7 +260,8 @@ def decode_tile_device(jobs, geo, dp) -> list[np.ndarray]:
     for (coder, W, H), idxs in sorted(buckets.items()):
         B = len(idxs)
         if coder == "ht":
-            from grok_tpu.ops.pallas_ht import (LANES, pack_ht_for_pallas,
+            from grok_tpu.ops.pallas_ht import (LANES, floor_pow2,
+                                                pack_ht_for_pallas,
                                                 parse_ht_header,
                                                 sublanes_for_ht)
             mx = 1
@@ -270,7 +271,8 @@ def decode_tile_device(jobs, geo, dp) -> list[np.ndarray]:
                     j["_ht_hdr"] = parse_ht_header(
                         j["data"], j.get("seg_lens") or [len(j["data"])])
                 mx = max(mx, max(len(s) for s in j["_ht_hdr"][1:4]))
-            S = min(sublanes_for_ht(W, H, mx), -(-B // LANES))
+            S = floor_pow2(min(sublanes_for_ht(W, H, mx),
+                               -(-B // LANES)))
             # one HT launch per S*LANES chunk of the bucket
             for k in range(0, B, S * LANES):
                 chunk = idxs[k:k + S * LANES]

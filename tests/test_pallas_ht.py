@@ -118,6 +118,32 @@ def test_decoder_interpret_multi_outer_blocks():
         assert np.array_equal(n, rn), f"block {i} neg"
 
 
+def test_decoder_interpret_intermediate_sublanes():
+    """S=2 sublane batching (count-limited: 160 blocks -> ceil/128 = 2,
+    clamped to a power of two).  Round-2 widened S from {1, 8} to
+    {1, 2, 4, 8}: long-stream buckets batch 256/512 lanes per launch
+    instead of collapsing to 128."""
+    from grok_tpu.ops.pallas_ht import floor_pow2, sublanes_for_ht
+    assert [floor_pow2(n) for n in (1, 2, 3, 4, 5, 7, 8, 9)] == \
+        [1, 2, 2, 4, 4, 4, 8, 8]
+    # VMEM model steps down by powers of two as streams lengthen (the
+    # old {1, 8} model collapsed straight to 128-lane launches)
+    assert sublanes_for_ht(32, 32, 64) == 8
+    assert sublanes_for_ht(32, 32, 1024) == 4      # bench shape: was 1
+    assert sublanes_for_ht(64, 64, 4000) == 2
+    rng = np.random.default_rng(11)
+    jobs, refs = [], []
+    for i in range(160):
+        j, r = _make(rng, 4, 4, 40, i % 4)
+        jobs.append(j)
+        refs.append(r)
+    assert all(ht_block_eligible(j) for j in jobs)
+    res = decode_ht_blocks(jobs, interpret=True)
+    for i, ((m, n), (rm, rn)) in enumerate(zip(res, refs)):
+        assert np.array_equal(m, rm), f"block {i} mag"
+        assert np.array_equal(n, rn), f"block {i} neg"
+
+
 def test_encoder_interpret_multi_outer_blocks():
     """NQ=32 quads -> two outer staging blocks: exercises the MagSgn
     mid flush into the full buffer, the mid self-shift, and window

@@ -497,6 +497,20 @@ def floor_pow2(n: int) -> int:
     return p
 
 
+def sublanes_for_count(nblocks: int, s_vmem: int) -> int:
+    """Sublane pick that minimizes LAUNCHES: the smallest power-of-two S
+    (capped by the VMEM bound s_vmem, itself a power of two) whose
+    S*128-lane launch covers the demand.  Launch time is nearly
+    lane-count-independent on hardware, so one padded 512-lane launch
+    beats 256+84 split over two — idle lanes are free, launches are
+    not."""
+    need = -(-nblocks // LANES)
+    p = 1
+    while p < need and p < s_vmem:
+        p *= 2
+    return p
+
+
 def _pow2_at_least(n: int) -> int:
     p = 1
     while p < n:
@@ -520,8 +534,7 @@ def decode_ht_blocks(blocks: list[dict], interpret: bool = False):
     for (W, H), idxs in buckets.items():
         mx = max(max(len(s) for s in blocks[i]["_ht_hdr"][1:4])
                  for i in idxs)
-        S = floor_pow2(min(sublanes_for_ht(W, H, mx),
-                           -(-len(idxs) // LANES)))
+        S = sublanes_for_count(len(idxs), sublanes_for_ht(W, H, mx))
         step = S * LANES
         for kchunk in range(0, len(idxs), step):
             chunk = idxs[kchunk:kchunk + step]

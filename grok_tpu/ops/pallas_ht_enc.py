@@ -433,9 +433,11 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
                 results[i] = ht_encode_block(b["mag"], b["neg"],
                                              b["orient"])
             continue
-        from grok_tpu.ops.pallas_ht import floor_pow2
-        S = floor_pow2(min(sublanes_for_ht_enc(W, H, LMS),
-                           -(-len(idxs) // LANES)))
+        # ENCODE S stays strictly in {1, 8}: intermediate sublane counts
+        # cost 20-40+ min of Mosaic compile on this kernel (CLAUDE.md).
+        S = sublanes_for_ht_enc(W, H, LMS)
+        if len(idxs) <= LANES:
+            S = 1
         step = S * LANES
         for kc in range(0, len(idxs), step):
             chunk = idxs[kc:kc + step]

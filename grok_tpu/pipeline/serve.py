@@ -232,7 +232,8 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
 
     from grok_tpu import native
     from grok_tpu.ops.pallas_ht import (LANES, MAX_STREAM, _quant_len,
-                                        floor_pow2, sublanes_for_ht)
+                                        sublanes_for_count,
+                                        sublanes_for_ht)
     N = len(bodies)
     ncomps = len(plan.comps_sig)
     # one buffer for all bodies; each body at a 16-byte-aligned base
@@ -316,8 +317,7 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
             bucket_arrays.append((jnp.asarray(meta),))
             continue
         mx = max(int(r[6][1:].max()) for r in lane_gi)
-        S = floor_pow2(min(sublanes_for_ht(W, H, mx),
-                           -(-len(lane_gi) // LANES)))
+        S = sublanes_for_count(len(lane_gi), sublanes_for_ht(W, H, mx))
         step = S * LANES
         for k in range(0, len(lane_gi), step):
             chunk = lane_gi[k:k + step]

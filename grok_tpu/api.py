@@ -423,7 +423,9 @@ def decompress_device_batch(streams: list[bytes],
     Reference parity: batch analog of the reference's plugin batch
     decompress surface [grok: grk_plugin_batch_decompress] (SURVEY §3.5).
     """
-    dp = dparams or DecompressParams(strict=False)
+    dp = dparams or DecompressParams()
+    if dp.strict is None:
+        dp = replace(dp, strict=False)
     if not streams:
         return []
     from grok_tpu.pipeline.serve import try_decode_serving_batch
@@ -500,6 +502,8 @@ def decompress(data: bytes,
                dparams: DecompressParams | None = None) -> Image:
     """Decode a J2K codestream or JP2 file to an Image."""
     dp = dparams or DecompressParams()
+    if dp.strict is None:
+        dp = replace(dp, strict=True)
     cs, meta = _locate_codestream(data, permissive=not dp.strict)
     hdr = j2k.read_main_header(cs)
     parts = j2k.read_tile_parts(cs, hdr, strict=dp.strict)
@@ -649,8 +653,9 @@ def decompress_device(data: bytes,
     import jax
     import jax.numpy as jnp
 
-    dp = dparams or DecompressParams(strict=False)
-    dp = replace(dp, backend="jax", keep_device=True)
+    dp = dparams or DecompressParams()
+    dp = replace(dp, backend="jax", keep_device=True,
+                 strict=False if dp.strict is None else dp.strict)
     cs, meta = _locate_codestream(data, permissive=not dp.strict)
     hdr = j2k.read_main_header(cs)
     parts = j2k.read_tile_parts(cs, hdr, strict=dp.strict)

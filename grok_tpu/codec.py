@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import mmap
 import os
+from dataclasses import replace
 
 import numpy as np
 
@@ -35,6 +36,8 @@ class Decompressor:
         """data: a bytes-like codestream/JP2, or a filesystem path (the
         file is memory-mapped, not read)."""
         self.params = params or DecompressParams()
+        if self.params.strict is None:
+            self.params = replace(self.params, strict=True)
         self._mm = self._fh = None
         if isinstance(data, (str, os.PathLike)):
             self._fh = open(data, "rb")

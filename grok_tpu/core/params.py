@@ -144,7 +144,15 @@ class DecompressParams:
     tile_index: int | None = None   # decode a single tile
     window: tuple[int, int, int, int] | None = None   # canvas-coord region
     components: list[int] | None = None               # component subset
-    strict: bool = True             # strict vs permissive (truncated) decode
+    strict: bool | None = None      # strict vs permissive (truncated)
+                                    # decode.  None = per-surface default:
+                                    # decompress() resolves to True,
+                                    # decompress_device[_batch]() to False
+                                    # (the serving fast path validates
+                                    # framing, not per-pass payloads) — so
+                                    # constructing params just to set e.g.
+                                    # reduce= never changes validation
+                                    # semantics or drops the fast path.
     force_rgb: bool = False
     upsample: bool = False
     apply_icc: bool = False

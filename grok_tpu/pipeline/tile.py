@@ -553,8 +553,10 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
     arrays (full resolution, after inverse DWT/MCT/DC-shift, clipped).
     """
     dp = dparams or DecompressParams()
+    import dataclasses
+    if dp.strict is None:      # pipeline-level default matches decompress()
+        dp = dataclasses.replace(dp, strict=True)
     if dp.backend == "auto":
-        import dataclasses
         dp = dataclasses.replace(dp, backend=_resolve_backend(dp.backend))
     th = tile_hdr or TileHeader()
     ctxs = geo.make_contexts()

@@ -74,7 +74,8 @@ def run_ht_dec(jax, w=32, h=32, nblocks=1024):
     rng = np.random.default_rng(0)
     jobs, refs = _ht_jobs(rng, w, h, nblocks)
     from grok_tpu.ops.pallas_ht import ht_block_eligible
-    assert all(ht_block_eligible(j) for j in jobs)   # fills j["_ht_hdr"]
+    elig = [ht_block_eligible(j) for j in jobs]   # fills j["_ht_hdr"]
+    assert all(elig)
     mx = max(max(len(s) for s in j["_ht_hdr"][1:4]) for j in jobs)
     S = min(sublanes_for_ht(w, h, mx), -(-len(jobs) // 128))
     ms_d, mel_d, vlc_d, pv, wh, valid = pack_ht_for_pallas(jobs, S)

@@ -61,11 +61,8 @@ def main():
     from grok_tpu.core.geometry import Rect
     from grok_tpu.ops import dwt as jdwt
 
-    bands = {}
-    rng = np.random.default_rng(0)
-    for r in range(1, 5):
-        s = 512 >> (5 - 1 - (r - 1)) if False else None
     # build band pyramid for 512 with 5 resolutions
+    rng = np.random.default_rng(0)
     sizes = [512 >> (4 - r) for r in range(5)]  # res r size
 
     @jax.jit

@@ -76,9 +76,6 @@ def main():
     real_build = dev._build_decode_fn
     import grok_tpu.pipeline.serve as sv
 
-    class _Null:
-        def __call__(self, *a, **k):
-            return [np.zeros((2, 2), np.int32)] * 1
     orig = dev._build_decode_fn
     dev._build_decode_fn = lambda sig: (lambda *a, **k: [None])
     t0 = time.perf_counter()
@@ -89,8 +86,6 @@ def main():
     dev._build_decode_fn = orig
 
     # fused program only: rebuild args once, call fn repeatedly
-    import jax.numpy as jnp
-    plan = serve._plan_for(cs, hdr, 0, th, 0)
     # re-run the batch body to capture (sig, arrays) via a tap
     captured = {}
     def tap_build(sig):

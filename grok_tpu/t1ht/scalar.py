@@ -1,39 +1,50 @@
 """HTJ2K block coder, scalar reference model (ISO/IEC 15444-15 structure).
 
-Codeword layout of the HT Cleanup segment (self-consistent framing; the
-spec interleaves Scup into the last VLC bytes, we store it explicitly):
+Wire layout of the HT Cleanup segment (normative structure; the one
+extension is the leading plane byte `p`, used by this framework's lossy
+HT mode — standard HT streams would carry p = 0 implicitly):
 
-    [0]                p      plane of the cleanup pass (1 byte)
-    [1 .. L-Scup)      MagSgn stream, forward, LSB-first bits
-    [L-Scup .. )       MEL stream, forward, MSB-first bits
-    ( .. L-4)          VLC stream, stored byte-reversed (read backward)
-    [L-4 .. L-2)       len(MEL), little-endian (device packer boundary)
-    [L-2 .. L)         Scup = len(MEL) + len(VLC) + 4, little-endian
+    [0]                p      cleanup plane (extension byte, <= 63)
+    [1 .. L-Scup)      MagSgn stream: forward, LSB-first bits, 0xFF
+                       bit-stuffing (a byte after 0xFF carries 7 bits)
+    [L-Scup .. L)      suffix: MEL stream growing FORWARD from L-Scup
+                       (MSB-first bits, 0xFF stuffing) and the VLC
+                       stream growing BACKWARD from the high nibble of
+                       byte L-2 (LSB-first bits per byte, read toward
+                       lower addresses, 0x7F-after->0x8F un-stuffing)
+    last 12 bits       Scup = (data[L-1] << 4) | (data[L-2] & 0xF)
 
-No 0xFF bit-stuffing anywhere in the segment: the lockstep device
-decoder reads fixed byte widths; marker-code emulation inside packet
-bodies is an accepted non-conformance of this experimental path.
+No explicit sub-stream lengths: MEL and VLC share the suffix and are
+sized by the encoder so they never collide.  The stuffing rules (plus
+boundary padding in `assemble_cleanup`) guarantee no 0xFF byte is ever
+followed by a byte > 0x8F anywhere in the segment — no marker-code
+emulation inside packet bodies.
 
-Coding model per 2x2 quad (samples column-wise n0=(0,0) n1=(1,0)
-n2=(0,1) n3=(1,1), offsets (dy,dx)):
+Coding model per 2x2 quad (samples column-major n0=(0,0) n1=(1,0)
+n2=(0,1) n3=(1,1), offsets (dy,dx)); quantized magnitude mu_n >= 1 for
+significant samples, v_n = ((mu_n - 1) << 1) | sign_n, exponent
+E_n = bitlength(v_n):
 
-  - significance pattern rho = sum(sig(ni) << i)
-  - quad context c = left | top<<1 | topright<<2 from neighbouring quads'
-    significance (quad-level; the spec uses sample-level context bits)
-  - c == 0: MEL codes the event (rho != 0); VLC then codes rho in [1,16)
-  - c != 0: VLC codes rho in [0,16)
-  - rho != 0: UVLC codes u = U - 1 where U = max bit-length of the
-    significant quantized magnitudes v_n = mag_n >> p
-  - MagSgn holds, per significant sample, U bits of (v_n - 1) then the
-    sign bit (no EMB known-bit suppression: costs ~1 bit/significant
-    sample vs the normative coder, see t1ht/__init__ docstring)
+  - significance pattern rho = sum(sig(n_i) << i)
+  - sample-level context c = tables.quad_ctx(left, above, above-right)
+  - c == 0: a MEL event codes (rho != 0); rho == 0 quads cost no VLC
+  - CxtVLC codes (rho, u_off [, eps_k]) jointly per context
+  - exponent bound U_q = kappa_q + u_q with the vertical predictor
+    kappa_q = tables.quad_kappa(rho, E_above) (E_above = max E_n over
+    the bottom-row samples of the quad directly above); u_off = u_q > 0
+    and u_q >= 1 is UVLC-coded
+  - MagSgn codes, per significant sample, m_n = U_q - eps_k(n) low bits
+    of v_n; when eps_k(n) = 1 the decoder restores the known MSB at
+    bit U_q - 1 (the EMB magnitude-bit suppression; default tables set
+    eps_k = 0)
 
 Optional HT SigProp / HT MagRef passes (numpasses 2, 3) refine plane
-p-1 with raw bits in their own terminated segments, 4-row stripe scan.
+p-1 with raw stuffed bits in their own terminated segments, 4-row
+stripe scan.
 
 Reference parity: [grok: src/lib/core/t1/t1_ht/ ht_block_encoding.cpp,
 ht_block_decoding.cpp] (SURVEY.md §2 row 8); behavior per ISO/IEC
-15444-15 except the table/framing substitutions documented above.
+15444-15 structure with self-consistent code tables (t1ht/tables.py).
 """
 
 from __future__ import annotations
@@ -41,54 +52,161 @@ from __future__ import annotations
 import numpy as np
 
 from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
-from grok_tpu.t1ht.mel import MELDecoder, MELEncoder
-from grok_tpu.t1ht.tables import (VLC_DEC, VLC_ENC, uvlc_decode,
-                                  uvlc_encode)
+from grok_tpu.t1ht.mel import BitSink, MELDecoder, MELEncoder
+from grok_tpu.t1ht.tables import (VLC_DEC, VLC_ENC, quad_ctx, quad_kappa,
+                                  uvlc_decode, uvlc_encode)
 
 # sample offsets within a quad, scan order (dy, dx)
 _QOFF = ((0, 0), (1, 0), (0, 1), (1, 1))
 
+MAX_SCUP = 4079
 
-class _MagSgnWriter:
-    """LSB-first bit packer (no stuffing — see module docstring)."""
-
-    def __init__(self):
-        self.buf = bytearray()
-        self._acc = 0
-        self._n = 0
-
-    def bit(self, b: int):
-        self._acc |= (b & 1) << self._n
-        self._n += 1
-        if self._n == 8:
-            self.buf.append(self._acc)
-            self._acc = 0
-            self._n = 0
-
-    def bits(self, v: int, n: int):
-        for i in range(n):
-            self.bit((v >> i) & 1)
-
-    def finish(self) -> bytes:
-        if self._n:
-            self.buf.append(self._acc)
-            self._acc = 0
-            self._n = 0
-        return bytes(self.buf)
+# table-training hook (tools/gen_ht_tables.py): when set to a list, the
+# encoder appends every coded (context, symbol) pair
+_TRACE_SYMS: list | None = None
 
 
-class _MagSgnReader:
-    def __init__(self, data: bytes, start: int, end: int):
+# --- wire assembly (shared by the scalar and device encoders) ---------------
+
+def _stuff_fwd_lsb(buf: bytes, nbits: int) -> bytearray:
+    """Clean LSB-first bit sequence -> stuffed forward stream (MagSgn,
+    SigProp, MagRef): after an emitted 0xFF the next byte carries only
+    7 payload bits (bit 7 forced 0)."""
+    out = bytearray()
+    acc = 0
+    n = 0
+    cap = 8
+    for i in range(nbits):
+        acc |= ((buf[i >> 3] >> (i & 7)) & 1) << n
+        n += 1
+        if n == cap:
+            out.append(acc)
+            cap = 7 if acc == 0xFF else 8
+            acc = 0
+            n = 0
+    if n:
+        out.append(acc)
+    return out
+
+
+def _stuff_fwd_msb(buf: bytes, nbits: int) -> bytearray:
+    """Clean LSB-first bit sequence -> stuffed forward MSB-first stream
+    (MEL): bits packed from bit 7 down; after 0xFF only 7 bits."""
+    out = bytearray()
+    acc = 0
+    n = 0
+    cap = 8
+    for i in range(nbits):
+        b = (buf[i >> 3] >> (i & 7)) & 1
+        acc |= b << (cap - 1 - n)
+        n += 1
+        if n == cap:
+            out.append(acc)
+            cap = 7 if acc == 0xFF else 8
+            acc = 0
+            n = 0
+    if n:
+        out.append(acc)
+    return out
+
+
+def _vlc_backward_bytes(buf: bytes, nbits: int) -> tuple[int, bytearray]:
+    """Clean LSB-first VLC bit sequence -> (first-nibble value, body
+    bytes in BACKWARD-emission order).  body[0] sits at file position
+    L-3, body[1] at L-4, ...  Un-stuffing rule: a byte whose file
+    successor is > 0x8F and whose own low 7 bits are all ones is
+    emitted as the 7-bit byte 0x7F."""
+    def bit(i):
+        return (buf[i >> 3] >> (i & 7)) & 1 if i < nbits else 0
+
+    nib = bit(0) | (bit(1) << 1) | (bit(2) << 2) | (bit(3) << 3)
+    body = bytearray()
+    i = 4
+    prev_gt = nib >= 0x9            # successor byte is (nib<<4)|scup&0xF
+    while i < nbits:
+        acc = 0
+        for k in range(7):
+            acc |= bit(i + k) << k
+        if prev_gt and acc == 0x7F:
+            body.append(0x7F)
+            i += 7
+        else:
+            acc |= bit(i + 7) << 7
+            body.append(acc)
+            i += 8
+        prev_gt = body[-1] > 0x8F
+    return nib, body
+
+
+def assemble_cleanup(p: int, ms: tuple[bytes, int], mel: tuple[bytes, int],
+                     vlc: tuple[bytes, int]) -> bytes:
+    """Build the wire cleanup segment from clean LSB-first bit streams.
+
+    ms/mel/vlc: (bytes, bit_count) in transmission order.  Both the
+    scalar encoder and the device encode post-pass call this, so all
+    backends produce byte-identical segments."""
+    ms_w = _stuff_fwd_lsb(*ms)
+    mel_w = _stuff_fwd_msb(*mel)
+    nib, vlc_body = _vlc_backward_bytes(*vlc)
+
+    pad_mid = 0                      # 0x00 bytes between MEL and VLC
+    while True:
+        scup = len(mel_w) + pad_mid + len(vlc_body) + 2
+        if scup > MAX_SCUP:
+            raise ValueError("HT cleanup suffix too long")
+        b_l2 = (nib << 4) | (scup & 0xF)
+        b_l1 = scup >> 4
+        # hazard: 0xFF followed by > 0x8F across region boundaries
+        if b_l2 == 0xFF and b_l1 > 0x8F:
+            pad_mid += 1
+            continue
+        first_vlc = vlc_body[-1] if vlc_body else b_l2
+        if mel_w and pad_mid == 0 and mel_w[-1] == 0xFF \
+                and first_vlc > 0x8F:
+            pad_mid += 1
+            continue
+        break
+    suffix = bytes(mel_w) + bytes(pad_mid) + bytes(reversed(vlc_body)) + \
+        bytes([b_l2, b_l1])
+    first_suffix = suffix[0]
+    if ms_w and ms_w[-1] == 0xFF and first_suffix > 0x8F:
+        ms_w.append(0x00)
+    return bytes([p]) + bytes(ms_w) + suffix
+
+
+def parse_cleanup(data, L: int):
+    """Split a wire cleanup segment: (p, ms_lo, ms_hi, suf_lo) byte
+    ranges within data, or None if the framing is invalid."""
+    if L > len(data) or L < 4:
+        return None
+    p = data[0]
+    scup = (data[L - 1] << 4) | (data[L - 2] & 0xF)
+    if scup < 2 or scup > L - 1 or p > 63:
+        return None
+    return p, 1, L - scup, L - scup
+
+
+# --- wire bit readers --------------------------------------------------------
+
+class _FwdReader:
+    """Forward LSB-first reader with 0xFF un-stuffing (MagSgn, SigProp,
+    MagRef); reads past `end` return 1-bits (0xFF padding)."""
+
+    __slots__ = ("data", "pos", "end", "_acc", "_n", "_prev_ff")
+
+    def __init__(self, data, start: int, end: int):
         self.data, self.pos, self.end = data, start, end
         self._acc = 0
         self._n = 0
+        self._prev_ff = False
 
     def bit(self) -> int:
         if self._n == 0:
-            b = self.data[self.pos] if self.pos < self.end else 0
+            b = self.data[self.pos] if self.pos < self.end else 0xFF
             self.pos += 1
+            self._n = 7 if self._prev_ff else 8
+            self._prev_ff = b == 0xFF
             self._acc = b
-            self._n = 8
         v = self._acc & 1
         self._acc >>= 1
         self._n -= 1
@@ -101,47 +219,32 @@ class _MagSgnReader:
         return v
 
 
-class _VLCWriter:
-    """LSB-first bit buffer; bytes are reversed at finish (the stream is
-    stored backward at the end of the segment)."""
-
-    def __init__(self):
-        self.buf = bytearray()
-        self._acc = 0
-        self._n = 0
-
-    def bits(self, v: int, n: int):
-        for i in range(n):
-            self._acc |= ((v >> i) & 1) << self._n
-            self._n += 1
-            if self._n == 8:
-                self.buf.append(self._acc)
-                self._acc = 0
-                self._n = 0
-
-    def finish(self) -> bytes:
-        if self._n:
-            self.buf.append(self._acc)
-            self._acc = 0
-            self._n = 0
-        return bytes(reversed(self.buf))
-
-
 class _VLCReader:
-    """Reads the byte-reversed VLC stream backward (byte at `end-1`
-    first), LSB-first bits within each byte."""
+    """Backward VLC reader: starts at the high nibble of data[L-2] and
+    walks toward lower addresses; LSB-first bits per byte; a 0x7F byte
+    whose file successor is > 0x8F carries 7 bits."""
 
-    def __init__(self, data: bytes, start: int, end: int):
-        self.data, self.start, self.pos = data, start, end - 1
-        self._acc = 0
-        self._n = 0
+    __slots__ = ("data", "start", "pos", "_acc", "_n", "_prev")
+
+    def __init__(self, data, start: int, L: int):
+        self.data, self.start = data, start
+        self.pos = L - 3
+        b = data[L - 2]
+        self._acc = b >> 4
+        self._n = 4
+        self._prev = b
 
     def _fill(self, need: int):
         while self._n < need:
-            b = self.data[self.pos] if self.pos >= self.start else 0
-            self.pos -= 1
-            self._acc |= b << self._n
-            self._n += 8
+            if self.pos >= self.start:
+                b = self.data[self.pos]
+                self.pos -= 1
+                nb = 7 if (self._prev > 0x8F and b == 0x7F) else 8
+                self._prev = b
+            else:
+                b, nb = 0xFF, 8
+            self._acc |= (b & ((1 << nb) - 1)) << self._n
+            self._n += nb
 
     def peek7(self) -> int:
         self._fill(7)
@@ -164,6 +267,12 @@ def _quad_grid(w: int, h: int):
     return (h + 1) // 2, (w + 1) // 2
 
 
+def _exp(v: int) -> int:
+    return v.bit_length()
+
+
+# --- encoder -----------------------------------------------------------------
+
 def ht_encode_block(mag: np.ndarray, neg: np.ndarray, orient: int,
                     style: int = 0, p: int = 0) -> EncodedBlock:
     """Encode one code-block with the HT coder.
@@ -179,57 +288,92 @@ def ht_encode_block(mag: np.ndarray, neg: np.ndarray, orient: int,
         return EncodedBlock()
     p = min(p, numbps - 1) if numbps > 1 else 0
 
-    v = mag >> p
+    vq = mag >> p
     gh, gw = _quad_grid(w, h)
-    sig = v > 0
+    sig = vq > 0
 
     mel = MELEncoder()
-    vlc = _VLCWriter()
-    ms = _MagSgnWriter()
+    vlc = BitSink()
+    ms = BitSink()
 
     rho_row = np.zeros((gh, gw), dtype=np.int32)
+    ebot_row = np.zeros((gh, gw), dtype=np.int32)
     for g in range(gh):
         for qx in range(gw):
             rho = 0
-            vals = []
+            vals = []            # (sample index, v_n, E_n)
+            ebot = 0
             for i, (dy, dx) in enumerate(_QOFF):
                 y, x = 2 * g + dy, 2 * qx + dx
                 if y < h and x < w and sig[y, x]:
                     rho |= 1 << i
-                    vals.append((int(v[y, x]), bool(neg[y, x])))
+                    v = ((int(vq[y, x]) - 1) << 1) | int(neg[y, x])
+                    e = _exp(v)
+                    vals.append((v, e))
+                    if i & 1:
+                        ebot = max(ebot, e)
             rho_row[g, qx] = rho
-            left = rho_row[g, qx - 1] != 0 if qx > 0 else False
-            top = rho_row[g - 1, qx] != 0 if g > 0 else False
-            topr = rho_row[g - 1, qx + 1] != 0 \
-                if (g > 0 and qx + 1 < gw) else False
-            c = int(left) | (int(top) << 1) | (int(topr) << 2)
+            ebot_row[g, qx] = ebot
+            rl = rho_row[g, qx - 1] if qx > 0 else 0
+            ra = rho_row[g - 1, qx] if g > 0 else 0
+            rar = rho_row[g - 1, qx + 1] if (g > 0 and qx + 1 < gw) else 0
+            c = quad_ctx(rl, ra, rar)
             if c == 0:
                 mel.encode(1 if rho else 0)
                 if rho == 0:
                     continue
-            ln, code = VLC_ENC[c][rho]
-            vlc.bits(code, ln)
+            kappa = quad_kappa(rho, int(ebot_row[g - 1, qx]) if g else 0)
             if rho == 0:
+                if _TRACE_SYMS is not None:
+                    _TRACE_SYMS.append((c, 0))
+                ln, code = VLC_ENC[c][0]
+                vlc.bits_lsb(code, ln)
                 continue
-            U = max(val.bit_length() for val, _ in vals)
-            ln, code = uvlc_encode(U - 1)
-            vlc.bits(code, ln)
-            for val, ng in vals:
-                ms.bits(val - 1, U)
-                ms.bit(1 if ng else 0)
+            u_act = max(e for _, e in vals)
+            U = max(kappa, u_act)
+            u = U - kappa
+            sym = ((1 if u else 0) << 4) | rho
+            # EMB: samples attaining the exponent bound have a known MSB
+            # (bit U-1 of v_n is 1); the table entry for (rho, u_off,
+            # eps_k) suppresses those bits when it exists, else fall
+            # back to the eps_k = 0 base entry (always present)
+            ek = 0
+            vi = 0
+            for i in range(4):
+                if (rho >> i) & 1:
+                    if vals[vi][1] == U:
+                        ek |= 1 << i
+                    vi += 1
+            if _TRACE_SYMS is not None:
+                _TRACE_SYMS.append((c, (ek << 5) | sym))
+            enc_c = VLC_ENC[c]
+            if ek and (ek << 5) | sym in enc_c:
+                sym |= ek << 5
+            else:
+                ek = 0
+            ln, code = enc_c[sym]
+            vlc.bits_lsb(code, ln)
+            if u:
+                ln, code = uvlc_encode(u)
+                vlc.bits_lsb(code, ln)
+            vi = 0
+            for i in range(4):
+                if (rho >> i) & 1:
+                    v = vals[vi][0]
+                    vi += 1
+                    ms.bits_lsb(v, U - ((ek >> i) & 1))
 
-    mel_b = mel.finish()
+    mel_b, mel_n = mel.finish()
+    vlc_n = vlc.nbits
     vlc_b = vlc.finish()
+    ms_n = ms.nbits
     ms_b = ms.finish()
-    nm = len(mel_b)
-    scup = nm + len(vlc_b) + 4
-    cleanup = bytes([p]) + ms_b + mel_b + vlc_b + \
-        bytes([nm & 0xFF, (nm >> 8) & 0xFF,
-               scup & 0xFF, (scup >> 8) & 0xFF])
+    cleanup = assemble_cleanup(p, (ms_b, ms_n), (mel_b, mel_n),
+                               (vlc_b, vlc_n))
 
     # distortion bookkeeping (Part-1 half-bit reconstruction model)
     m = mag.astype(np.float64)
-    rec = np.where(sig, (v << p).astype(np.float64) + 0.5 * (1 << p), 0.0)
+    rec = np.where(sig, (vq << p).astype(np.float64) + 0.5 * (1 << p), 0.0)
     d_total = float((m ** 2).sum())
     d_clean = d_total - float(((m - rec) ** 2).sum())
     passes = [PassInfo(rate=len(cleanup), dist=d_clean, term=True)]
@@ -266,10 +410,20 @@ def _stripe_scan(w: int, h: int):
                 yield x, y
 
 
+def _finish_raw(sink: BitSink) -> bytes:
+    """Terminate a SigProp/MagRef segment: stuffed wire bytes with a
+    guaranteed non-0xFF final byte (packet-body safety)."""
+    n = sink.nbits
+    out = _stuff_fwd_lsb(sink.finish(), n)
+    if out and out[-1] == 0xFF:
+        out.append(0x00)
+    return bytes(out)
+
+
 def _encode_sigprop(mag, neg, sig, bp, w, h):
     """HT SigProp: raw significance + sign of plane `bp` for samples with
     a significant neighbour; causal in stripe scan order."""
-    wr = _MagSgnWriter()
+    wr = BitSink()
     st = np.zeros((h + 2, w + 2), dtype=bool)
     st[1:h + 1, 1:w + 1] = sig
     new_sig = np.zeros((h, w), dtype=bool)
@@ -284,18 +438,20 @@ def _encode_sigprop(mag, neg, sig, bp, w, h):
             wr.bit(1 if neg[y, x] else 0)
             st[y + 1, x + 1] = True
             new_sig[y, x] = True
-    return wr.finish(), new_sig
+    return _finish_raw(wr), new_sig
 
 
 def _encode_magref(mag, sig, bp, w, h):
     """HT MagRef: raw refinement bit of plane `bp` for samples already
     significant after the cleanup pass."""
-    wr = _MagSgnWriter()
+    wr = BitSink()
     for x, y in _stripe_scan(w, h):
         if sig[y, x]:
             wr.bit((int(mag[y, x]) >> bp) & 1)
-    return wr.finish()
+    return _finish_raw(wr)
 
+
+# --- decoder -----------------------------------------------------------------
 
 def ht_decode_block(data: bytes, seg_lens: list[int], numpasses: int,
                     numbps: int, orient: int, w: int, h: int,
@@ -312,35 +468,32 @@ def ht_decode_block(data: bytes, seg_lens: list[int], numpasses: int,
         seg_lens = [len(data)]
     L = seg_lens[0]
     if L > len(data):
-        # truncated cleanup segment: the VLC suffix (stored at the END of
+        # truncated cleanup segment: the suffix (stored at the END of
         # the segment) is gone — nothing recoverable from this block
         if strict:
             raise ValueError("HT cleanup segment truncated")
         return mag2, neg
-    if L < 6:
-        return mag2, neg
-    p = data[0]
-    scup = data[L - 2] | (data[L - 1] << 8)
-    mel_len = data[L - 4] | (data[L - 3] << 8)
-    if scup < 4 or scup > L - 1 or mel_len > scup - 4:
+    hdr = parse_cleanup(data, L)
+    if hdr is None:
         if strict:
-            raise ValueError("HT cleanup: bad Scup")
+            raise ValueError("HT cleanup: bad framing")
         return mag2, neg
+    p, ms_lo, ms_hi, suf_lo = hdr
 
-    ms = _MagSgnReader(data, 1, L - scup)
-    mel = MELDecoder(data, L - scup, L - scup + mel_len)
-    vlc = _VLCReader(data, L - scup + mel_len, L - 4)
+    ms = _FwdReader(data, ms_lo, ms_hi)
+    mel = MELDecoder(data, suf_lo, L - 2)
+    vlc = _VLCReader(data, suf_lo, L)
 
     gh, gw = _quad_grid(w, h)
     v = np.zeros((h, w), dtype=np.int64)
     rho_row = np.zeros((gh, gw), dtype=np.int32)
+    ebot_row = np.zeros((gh, gw), dtype=np.int32)
     for g in range(gh):
         for qx in range(gw):
-            left = rho_row[g, qx - 1] != 0 if qx > 0 else False
-            top = rho_row[g - 1, qx] != 0 if g > 0 else False
-            topr = rho_row[g - 1, qx + 1] != 0 \
-                if (g > 0 and qx + 1 < gw) else False
-            c = int(left) | (int(top) << 1) | (int(topr) << 2)
+            rl = rho_row[g, qx - 1] if qx > 0 else 0
+            ra = rho_row[g - 1, qx] if g > 0 else 0
+            rar = rho_row[g - 1, qx + 1] if (g > 0 and qx + 1 < gw) else 0
+            c = quad_ctx(rl, ra, rar)
             if c == 0 and mel.next_event() == 0:
                 continue
             sym, ln = VLC_DEC[c][vlc.peek7()]
@@ -349,20 +502,31 @@ def ht_decode_block(data: bytes, seg_lens: list[int], numpasses: int,
                     raise ValueError("HT cleanup: bad VLC code")
                 return mag2, neg
             vlc.skip(ln)
-            rho = sym
+            rho = sym & 0xF
             rho_row[g, qx] = rho
             if rho == 0:
                 continue
-            U = uvlc_decode(vlc.bit) + 1
+            kappa = quad_kappa(rho, int(ebot_row[g - 1, qx]) if g else 0)
+            U = kappa + (uvlc_decode(vlc.bit) if sym & 0x10 else 0)
+            if U > 40:
+                if strict:
+                    raise ValueError("HT cleanup: bad exponent bound")
+                return mag2, neg
+            ek = sym >> 5
+            ebot = 0
             for i, (dy, dx) in enumerate(_QOFF):
                 if not (rho >> i) & 1:
                     continue
+                k = (ek >> i) & 1
+                full = ms.bits(U - k) | (k << (U - 1))
+                e = _exp(full)
+                if i & 1:
+                    ebot = max(ebot, e)
                 y, x = 2 * g + dy, 2 * qx + dx
-                val = ms.bits(U) + 1
-                sgn = ms.bit()
                 if y < h and x < w:
-                    v[y, x] = val
-                    neg[y, x] = bool(sgn)
+                    v[y, x] = (full >> 1) + 1
+                    neg[y, x] = bool(full & 1)
+            ebot_row[g, qx] = ebot
 
     sig = v > 0
     lp = np.full((h, w), int(p), dtype=np.int64)
@@ -370,7 +534,7 @@ def ht_decode_block(data: bytes, seg_lens: list[int], numpasses: int,
     if numpasses >= 2 and len(seg_lens) >= 2 and p > 0:
         bp = p - 1
         s0, s1 = seg_lens[0], seg_lens[0] + seg_lens[1]
-        rd = _MagSgnReader(data, s0, min(s1, len(data)))
+        rd = _FwdReader(data, s0, min(s1, len(data)))
         st = np.zeros((h + 2, w + 2), dtype=bool)
         st[1:h + 1, 1:w + 1] = sig
         for x, y in _stripe_scan(w, h):
@@ -386,7 +550,7 @@ def ht_decode_block(data: bytes, seg_lens: list[int], numpasses: int,
 
         if numpasses >= 3 and len(seg_lens) >= 3:
             s2 = s1 + seg_lens[2]
-            rd = _MagSgnReader(data, s1, min(s2, len(data)))
+            rd = _FwdReader(data, s1, min(s2, len(data)))
             for x, y in _stripe_scan(w, h):
                 if sig[y, x]:
                     v[y, x] = (v[y, x] << 1) | rd.bit()

@@ -1,26 +1,33 @@
-"""Context-adaptive VLC code tables for the HT cleanup pass.
+"""Coding tables + context machinery for the HT cleanup pass.
 
-The spec's CxtVLC maps (context, significance pattern rho, EMB pattern)
-to codewords of <= 7 bits.  The normative tables (ISO/IEC 15444-15
-Annex C) are unavailable in this offline environment, so we generate
-self-consistent canonical prefix codes with the same interface: one code
-per (context, rho) pair, lengths chosen from a heuristic probability
-model (sparse patterns are likelier, significance clusters).  Encoder
-and decoder share these tables; swap in the normative ones here for
-interoperability.
+ISO/IEC 15444-15 structure (SURVEY.md §2 row 8):
 
-Layout per context c in [0, 8):
-  ENC[c][rho] = (length, codeword)   transmitted-first bit = codeword
-                                     bit 0 (LSB-first streams), len <= 7
-  DEC[c][window7] = (rho, length)    LUT over the next 7 stream bits
-                                     (first bit at window bit 0)
+  - CxtVLC: per-context variable-length codes (<= 7 bits) jointly coding
+    a quad's significance pattern rho and its u_off bit (whether the
+    quad's exponent bound exceeds the predicted kappa).  The symbol
+    space reserves bits 5..8 for the spec's EMB pattern epsilon_k; the
+    default tables code epsilon_k = 0 (no magnitude-bit suppression) —
+    drop normative tables in here (kind="normative") for interop once a
+    spec/oracle source is available.
+  - Sample-level context formation: the context of quad q is built from
+    the significance of individual neighbouring SAMPLES (the right
+    column of the quad to the left, the bottom row of the quad above,
+    and the bottom-left sample of the quad above-right), not from
+    whole-quad significance.
+  - Exponent prediction: for quads outside the initial row-pair with
+    more than one significant sample, kappa_q = max(1, E_above - 1)
+    where E_above is the largest exponent among the bottom-row samples
+    of the quad directly above; else kappa_q = 1.  The coded u_q is
+    U_q - kappa_q, so vertically correlated magnitudes cost 1-2 UVLC
+    bits instead of 8.
+  - UVLC: prefix/suffix code for u >= 1 (see uvlc_encode).
 
-Context 0 excludes rho == 0 (MEL already signalled significance), other
-contexts include it.
-
-UVLC codes the quad magnitude-exponent offset u = U - 1 (bit strings
-in transmission order): 0 -> "0", 1 -> "10", 2 -> "110",
-u >= 3 -> "111" + 5 bits of (u - 3) LSB-first.
+The default code lengths are TRAINED on a synthetic corpus
+(tools/gen_ht_tables.py) and baked below; canonical codewords are
+derived at import, stored with the transmitted-first bit at bit 0
+(LSB-first streams).  Encoder/decoder/device kernels all read these
+tables, so swapping in the normative lengths/codes is a one-file
+change.
 """
 
 from __future__ import annotations
@@ -28,36 +35,103 @@ from __future__ import annotations
 import heapq
 
 N_CTX = 8
+MAX_CLEN = 7                    # decoder peeks a 7-bit window
+
+_POP = [bin(i).count("1") for i in range(16)]
 
 
-def _popcount(x: int) -> int:
-    return bin(x).count("1")
+def quad_ctx(rho_w: int, rho_n: int, rho_ne: int) -> int:
+    """Sample-level context of a quad from its coded neighbours.
+
+    rho_w: significance pattern of the quad to the left (same row pair);
+    rho_n / rho_ne: patterns of the quads above / above-right (previous
+    row pair; 0 for the initial row pair).  Sample bits within a quad:
+    n0=(0,0) n1=(1,0) n2=(0,1) n3=(1,1) (column-major, (dy,dx)).
+    """
+    c = 1 if (rho_w & 0b1100) else 0          # left quad, right column
+    if rho_n & 0b1010:                        # above quad, bottom row
+        c |= 2
+    if rho_ne & 0b0010:                       # above-right, bottom-left
+        c |= 4
+    return c
 
 
-def _weights(ctx: int):
-    """Heuristic symbol weights for significance pattern rho in context
-    ctx: fewer significant samples more likely; with significant
-    neighbours (higher ctx bits set), denser patterns gain weight."""
-    act = _popcount(ctx)             # 0..3 active neighbour groups
+def quad_kappa(rho: int, e_above: int) -> int:
+    """Exponent-bound predictor: U_q = kappa_q + u_q."""
+    if rho & (rho - 1):                       # popcount > 1
+        return max(1, e_above - 1)
+    return 1
+
+
+# --- UVLC ------------------------------------------------------------------
+
+def uvlc_encode(u: int) -> tuple[int, int]:
+    """(length, bits) for u >= 1 (u = U_q - kappa_q when u_off = 1);
+    transmitted-first bit at bit 0."""
+    if u == 1:
+        return 1, 0b0
+    if u == 2:
+        return 2, 0b01
+    if u <= 4:
+        return 4, 0b011 | ((u - 3) << 3)
+    if u <= 35:
+        return 8, 0b111 | ((u - 5) << 3)
+    assert u <= 67, "u out of range"
+    return 13, 0b111 | (31 << 3) | ((u - 36) << 8)
+
+
+def uvlc_decode(read_bit) -> int:
+    if read_bit() == 0:
+        return 1
+    if read_bit() == 0:
+        return 2
+    if read_bit() == 0:
+        return 3 + read_bit()
+    s = 0
+    for i in range(5):
+        s |= read_bit() << i
+    if s < 31:
+        return 5 + s
+    v = 0
+    for i in range(5):
+        v |= read_bit() << i
+    return 36 + v
+
+
+# --- CxtVLC ----------------------------------------------------------------
+# Symbol encoding: sym = (eps_k << 5) | (u_off << 4) | rho.  rho == 0
+# implies u_off == 0 and eps_k == 0 (sym 0); context 0 has no rho == 0
+# entry (MEL signals significance there).  Default tables: eps_k = 0.
+
+def _symbols(ctx: int):
+    syms = [] if ctx == 0 else [0]
+    for rho in range(1, 16):
+        syms.append(rho)            # u_off = 0
+        syms.append(0x10 | rho)     # u_off = 1
+    return syms
+
+
+def _heuristic_weights(ctx: int) -> dict[int, float]:
+    act = _POP[ctx & 7]
     w = {}
-    for rho in range(16):
-        p = _popcount(rho)
-        base = 2.0 ** (4 - p)        # sparse-biased
+    for sym in _symbols(ctx):
+        rho = sym & 0xF
+        p = _POP[rho]
+        base = 2.0 ** (4 - p)
         if act:
-            base *= 1.5 ** (p * act / 3.0)   # neighbourhood activity
-        w[rho] = base
-    if ctx == 0:
-        del w[0]                     # rho=0 signalled via MEL
-    else:
-        w[0] *= 4.0                  # insignificant quads dominate
+            base *= 1.5 ** (p * act / 3.0)
+        if rho == 0:
+            base *= 8.0
+        w[sym] = base * (0.6 if sym & 0x10 else 0.4)
     return w
 
 
-def _huffman_lengths(weights: dict[int, float], maxlen: int = 7):
-    """Code lengths by Huffman; clamp to maxlen then fix Kraft."""
+def _huffman_lengths(weights: dict[int, float],
+                     maxlen: int = MAX_CLEN) -> dict[int, int]:
+    """Huffman code lengths, clamped to maxlen with Kraft repair."""
     if len(weights) == 1:
         return {next(iter(weights)): 1}
-    heap = [(wt, i, (sym,)) for i, (sym, wt) in enumerate(weights.items())]
+    heap = [(wt, i, (s,)) for i, (s, wt) in enumerate(weights.items())]
     heapq.heapify(heap)
     lengths = {s: 0 for s in weights}
     n = len(heap)
@@ -68,9 +142,8 @@ def _huffman_lengths(weights: dict[int, float], maxlen: int = 7):
             lengths[s] += 1
         n += 1
         heapq.heappush(heap, (w1 + w2, n, s1 + s2))
-    # clamp and repair Kraft inequality (sum 2^-l <= 1)
     for s in lengths:
-        lengths[s] = min(lengths[s], maxlen)
+        lengths[s] = min(max(lengths[s], 1), maxlen)
     syms = sorted(lengths, key=lambda s: (lengths[s], s))
     kraft = sum(2.0 ** -lengths[s] for s in syms)
     i = 0
@@ -83,82 +156,66 @@ def _huffman_lengths(weights: dict[int, float], maxlen: int = 7):
     return lengths
 
 
-def _canonical(lengths: dict[int, int]):
-    """Assign canonical codewords (shorter codes first, then by symbol)."""
+def _canonical(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Canonical codewords (MSB-first), shorter codes first then by
+    symbol; returned bit-reversed so the transmitted-first bit is at
+    bit 0."""
     code = 0
     prev_len = 0
     enc = {}
     for s in sorted(lengths, key=lambda s: (lengths[s], s)):
         ln = lengths[s]
         code <<= ln - prev_len
-        enc[s] = (ln, code)
+        rev = int(format(code, f"0{ln}b")[::-1], 2)
+        enc[s] = (ln, rev)
         code += 1
         prev_len = ln
     return enc
 
 
-def _build(kind: str = "flat"):
-    """Build the (enc, dec) table pair.
+# Trained code lengths (tools/gen_ht_tables.py over the synthetic
+# corpus, 1.63 M quads, 2.58 bits/quad; regenerate after coding-model
+# changes).
+_TRAINED_LENS = {
+    0: {1: 4, 2: 3, 3: 5, 4: 3, 5: 5, 6: 4, 7: 7, 8: 3, 9: 4, 10: 4, 11: 7, 12: 5, 13: 7, 14: 6, 15: 7, 17: 7, 18: 7, 19: 7, 20: 7, 21: 7, 22: 7, 23: 7, 24: 7, 25: 7, 26: 7, 27: 7, 28: 7, 29: 7, 30: 7, 31: 3},
+    1: {0: 3, 1: 5, 2: 5, 3: 7, 4: 5, 5: 6, 6: 6, 7: 7, 8: 5, 9: 6, 10: 6, 11: 7, 12: 7, 13: 7, 14: 7, 15: 7, 17: 7, 18: 7, 19: 7, 20: 7, 21: 7, 22: 7, 23: 5, 24: 7, 25: 7, 26: 7, 27: 5, 28: 7, 29: 5, 30: 5, 31: 2},
+    2: {0: 3, 1: 4, 2: 3, 3: 4, 4: 4, 5: 6, 6: 5, 7: 6, 8: 4, 9: 5, 10: 5, 11: 6, 12: 4, 13: 6, 14: 6, 15: 5, 17: 7, 18: 7, 19: 7, 20: 7, 21: 7, 22: 7, 23: 7, 24: 7, 25: 7, 26: 7, 27: 7, 28: 7, 29: 7, 30: 7, 31: 4},
+    3: {0: 5, 1: 6, 2: 6, 3: 7, 4: 6, 5: 7, 6: 6, 7: 6, 8: 6, 9: 6, 10: 6, 11: 6, 12: 6, 13: 6, 14: 6, 15: 3, 17: 7, 18: 7, 19: 7, 20: 7, 21: 7, 22: 7, 23: 5, 24: 7, 25: 7, 26: 7, 27: 5, 28: 7, 29: 5, 30: 5, 31: 2},
+    4: {0: 3, 1: 3, 2: 4, 3: 5, 4: 3, 5: 5, 6: 4, 7: 7, 8: 3, 9: 5, 10: 5, 11: 7, 12: 5, 13: 7, 14: 5, 15: 7, 17: 7, 18: 7, 19: 7, 20: 7, 21: 7, 22: 7, 23: 7, 24: 7, 25: 7, 26: 7, 27: 7, 28: 7, 29: 7, 30: 7, 31: 7},
+    5: {0: 4, 1: 4, 2: 4, 3: 5, 4: 4, 5: 4, 6: 4, 7: 5, 8: 4, 9: 4, 10: 4, 11: 5, 12: 5, 13: 6, 14: 6, 15: 5, 17: 7, 18: 7, 19: 7, 20: 7, 21: 7, 22: 7, 23: 6, 24: 7, 25: 7, 26: 7, 27: 7, 28: 7, 29: 7, 30: 7, 31: 3},
+    6: {0: 5, 1: 7, 2: 7, 3: 7, 4: 7, 5: 7, 6: 7, 7: 6, 8: 7, 9: 7, 10: 7, 11: 7, 12: 7, 13: 6, 14: 7, 15: 2, 17: 7, 18: 7, 19: 7, 20: 7, 21: 7, 22: 7, 23: 6, 24: 7, 25: 7, 26: 7, 27: 6, 28: 7, 29: 5, 30: 5, 31: 2},
+    7: {0: 7, 1: 7, 2: 7, 3: 7, 4: 7, 5: 7, 6: 7, 7: 6, 8: 7, 9: 7, 10: 7, 11: 6, 12: 7, 13: 6, 14: 6, 15: 2, 17: 7, 18: 7, 19: 7, 20: 7, 21: 7, 22: 7, 23: 5, 24: 7, 25: 7, 26: 7, 27: 5, 28: 7, 29: 5, 30: 4, 31: 2},
+}
 
-    kind="flat": fixed 4-bit rho codes — the default, chosen so the
-    device (Pallas) decoder needs no table lookup in its lockstep scan
-    (a 128-entry one-hot gather per quad would dominate the kernel).
-    Costs ~2 bits per coded quad vs the Huffman variant.
-    kind="huffman": canonical codes from the heuristic weights — the
-    structural stand-in for the normative CxtVLC tables; keep this path
-    alive so those tables can drop in.
-    """
+
+def _build(kind: str = "trained"):
     enc_tables = []
     dec_tables = []
     for c in range(N_CTX):
-        if kind == "flat":
-            if c == 0:
-                # MEL already said the quad is significant: plain 4 bits
-                enc = {s: (4, s) for s in range(1, 16)}
-            else:
-                # rho=0 dominates active contexts: 1-bit zero flag,
-                # else flag + 4 rho bits — still LUT-free on device
-                enc = {0: (1, 0)}
-                enc.update({s: (5, 1 | (s << 1)) for s in range(1, 16)})
+        if kind == "trained" and _TRAINED_LENS is not None:
+            lens = dict(_TRAINED_LENS[c])
+            # guarantee every legal symbol has a code (corpus gaps)
+            for s in _symbols(c):
+                lens.setdefault(s, MAX_CLEN)
+            syms = sorted(lens, key=lambda s: (lens[s], s))
+            kraft = sum(2.0 ** -lens[s] for s in syms)
+            i = 0
+            while kraft > 1.0 + 1e-12:
+                s = syms[i % len(syms)]
+                if lens[s] < MAX_CLEN:
+                    kraft -= 2.0 ** -lens[s] - 2.0 ** -(lens[s] + 1)
+                    lens[s] += 1
+                i += 1
         else:
-            canon = _canonical(_huffman_lengths(_weights(c)))
-            # canonical codes are MSB-first; store them bit-reversed so
-            # the transmitted-first bit sits at bit 0
-            enc = {s: (ln, int(format(code, f"0{ln}b")[::-1], 2))
-                   for s, (ln, code) in canon.items()}
+            lens = _huffman_lengths(_heuristic_weights(c))
+        enc = _canonical(lens)
         enc_tables.append(enc)
-        dec = [(-1, 0)] * 128
+        dec = [(-1, 0)] * (1 << MAX_CLEN)
         for sym, (ln, code) in enc.items():
-            # every 7-bit window whose low ln bits equal the code
-            for pad in range(1 << (7 - ln)):
+            for pad in range(1 << (MAX_CLEN - ln)):
                 dec[code | (pad << ln)] = (sym, ln)
         dec_tables.append(dec)
     return enc_tables, dec_tables
 
 
 VLC_ENC, VLC_DEC = _build()
-
-
-def uvlc_encode(u: int):
-    """Return (length, bits) for u >= 0; transmitted-first bit = bit 0."""
-    if u == 0:
-        return 1, 0b0
-    if u == 1:
-        return 2, 0b01
-    if u == 2:
-        return 3, 0b011
-    assert u - 3 < 32, "u out of range"
-    return 8, 0b111 | ((u - 3) << 3)
-
-
-def uvlc_decode(read_bit) -> int:
-    if read_bit() == 0:
-        return 0
-    if read_bit() == 0:
-        return 1
-    if read_bit() == 0:
-        return 2
-    v = 0
-    for i in range(5):
-        v |= read_bit() << i
-    return v + 3

@@ -26,26 +26,45 @@ def _random_block(rng, h, w, scale=50, density=0.5):
 class TestMEL:
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_roundtrip(self, seed):
+        from grok_tpu.t1ht.scalar import _stuff_fwd_msb
         rng = np.random.default_rng(seed)
         # biased-to-zero event streams exercise the run-length ladder
         events = (rng.random(2000) < rng.uniform(0.02, 0.5)).astype(int)
         enc = MELEncoder()
         for e in events:
             enc.encode(int(e))
-        data = enc.finish()
-        dec = MELDecoder(data)
+        clean, nbits = enc.finish()
+        wire = bytes(_stuff_fwd_msb(clean, nbits))
+        dec = MELDecoder(wire)
         out = [dec.next_event() for _ in events]
         assert out == list(events)
         # adaptive code beats raw bits on sparse streams
         if events.mean() < 0.1:
-            assert len(data) * 8 < len(events)
+            assert len(wire) * 8 < len(events)
+
+    def test_wire_unstuffing(self):
+        from grok_tpu.t1ht.scalar import _stuff_fwd_msb
+        # a long zero-event run emits consecutive 1-bits (one per full
+        # run), forcing 0xFF wire bytes: the stuffed byte that follows
+        # carries 7 payload bits with its MSB forced 0
+        enc = MELEncoder()
+        events = [0] * 600 + [1, 0, 0, 1] * 40
+        for e in events:
+            enc.encode(e)
+        clean, nbits = enc.finish()
+        wire = bytes(_stuff_fwd_msb(clean, nbits))
+        for a, b in zip(wire, wire[1:]):
+            assert not (a == 0xFF and b > 0x8F)
+        dec = MELDecoder(wire)
+        assert [dec.next_event() for _ in events] == events
 
     def test_dense_stream_bounded(self):
         # worst case (all one-events) costs at most ~1 bit/event
         enc = MELEncoder()
         for _ in range(500):
             enc.encode(1)
-        assert len(enc.finish()) <= 500 // 8 + 2
+        clean, nbits = enc.finish()
+        assert len(clean) <= 500 // 8 + 2
 
 
 class TestVLCTables:

@@ -1,16 +1,23 @@
 """Pallas TPU kernel: batched HTJ2K (Part 15) cleanup-pass decode.
 
-The HT cleanup segment was designed device-first (t1ht/scalar.py): all
-three sub-streams are LSB-first without 0xFF bit-stuffing and the rho
-codes are fixed-width (t1ht/tables._build kind="flat"), so the lockstep
-decoder reads every field as `(word >> shift) & mask` — no per-bit loops
-and no code-table gathers.  One fori iteration decodes a whole 2x2 quad:
+The host splits the wire segment into its three sub-streams and
+un-stuffs them into *clean* LSB-first bit streams (t1ht/wire.py — a
+pointwise, fully vectorized transform), so the lockstep kernel reads
+every field as `(word >> shift) & mask` — no per-bit loops.  One fori
+iteration decodes a whole 2x2 quad per the ISO 15444-15 structure:
 
-  - quad context from a (GH+1, GW+2) rho scratch (3 point loads),
+  - sample-level quad context from a (GH+1, GW+2) rho scratch,
   - the MEL event via carried (k, run, pending) registers and a single
-    6-bit peek,
-  - rho + UVLC via two peeks of the VLC stream,
-  - four maskable MagSgn reads of U+1 bits each.
+    6-bit peek (spec polarity: 1-bit = completed run; MSB-first run
+    fields read via a 5-bit reverse),
+  - the CxtVLC (rho, u_off, eps_k) symbol via a bit-sliced LUT over
+    (context, 7-bit window) — 32 one-hot-selected constant words per
+    output bit, generated from t1ht.tables.VLC_DEC at trace time, so
+    a normative-table drop-in regenerates the kernel automatically,
+  - UVLC (1/2/4/8-bit classes) + the vertical exponent predictor
+    kappa_q from an exponent scratch row,
+  - four maskable MagSgn reads of U - eps_k bits each (EMB known-MSB
+    restore when the tables code eps_k != 0).
 
 That is ~1 serial step per 4 samples versus the MQ kernel's several MQ
 decisions per sample per bitplane — the parallel-friendly coder the
@@ -73,20 +80,50 @@ def _ht_interpret() -> bool:
 
 
 def parse_ht_header(data: bytes, seg_lens):
-    """Split a cleanup segment into (p, magsgn, mel, vlc-forward) or None
-    if the framing is invalid (mirrors t1ht.scalar.ht_decode_block)."""
+    """Split a wire cleanup segment into clean (p, magsgn, mel, vlc)
+    LSB-first streams or None if the framing is invalid (the un-stuffed
+    mirror of t1ht.scalar.ht_decode_block's readers)."""
+    from grok_tpu.t1ht.wire import split_cleanup
     L = seg_lens[0] if seg_lens else len(data)
-    if L > len(data) or L < 6:
+    if L < 4:
         return None
-    p = data[0]
-    scup = data[L - 2] | (data[L - 1] << 8)
-    mel_len = data[L - 4] | (data[L - 3] << 8)
-    if scup < 4 or scup > L - 1 or mel_len > scup - 4:
-        return None
-    ms = data[1:L - scup]
-    mel = data[L - scup:L - scup + mel_len]
-    vlc = bytes(reversed(data[L - scup + mel_len:L - 4]))
-    return p, ms, mel, vlc
+    return split_cleanup(data, L)
+
+
+def _vlc_dec_planes():
+    """Bit-sliced CxtVLC decode LUT for the kernel.
+
+    entry(idx) = sym | (len << symb) for idx = ctx*128 + window7; the
+    LUT is evaluated in-kernel as `symb+3` bit planes, each plane a
+    32-word constant vector indexed by hi = idx >> 5 with the bit at
+    position lo = idx & 31.  Regenerated from t1ht.tables.VLC_DEC at
+    import, so swapping in normative tables rebuilds the kernel.
+    Invalid windows decode as the benign (rho=0, len=1) — garbage-in
+    garbage-out on corrupt streams (the serving path is non-strict)."""
+    from grok_tpu.t1ht.tables import N_CTX, VLC_DEC
+    symmax = 0
+    for c in range(N_CTX):
+        for sym, _ln in VLC_DEC[c]:
+            symmax = max(symmax, sym)
+    symb = max(5, int(symmax).bit_length())
+    ent = np.zeros(N_CTX * 128, np.int64)
+    for c in range(N_CTX):
+        for w7, (sym, ln) in enumerate(VLC_DEC[c]):
+            if sym < 0:
+                sym, ln = 0, 1
+            ent[c * 128 + w7] = sym | (ln << symb)
+    nplanes = symb + 3
+    planes = np.zeros((nplanes, 32), np.int64)
+    idx = np.arange(N_CTX * 128)
+    hi, lo = idx >> 5, idx & 31
+    for j in range(nplanes):
+        np.bitwise_or.at(planes[j], hi, ((ent >> j) & 1) << lo)
+    planes_i32 = (planes & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    has_ek = symmax >= 32
+    return planes_i32, symb, has_ek
+
+
+VLC_DEC_PLANES, VLC_SYMB, VLC_HAS_EK = _vlc_dec_planes()
 
 
 def ht_block_eligible(job: dict) -> bool:
@@ -222,7 +259,7 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
         return jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * nd, 0)
 
     def kernel(ms_ref, mel_ref, vlc_ref, p_ref, wh_ref, valid_ref,
-               out_ref, rho_ref, ms_st, mel_st, vlc_st,
+               lut_ref, out_ref, rho_ref, eb_ref, ms_st, mel_st, vlc_st,
                ms_ba, mel_ba, vlc_ba, ms_mid, ms_mba):
         if S == 1:
             p_l = p_ref[...]
@@ -239,13 +276,20 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
 
         out_ref[...] = jnp.zeros((H, W) + arr_tail, jnp.int32)
         rho_ref[...] = jnp.zeros((GH + 1, GW + 2) + arr_tail, jnp.int32)
-        for st in (ms_st, mel_st, vlc_st):
+        eb_ref[...] = jnp.zeros((GH + 1, GW + 2) + arr_tail, jnp.int32)
+        for st in (ms_st, mel_st):
             st[...] = jnp.zeros((64,) + arr_tail, jnp.int32)
+        vlc_st[...] = jnp.zeros((96,) + arr_tail, jnp.int32)
         for ba in (ms_ba, mel_ba, vlc_ba, ms_mba):
             ba[...] = jnp.zeros(lane_sh, jnp.int32)
         ms_mid[...] = jnp.zeros((MIDG, 32) + arr_tail, jnp.int32)
 
-        siota = iota_for(64)
+        siotas = {64: iota_for(64), 96: iota_for(96)}
+        # lane values are always 2-D (lane_sh): the LUT one-hot axes are
+        # (32,) + (1, 1) regardless of S
+        hiota32 = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
+        # bit-sliced CxtVLC decode LUT planes, (32,)+(1,)*nd each
+        lut = [lut_ref[j] for j in range(VLC_DEC_PLANES.shape[0])]
         wiota = iota_for(W)
         qiota = iota_for(GW + 2)
         giotas = {G: jax.lax.broadcasted_iota(
@@ -268,6 +312,22 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
             lo = packed & 0xFFFF
             hi = (packed >> 16) & 0xFFFF
             return jnp.concatenate([lo, hi], axis=0), (g0 << 5)
+
+        def stage_load3(ref, bytepos):
+            """96-byte window (3 granules): the VLC stream can advance up
+            to 15 bits/quad (7-bit CxtVLC + 8-bit UVLC), i.e. 30 bytes
+            per K=16 inner quads — past what a 64-byte window staged at a
+            32-aligned base can guarantee for 25-bit reads."""
+            G = ref.shape[0]
+            g0 = bytepos >> 5
+            sel = (giotas[G] == g0[None]).astype(jnp.int32) + \
+                ((giotas[G] == (g0 + 1)[None]).astype(jnp.int32) << 16)
+            packed = jnp.sum(ref[...] * sel, axis=0)
+            sel2 = (giotas[G] == (g0 + 2)[None]).astype(jnp.int32)
+            p2 = jnp.sum(ref[...] * sel2, axis=0)
+            return jnp.concatenate([packed & 0xFFFF,
+                                    (packed >> 16) & 0xFFFF, p2],
+                                   axis=0), (g0 << 5)
 
         def ms_mid_refresh(bp_bytes):
             """Reload the MagSgn mid scratch (MIDG granules) from the
@@ -300,14 +360,27 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
 
         def bits_at(stage, base, bp):
             """Word with >= 25 valid bits whose bit 0 is stream bit bp."""
+            siota = siotas[stage.shape[0]]
             off = (bp >> 3) - base
             sel = (siota == off).astype(jnp.int32) + \
                 (siota == off + 2).astype(jnp.int32) * 65536
             w = jnp.sum(stage * sel, axis=0, keepdims=kd)
             return w >> (bp & 7)
 
-        def rho_read(gi, qi):
-            v = rho_ref[gi, pl.ds(qi, 1)]
+        def bitlen(x):
+            n = jnp.zeros_like(x)
+            v = x
+            big = v >= (1 << 16)
+            n = n + jnp.where(big, 16, 0)
+            v = jnp.where(big, v >> 16, v)
+            for kbit in (8, 4, 2, 1):
+                big = v >= (1 << kbit)
+                n = n + jnp.where(big, kbit, 0)
+                v = jnp.where(big, v >> kbit, v)
+            return n + jnp.where(v >= 1, 1, 0)
+
+        def row_read(ref, gi, qi):
+            v = ref[gi, pl.ds(qi, 1)]
             if S == 1:
                 return v
             return jnp.sum(v, axis=0)
@@ -315,6 +388,7 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
         one = jnp.int32(1)
         half = jnp.where(p_l > 0, one << p_l, 0)
         p1 = p_l + 1
+        symmask = (1 << VLC_SYMB) - 1
 
         def quad_body(t, carry):
             ms_bp, mel_bp, vlc_bp, k, run, pend = carry
@@ -333,15 +407,20 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
             vlc_stage = vlc_st[...]
             vlc_base = vlc_ba[...]
 
-            left = rho_read(g + 1, qx)
-            top = rho_read(g, qx + 1)
-            topr = rho_read(g, qx + 2)
-            c = (left != 0).astype(jnp.int32) | \
-                ((top != 0).astype(jnp.int32) << 1) | \
-                ((topr != 0).astype(jnp.int32) << 2)
+            # sample-level context: right column of the left quad,
+            # bottom row of the quad above, bottom-left of above-right
+            # (tables.quad_ctx)
+            left = row_read(rho_ref, g + 1, qx)
+            top = row_read(rho_ref, g, qx + 1)
+            topr = row_read(rho_ref, g, qx + 2)
+            c = ((left & 0b1100) != 0).astype(jnp.int32) | \
+                (((top & 0b1010) != 0).astype(jnp.int32) << 1) | \
+                (((topr & 0b0010) != 0).astype(jnp.int32) << 2)
             is_c0 = c == 0
 
             # -- MEL event (only context-0 quads consume) ------------------
+            # spec polarity: a 1-bit closes a full run of T zero-events; a
+            # 0-bit is a miss followed by e MSB-first partial-run bits
             mel_mask = act & is_c0
             owed = mel_mask & (run > 0)
             pnd = mel_mask & ~owed & (pend == 1)
@@ -354,64 +433,90 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
                                                                   0)))))
             w6 = bits_at(mel_stage, mel_base, mel_bp)
             bit0 = w6 & 1
-            rfld = (w6 >> 1) & ((one << e) - 1)
-            zero_path = need & (bit0 == 0)
-            one_path = need & (bit0 == 1)
-            ev = (pnd | (one_path & (rfld == 0))).astype(jnp.int32)
+            x5 = (w6 >> 1) & 31
+            r5 = ((x5 & 1) << 4) | ((x5 & 2) << 2) | (x5 & 4) | \
+                ((x5 & 8) >> 2) | ((x5 >> 4) & 1)
+            rfld = r5 >> (5 - e)
+            full_path = need & (bit0 == 1)
+            miss_path = need & (bit0 == 0)
+            ev = (pnd | (miss_path & (rfld == 0))).astype(jnp.int32)
             mel_bp = mel_bp + jnp.where(need,
-                                        jnp.where(bit0 == 1, 1 + e, 1), 0)
-            k = jnp.where(zero_path, jnp.minimum(k + 1, 12),
-                          jnp.where(one_path, jnp.maximum(k - 1, 0), k))
+                                        jnp.where(bit0 == 0, 1 + e, 1), 0)
+            k = jnp.where(full_path, jnp.minimum(k + 1, 12),
+                          jnp.where(miss_path, jnp.maximum(k - 1, 0), k))
             run = jnp.where(owed, run - 1,
-                            jnp.where(zero_path, (one << e) - 1,
-                                      jnp.where(one_path & (rfld > 0),
+                            jnp.where(full_path, (one << e) - 1,
+                                      jnp.where(miss_path & (rfld > 0),
                                                 rfld - 1, run)))
             pend = jnp.where(pnd, 0,
-                             jnp.where(one_path & (rfld > 0), 1, pend))
+                             jnp.where(miss_path & (rfld > 0), 1, pend))
 
-            # -- rho via the fixed-width VLC -------------------------------
-            w5 = bits_at(vlc_stage, vlc_base, vlc_bp)
+            # -- CxtVLC symbol via the bit-sliced LUT ----------------------
             c0_sig = mel_mask & (ev == 1)
             cn = act & ~is_c0
-            flag = w5 & 1
-            rho = jnp.where(c0_sig, w5 & 0xF,
-                            jnp.where(cn & (flag == 1), (w5 >> 1) & 0xF, 0))
-            vlc_bp = vlc_bp + jnp.where(
-                c0_sig, 4, jnp.where(cn, jnp.where(flag == 1, 5, 1), 0))
+            vread = c0_sig | cn
+            w7 = bits_at(vlc_stage, vlc_base, vlc_bp) & 0x7F
+            hi = (c << 2) | (w7 >> 5)
+            lo = w7 & 31
+            sel32 = (hiota32 == hi[None]).astype(jnp.int32)
+            entry = jnp.zeros_like(c)
+            for j, cj in enumerate(lut):
+                word = jnp.sum(cj * sel32, axis=0)
+                entry = entry | (((word >> lo) & 1) << j)
+            sym = jnp.where(vread, entry & symmask, 0)
+            ln = (entry >> VLC_SYMB) & 7
+            rho = sym & 0xF
+            vlc_bp = vlc_bp + jnp.where(vread, ln, 0)
 
-            # -- UVLC exponent offset u ------------------------------------
-            umask = act & (rho != 0)
+            # -- UVLC exponent offset u (coded only when u_off = 1) --------
+            umask = vread & ((sym & 0x10) != 0)
             w8 = bits_at(vlc_stage, vlc_base, vlc_bp)
             b0 = w8 & 1
             b1 = (w8 >> 1) & 1
             b2 = (w8 >> 2) & 1
-            u = jnp.where(b0 == 0, 0,
-                          jnp.where(b1 == 0, 1,
-                                    jnp.where(b2 == 0, 2,
-                                              3 + ((w8 >> 3) & 31))))
+            u = jnp.where(b0 == 0, 1,
+                          jnp.where(b1 == 0, 2,
+                                    jnp.where(b2 == 0, 3 + ((w8 >> 3) & 1),
+                                              5 + ((w8 >> 3) & 31))))
             ulen = jnp.where(b0 == 0, 1,
                              jnp.where(b1 == 0, 2,
-                                       jnp.where(b2 == 0, 3, 8)))
+                                       jnp.where(b2 == 0, 4, 8)))
             vlc_bp = vlc_bp + jnp.where(umask, ulen, 0)
-            U = u + 1
-            umax = (one << U) - 1
 
-            # -- MagSgn: 4 maskable sequential reads of U+1 bits -----------
+            # -- exponent bound U = kappa + u ------------------------------
+            eb_above = row_read(eb_ref, g, qx + 1)
+            multi = (rho & (rho - 1)) != 0
+            kappa = jnp.where(multi, jnp.maximum(1, eb_above - 1), 1)
+            # valid streams have U <= numbps - p + 1 <= 25 (eligibility);
+            # the clamp only bounds shift widths on corrupt streams
+            U = jnp.minimum(kappa + jnp.where(umask, u, 0), 25)
+            ek = sym >> 5
+
+            # -- MagSgn: 4 maskable reads of U - eps_k bits ----------------
             svals = []
             smasks = []
+            ebot = jnp.zeros_like(c)
             for i in range(4):
-                m_i = umask & (((rho >> i) & 1) == 1)
+                m_i = act & (((rho >> i) & 1) == 1)
+                k_i = (ek >> i) & 1
+                m = U - k_i
                 w = bits_at(ms_stage, ms_base, ms_bp)
-                vi = (w & umax) + 1
-                sg = (w >> U) & 1
-                ms_bp = ms_bp + jnp.where(m_i, U + 1, 0)
+                full = (w & ((one << m) - 1)) | (k_i << (U - 1))
+                ms_bp = ms_bp + jnp.where(m_i, m, 0)
+                vi = (full >> 1) + 1
+                sg = full & 1
                 mag2 = (vi << p1) + half
                 svals.append(jnp.where(sg == 1, -mag2, mag2))
                 smasks.append(m_i)
+                if i & 1:
+                    ebot = jnp.maximum(
+                        ebot, jnp.where(m_i, bitlen(full), 0))
 
             # -- state + output writes -------------------------------------
             rowr = rho_ref[g + 1]
             rho_ref[g + 1] = jnp.where((qiota == qx + 1) & act, rho, rowr)
+            rowe = eb_ref[g + 1]
+            eb_ref[g + 1] = jnp.where((qiota == qx + 1) & act, ebot, rowe)
 
             in_y1 = (2 * g + 1) < hv
             in_x1 = (2 * qx + 1) < wv
@@ -436,7 +541,7 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
             st, ba = stage_load(mel_ref, mel_bp >> 3)
             mel_st[...] = st
             mel_ba[...] = ba
-            st, ba = stage_load(vlc_ref, vlc_bp >> 3)
+            st, ba = stage_load3(vlc_ref, vlc_bp >> 3)
             vlc_st[...] = st
             vlc_ba[...] = ba
             return jax.lax.fori_loop(o * K, o * K + K, quad_body, carry)
@@ -445,16 +550,19 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
         jax.lax.fori_loop(0, NO, outer_body,
                           (zi, zi, zi, zi, zi, zi))
 
+    lut_in = jnp.asarray(VLC_DEC_PLANES.reshape(
+        (VLC_DEC_PLANES.shape[0], 32, 1, 1)))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((H, W) + arr_tail, jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # rho
+            pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # ebot
             pltpu.VMEM((64,) + arr_tail, jnp.int32),             # ms win
             pltpu.VMEM((64,) + arr_tail, jnp.int32),             # mel win
-            pltpu.VMEM((64,) + arr_tail, jnp.int32),             # vlc win
+            pltpu.VMEM((96,) + arr_tail, jnp.int32),             # vlc win
             pltpu.VMEM(lane_sh, jnp.int32),                      # ms base
             pltpu.VMEM(lane_sh, jnp.int32),                      # mel base
             pltpu.VMEM(lane_sh, jnp.int32),                      # vlc base
@@ -462,7 +570,7 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
             pltpu.VMEM(lane_sh, jnp.int32),                      # mid base
         ],
         interpret=interpret,
-    )(ms_d, mel_d, vlc_d, pv, wh, valid)
+    )(ms_d, mel_d, vlc_d, pv, wh, valid, lut_in)
     return out
 
 
@@ -477,8 +585,8 @@ def sublanes_for_ht(W: int, H: int, max_stream: int = 0) -> int:
     lanes per launch instead of collapsing straight to 128 — launch
     time is nearly S-independent, so this is ~S× decode throughput."""
     GH, GW = (H + 1) // 2, (W + 1) // 2
-    words = H * W + (GH + 1) * (GW + 2)
-    words += 3 * 64 + 10 * 32 + 4          # windows + MagSgn mid + bases
+    words = H * W + 2 * (GH + 1) * (GW + 2)       # rho + ebot scratch
+    words += 64 + 64 + 96 + 10 * 32 + 4    # windows + MagSgn mid + bases
     if max_stream:
         words += _quant_len(max_stream) + 2 * 256   # ms + mel + vlc pairs
     for s in (8, 4, 2):

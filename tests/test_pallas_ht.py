@@ -65,9 +65,14 @@ def test_eligibility_rules():
 def test_header_parse_roundtrip():
     rng = np.random.default_rng(2)
     job, _ = _make(rng, 8, 8, 50, 1)
-    p, ms, mel, vlc = parse_ht_header(job["data"], job["seg_lens"])
-    assert p == job["data"][0]
-    assert len(ms) + len(mel) + len(vlc) + 5 == job["seg_lens"][0]
+    data, L = job["data"], job["seg_lens"][0]
+    p, ms, mel, vlc = parse_ht_header(data, job["seg_lens"])
+    assert p == data[0]
+    # clean (un-stuffed) streams never exceed their wire regions; the
+    # MEL/VLC boundary is implicit, so both unstuff the whole suffix
+    scup = (data[L - 1] << 4) | (data[L - 2] & 0xF)
+    assert len(ms) <= L - scup - 1 + 1
+    assert len(mel) <= scup - 2 + 1 and len(vlc) <= scup - 1
 
 
 def test_encoder_interpret_byte_identical():

@@ -19,6 +19,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "t1.c")
 _SRC_T2 = os.path.join(_HERE, "t2.c")
+_SRC_HTW = os.path.join(_HERE, "ht_wire.c")
 _SO = os.path.join(_HERE, f"_t1_{sys.platform}.so")
 
 _lock = threading.Lock()
@@ -28,13 +29,15 @@ _tried = False
 
 def _build() -> str | None:
     try:
-        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_T2))
+        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_T2),
+                        os.path.getmtime(_SRC_HTW))
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return _SO
         cc = os.environ.get("CC", "gcc")
         cmd = [cc, "-O3", "-march=native", "-funroll-loops",
                "-ffp-contract=off",     # 9/7 f64 must match NumPy exactly
-               "-shared", "-fPIC", "-pthread", "-o", _SO, _SRC, _SRC_T2]
+               "-shared", "-fPIC", "-pthread", "-o", _SO, _SRC, _SRC_T2,
+               _SRC_HTW]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _SO
     except Exception:
@@ -99,10 +102,17 @@ def _load():
                 dp_, dp_, dp_, dp_,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, dp_]
-            lib.grk_ht_scan.restype = ctypes.c_int
-            lib.grk_ht_scan.argtypes = [
+            u8p_ = ctypes.POINTER(ctypes.c_uint8)
+            lib.grk_ht_scan2.restype = ctypes.c_int
+            lib.grk_ht_scan2.argtypes = [
                 ctypes.c_char_p, ctypes.c_longlong,
-                llp, ipp, ctypes.c_int, ipp]
+                llp, ipp, ctypes.c_int, ipp,
+                u8p_, ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_longlong)]
+            lib.grk_ht_assemble_batch.restype = ctypes.c_int
+            lib.grk_ht_assemble_batch.argtypes = [
+                u8p_, llp, llp, llp, llp, llp, llp,
+                ipp, ctypes.c_int, u8p_, ctypes.c_longlong, llp]
             u8p = ctypes.POINTER(ctypes.c_uint8)
             lib.grk_t2_emit.restype = ctypes.c_int
             lib.grk_t2_emit.argtypes = [
@@ -465,18 +475,79 @@ def _llp(arr):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))
 
 
-def ht_scan(body: bytes, off: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Scan HT cleanup segments: (n, 4) int32 [p, ms_len, mel_len,
-    vlc_len] per block, p = -1 if the framing is invalid."""
+def _u8p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def ht_scan2(body: bytes, off: np.ndarray, lens: np.ndarray):
+    """Scan + split HT cleanup segments into clean sub-streams.
+
+    Returns (out7 (n, 7) int32 [p, ms_off, ms_len, mel_off, mel_len,
+    vlc_off, vlc_len], digest uint8 array) — offsets index the digest;
+    p = -1 marks invalid framing.  None if the digest overflowed (never
+    for well-formed input: capacity is 3*len + 16 per block)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native runtime not available")
     n = len(off)
     off = np.ascontiguousarray(off, np.int64)
     lens = np.ascontiguousarray(lens, np.int32)
-    out = np.zeros((n, 4), np.int32)
-    lib.grk_ht_scan(body, len(body), _llp(off), _ip(lens), n, _ip(out))
-    return out
+    out = np.zeros((n, 7), np.int32)
+    dcap = int(3 * int(lens.sum()) + 24 * n + 64)
+    digest = np.zeros(dcap, np.uint8)
+    used = ctypes.c_longlong(0)
+    rc = lib.grk_ht_scan2(body, len(body), _llp(off), _ip(lens), n,
+                          _ip(out), _u8p(digest), dcap,
+                          ctypes.byref(used))
+    if rc:
+        return None
+    return out, digest[:int(used.value)]
+
+
+def ht_assemble_batch(buf: np.ndarray, ms_off, ms_bits, mel_off, mel_bits,
+                      vlc_off, vlc_bits, pvals):
+    """Assemble n wire cleanup segments from clean streams in `buf`
+    (byte offsets / bit counts per stream; pvals[k] < 0 skips lane k).
+    Returns (out bytes buffer uint8, lens (n,) int64) — segments are
+    back-to-back; byte-identical to t1ht.scalar.assemble_cleanup."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime not available")
+    n = len(pvals)
+    a = [np.ascontiguousarray(x, np.int64) for x in
+         (ms_off, ms_bits, mel_off, mel_bits, vlc_off, vlc_bits)]
+    pvals = np.ascontiguousarray(pvals, np.int32)
+    buf = np.ascontiguousarray(buf, np.uint8)
+    ocap = int((a[1].sum() + a[3].sum() + a[5].sum()) // 7
+               + (a[1].sum() + a[3].sum() + a[5].sum() + 7) // 8
+               + 32 * n + 64)
+    out = np.zeros(ocap, np.uint8)
+    olens = np.zeros(n, np.int64)
+    rc = lib.grk_ht_assemble_batch(
+        _u8p(buf), _llp(a[0]), _llp(a[1]), _llp(a[2]), _llp(a[3]),
+        _llp(a[4]), _llp(a[5]), _ip(pvals), n, _u8p(out), ocap,
+        _llp(olens))
+    if rc:
+        return None
+    return out, olens
+
+
+def ht_assemble(p: int, ms, msbits: int, mel, melbits: int,
+                vlc, vlcbits: int) -> bytes:
+    """Single-segment clean -> wire assembly (C mirror of
+    t1ht.scalar.assemble_cleanup)."""
+    buf = np.concatenate([
+        np.frombuffer(bytes(ms), np.uint8),
+        np.frombuffer(bytes(mel), np.uint8),
+        np.frombuffer(bytes(vlc), np.uint8),
+        np.zeros(1, np.uint8)])
+    o1, o2 = len(ms), len(ms) + len(mel)
+    res = ht_assemble_batch(buf, [0], [msbits], [o1], [melbits],
+                            [o2], [vlcbits], [p])
+    if res is None:
+        raise ValueError("HT cleanup suffix too long")
+    out, olens = res
+    return bytes(out[:int(olens[0])])
 
 
 def t2_emit_prepare(ctxs: dict, ctx_keys: list):

@@ -151,34 +151,6 @@ typedef struct {
 /* chunk record: 6 ints */
 enum { CH_BLK, CH_LAYER, CH_SEGNO, CH_NP, CH_OFF, CH_LEN, CH_N };
 
-/* ---- HTJ2K cleanup-segment scan + lane staging --------------------------
- * Host-side staging for the Pallas HT decoder (serving fast path): split
- * each block's cleanup codeword segment into its three sub-streams and
- * lay them out lane-major for one upload.  Framing mirrors
- * t1ht/scalar.ht_decode_block / ops/pallas_ht.parse_ht_header. */
-
-/* Scan n segments at body[off[i] .. off[i]+len[i]): out4[i*4+0..3] =
- * (p, ms_len, mel_len, vlc_len), p = -1 if the framing is invalid. */
-int grk_ht_scan(const uint8_t *body, long long blen,
-                const long long *off, const int *len, int n, int *out4)
-{
-    for (int i = 0; i < n; i++) {
-        long long o = off[i]; int L = len[i];
-        int *r = out4 + 4 * (long long)i;
-        r[0] = -1; r[1] = r[2] = r[3] = 0;
-        if (o < 0 || L < 6 || o + L > blen) continue;
-        const uint8_t *d = body + o;
-        int scup = d[L - 2] | (d[L - 1] << 8);
-        int mel_len = d[L - 4] | (d[L - 3] << 8);
-        if (scup < 4 || scup > L - 1 || mel_len > scup - 4) continue;
-        r[0] = d[0];
-        r[1] = L - scup - 1;
-        r[2] = mel_len;
-        r[3] = (scup - 4) - mel_len;
-    }
-    return 0;
-}
-
 /* Returns 0 on success; >0 on any condition requiring the Python parser.
  * out_counts: [0]=n_chunks, [1]=final body position. */
 int grk_t2_parse(const uint8_t *body, int blen,

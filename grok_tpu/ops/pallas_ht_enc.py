@@ -1,11 +1,22 @@
 """Pallas TPU kernel: batched HTJ2K cleanup-pass ENCODE.
 
 The encode mirror of ops/pallas_ht.py: one fori iteration codes a whole
-2x2 quad — rho + context from the rho scratch, the MEL event (carried
-k/run registers), the fixed-width rho VLC + UVLC, and up to four MagSgn
-fields.  All three sub-streams are LSB-first and append-only into
-zero-initialized buffers, so every write is a pure OR of a <= 25-bit
-word across four staged bytes (no read-modify-clear).
+2x2 quad per the ISO 15444-15 structure — rho + sample-level context
+from the rho scratch, the MEL event (carried k/run registers, spec
+polarity, MSB-first run fields), the CxtVLC (rho, u_off) symbol via a
+bit-sliced LUT generated from t1ht.tables.VLC_ENC at trace time, UVLC
+of u = U - kappa (vertical exponent predictor from an ebot scratch
+row), and up to four MagSgn fields of U bits each.  All three
+sub-streams are emitted as *clean* LSB-first bit streams, append-only
+into zero-initialized buffers, so every write is a pure OR of a <=
+25-bit word across four staged bytes (no read-modify-clear); the host
+then stuffs/interleaves them into the wire segment with the shared
+assembler (t1ht.scalar.assemble_cleanup or its C mirror) — all
+backends byte-identical.
+
+The default tables code eps_k = 0; if normative tables with EMB
+symbols are dropped in (VLC_HAS_EK), the device encoder falls back to
+the scalar coder (callers check) until it learns the suppression.
 
 Output staging is hierarchical so the full (G, 8, lanes) buffers are
 never touched per quad (the round-2 rework: the original flush+rebase
@@ -42,6 +53,30 @@ import numpy as np
 LANES = 128
 
 
+def _vlc_enc_planes():
+    """Bit-sliced CxtVLC encode LUT: entry = code | (len << 7) for
+    idx = ctx*32 + sym (sym = u_off<<4 | rho); 10 bit planes of 8
+    constant words each, indexed hi = idx >> 5 with the bit at lo =
+    idx & 31.  Regenerated from t1ht.tables.VLC_ENC at import.  EMB
+    symbols (sym >= 32) are excluded — the device encodes eps_k = 0
+    (see module docstring)."""
+    from grok_tpu.t1ht.tables import N_CTX, VLC_ENC
+    ent = np.zeros(N_CTX * 32, np.int64)
+    for c in range(N_CTX):
+        for sym, (ln, code) in VLC_ENC[c].items():
+            if sym < 32:
+                ent[c * 32 + sym] = code | (ln << 7)
+    planes = np.zeros((10, 8), np.int64)
+    idx = np.arange(N_CTX * 32)
+    hi, lo = idx >> 5, idx & 31
+    for j in range(10):
+        np.bitwise_or.at(planes[j], hi, ((ent >> j) & 1) << lo)
+    return (planes & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+
+VLC_ENC_PLANES = _vlc_enc_planes()
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def pallas_ht_encode(mneg, pv, wh, valid,
                      W: int, H: int, S: int,
@@ -73,10 +108,10 @@ def pallas_ht_encode(mneg, pv, wh, valid,
     MIDG = 10                 # MagSgn mid granules: 31 B skew + 16 quads
                               # * 12.5 B + 2-granule window <= 10 * 32 B
 
-    def kernel(mneg_ref, p_ref, wh_ref, valid_ref,
+    def kernel(mneg_ref, p_ref, wh_ref, valid_ref, lut_ref,
                ms_ref, mel_ref, vlc_ref,
                msb_ref, melb_ref, vlcb_ref,
-               rho_ref, ms_st, mel_st, vlc_st,
+               rho_ref, eb_ref, ms_st, mel_st, vlc_st,
                ms_ba, mel_ba, vlc_ba, ms_mid, ms_mba):
         if S == 1:
             p_l = p_ref[...]
@@ -94,13 +129,17 @@ def pallas_ht_encode(mneg, pv, wh, valid,
         for ref, Lb in ((ms_ref, LMS), (mel_ref, LMEL), (vlc_ref, LVLC)):
             ref[...] = jnp.zeros((Lb // 32, 8) + arr_tail, jnp.int32)
         rho_ref[...] = jnp.zeros((GH + 1, GW + 2) + arr_tail, jnp.int32)
-        for st in (ms_st, mel_st, vlc_st):
+        eb_ref[...] = jnp.zeros((GH + 1, GW + 2) + arr_tail, jnp.int32)
+        for st in (ms_st, mel_st):
             st[...] = jnp.zeros((16,) + arr_tail, jnp.int32)
+        vlc_st[...] = jnp.zeros((24,) + arr_tail, jnp.int32)
         for ba in (ms_ba, mel_ba, vlc_ba, ms_mba):
             ba[...] = jnp.zeros(lane_sh, jnp.int32)
         ms_mid[...] = jnp.zeros((MIDG, 8) + arr_tail, jnp.int32)
 
-        siota = iota_for(16)
+        siotas = {16: iota_for(16), 24: iota_for(24)}
+        hiota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
+        lut = [lut_ref[j] for j in range(VLC_ENC_PLANES.shape[0])]
         qiota = iota_for(GW + 2)
         giotas = {G: jax.lax.broadcasted_iota(
             jnp.int32, (G,) + (1,) * (nd + 1), 0)
@@ -134,6 +173,27 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             lo2 = jnp.sum(d * s0, axis=0)
             hi2 = jnp.sum(d * s1, axis=0)
             st_ref[...] = jnp.concatenate([lo2, hi2], axis=0)
+            ba_ref[...] = g_new << 5
+
+        def restage3(out_ref, st_ref, ba_ref, bp):
+            """3-granule (96-byte) variant for the VLC window: the VLC
+            stream can advance 15 bits/quad (7-bit CxtVLC + 8-bit
+            UVLC) — 30 bytes per K=16 inner quads, past what a 64-byte
+            window staged at a 32-aligned base can absorb."""
+            G = out_ref.shape[0]
+            giota = giotas[G]
+            g_old = ba_ref[...] >> 5
+            d = out_ref[...]
+            for j in range(3):
+                selj = (giota == (g_old + j)[None]).astype(jnp.int32)
+                d = jnp.where(selj == 1, st_ref[8 * j:8 * j + 8][None], d)
+            out_ref[...] = d
+            g_new = bp >> 5
+            parts = []
+            for j in range(3):
+                selj = (giota == (g_new + j)[None]).astype(jnp.int32)
+                parts.append(jnp.sum(d * selj, axis=0))
+            st_ref[...] = jnp.concatenate(parts, axis=0)
             ba_ref[...] = g_new << 5
 
         def ms_win_to_mid():
@@ -205,6 +265,7 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             hi_part = jnp.where(
                 s8 == 0, 0, (full >> (32 - s8)) & ((one << s8) - 1))
             st = st_ref[...]
+            siota = siotas[st.shape[0]]
             zero = jnp.zeros_like(st)
             st = st | jnp.where((siota == wi) & mask, lo_part, zero)
             st = st | jnp.where((siota == wi + 1) & mask, hi_part, zero)
@@ -212,6 +273,12 @@ def pallas_ht_encode(mneg, pv, wh, valid,
 
         def rho_read(gi, qi):
             v = rho_ref[gi, pl.ds(qi, 1)]
+            if S == 1:
+                return v
+            return jnp.sum(v, axis=0)
+
+        def eb_read(gi, qi):
+            v = eb_ref[gi, pl.ds(qi, 1)]
             if S == 1:
                 return v
             return jnp.sum(v, axis=0)
@@ -265,15 +332,18 @@ def pallas_ht_encode(mneg, pv, wh, valid,
                 sig.append((v > 0).astype(jnp.int32))
             rho = sig[0] | (sig[1] << 1) | (sig[2] << 2) | (sig[3] << 3)
 
+            # sample-level context (tables.quad_ctx)
             left = rho_read(g + 1, qx)
             top = rho_read(g, qx + 1)
             topr = rho_read(g, qx + 2)
-            c = (left != 0).astype(jnp.int32) | \
-                ((top != 0).astype(jnp.int32) << 1) | \
-                ((topr != 0).astype(jnp.int32) << 2)
+            c = ((left & 0b1100) != 0).astype(jnp.int32) | \
+                (((top & 0b1010) != 0).astype(jnp.int32) << 1) | \
+                (((topr & 0b0010) != 0).astype(jnp.int32) << 2)
             is_c0 = c == 0
 
             # -- MEL event for context-0 quads -----------------------------
+            # spec polarity: a completed full run emits a 1-bit; a miss
+            # emits a 0-bit + e MSB-first partial-run bits
             mel_mask = act & is_c0
             e = jnp.where(k >= 12, 5,
                           jnp.where(k >= 11, 4,
@@ -285,54 +355,79 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             ev0 = mel_mask & (rho == 0)
             run_n = jnp.where(ev0, run + 1, run)
             full = ev0 & (run_n == (one << e))
-            # event 0 completing a run: emit bit 0 (the OR writes nothing
-            # but the position advances); event 1: bit 1 + e run bits
-            w_mel = jnp.where(ev1, 1 | (run << 1), 0)
+            r5 = ((run & 1) << 4) | ((run & 2) << 2) | (run & 4) | \
+                ((run & 8) >> 2) | ((run >> 4) & 1)
+            w_mel = jnp.where(ev1, (r5 >> (5 - e)) << 1,
+                              jnp.where(full, 1, 0))
             n_mel = jnp.where(ev1, 1 + e, jnp.where(full, 1, 0))
-            or_bits(mel_st, mel_ba, mel_bp, w_mel, ev1)
+            or_bits(mel_st, mel_ba, mel_bp, w_mel,
+                    (ev1 | full) & (w_mel != 0))
             mel_bp = mel_bp + n_mel
             k = jnp.where(full, jnp.minimum(k + 1, 12),
                           jnp.where(ev1, jnp.maximum(k - 1, 0), k))
             run = jnp.where(full | ev1, 0, run_n)
 
-            # -- rho via the fixed-width VLC -------------------------------
+            # -- exponents + the vertical predictor ------------------------
+            # v_n = ((mu-1) << 1) | sign for significant samples
+            vbits = []
+            for i in range(4):
+                vbits.append(jnp.where(sig[i] == 1,
+                                       ((vs[i] - 1) << 1) | sg[i], 0))
+            Es = [bitlen(v) for v in vbits]
+            Emax = jnp.maximum(jnp.maximum(Es[0], Es[1]),
+                               jnp.maximum(Es[2], Es[3]))
+            eb_above = eb_read(g, qx + 1)
+            multi = (rho & (rho - 1)) != 0
+            kappa = jnp.where(multi, jnp.maximum(1, eb_above - 1), 1)
+            U = jnp.maximum(kappa, Emax)
+            u = U - kappa
+            u_off = (u > 0).astype(jnp.int32)
+
+            # -- CxtVLC (rho, u_off) via the bit-sliced encode LUT ---------
             c0_sig = mel_mask & (rho != 0)
             cn = act & ~is_c0
-            w_vlc = jnp.where(c0_sig, rho,
-                              jnp.where(cn, (rho << 1) |
-                                        (rho != 0).astype(jnp.int32), 0))
-            n_vlc = jnp.where(c0_sig, 4,
-                              jnp.where(cn,
-                                        jnp.where(rho != 0, 5, 1), 0))
-            or_bits(vlc_st, vlc_ba, vlc_bp,
-                    w_vlc, act & (w_vlc != 0))
-            vlc_bp = vlc_bp + n_vlc
+            vwrite = c0_sig | cn
+            sym = (u_off << 4) | rho
+            idx = (c << 5) | sym
+            hi = idx >> 5
+            lo = idx & 31
+            sel8 = (hiota8 == hi[None]).astype(jnp.int32)
+            entry = jnp.zeros_like(c)
+            for j, cj in enumerate(lut):
+                word = jnp.sum(cj * sel8, axis=0)
+                entry = entry | (((word >> lo) & 1) << j)
+            w_vlc = entry & 0x7F
+            n_vlc = (entry >> 7) & 7
+            or_bits(vlc_st, vlc_ba, vlc_bp, w_vlc, vwrite & (w_vlc != 0))
+            vlc_bp = vlc_bp + jnp.where(vwrite, n_vlc, 0)
 
-            # -- UVLC of u = U - 1 ------------------------------------------
-            umask = act & (rho != 0)
-            U = jnp.maximum(jnp.maximum(bitlen(vs[0]), bitlen(vs[1])),
-                            jnp.maximum(bitlen(vs[2]), bitlen(vs[3])))
-            u = U - 1
-            w_u = jnp.where(u == 0, 0,
-                            jnp.where(u == 1, 0b01,
-                                      jnp.where(u == 2, 0b011,
-                                                7 | ((u - 3) << 3))))
-            n_u = jnp.where(u == 0, 1,
-                            jnp.where(u == 1, 2,
-                                      jnp.where(u == 2, 3, 8)))
+            # -- UVLC of u = U - kappa (only when u_off = 1) ---------------
+            umask = vwrite & (u_off == 1)
+            w_u = jnp.where(u == 1, 0,
+                            jnp.where(u == 2, 0b01,
+                                      jnp.where(u <= 4,
+                                                0b011 | ((u - 3) << 3),
+                                                0b111 | ((u - 5) << 3))))
+            n_u = jnp.where(u == 1, 1,
+                            jnp.where(u == 2, 2,
+                                      jnp.where(u <= 4, 4, 8)))
             or_bits(vlc_st, vlc_ba, vlc_bp, w_u, umask & (w_u != 0))
             vlc_bp = vlc_bp + jnp.where(umask, n_u, 0)
 
-            # -- MagSgn: per significant sample, U bits of v-1 + sign ------
-            umax = (one << U) - 1
+            # -- MagSgn: per significant sample, U bits of v_n -------------
+            ebot = jnp.zeros_like(c)
             for i in range(4):
-                m_i = umask & (sig[i] == 1)
-                w = ((vs[i] - 1) & umax) | (sg[i] << U)
-                or_bits(ms_st, ms_ba, ms_bp, w, m_i & (w != 0))
-                ms_bp = ms_bp + jnp.where(m_i, U + 1, 0)
+                m_i = act & (sig[i] == 1)
+                or_bits(ms_st, ms_ba, ms_bp, vbits[i],
+                        m_i & (vbits[i] != 0))
+                ms_bp = ms_bp + jnp.where(m_i, U, 0)
+                if i & 1:
+                    ebot = jnp.maximum(ebot, jnp.where(m_i, Es[i], 0))
 
             rowr = rho_ref[g + 1]
             rho_ref[g + 1] = jnp.where((qiota == qx + 1) & act, rho, rowr)
+            rowe = eb_ref[g + 1]
+            eb_ref[g + 1] = jnp.where((qiota == qx + 1) & act, ebot, rowe)
             return (ms_bp, mel_bp, vlc_bp, k, run)
 
         def outer_body(o, carry):
@@ -345,20 +440,38 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             ms_mid_shift(ms_bp >> 3)
             ms_win_rebase(ms_bp >> 3)
             restage(mel_ref, mel_st, mel_ba, mel_bp >> 3)
-            restage(vlc_ref, vlc_st, vlc_ba, vlc_bp >> 3)
+            restage3(vlc_ref, vlc_st, vlc_ba, vlc_bp >> 3)
             return carry
 
         zi = jnp.zeros(lane_sh, jnp.int32)
         carry = jax.lax.fori_loop(
             0, NO, outer_body, (zi, zi, zi, zi, zi))
-        ms_bp, mel_bp, vlc_bp, _, _ = carry
-        # outer_body already flushed every window after the last quad
+        ms_bp, mel_bp, vlc_bp, _, run = carry
+        # MEL termination: a pending partial run is claimed as a full
+        # run (one 1-bit) so the decoder serves every remaining
+        # zero-event from real bits (mel.MELEncoder.finish).  The
+        # windows are already flushed — OR the bit straight into the
+        # full buffer with a granule+word one-hot.
+        pendm = run > 0
+        mg = mel_bp >> 8                       # granule (32 bytes)
+        wi = (mel_bp >> 5) & 7                 # word within granule
+        bit = one << (mel_bp & 31)
+        gsel = (giotas[LMEL // 32] == mg[None])
+        w8iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 8) + (1,) * nd, 1)
+        d = mel_ref[...]
+        mel_ref[...] = d | jnp.where(
+            gsel & (w8iota == wi[None]) & pendm[None],
+            bit[None], jnp.zeros_like(d))
+        mel_bp = mel_bp + pendm.astype(jnp.int32)
         # one lane-shaped output per stream: a (3, L) ref would need a
         # sub-8-sublane store (Mosaic's replicated-relayout crash path)
         msb_ref[...] = ms_bp
         melb_ref[...] = mel_bp
         vlcb_ref[...] = vlc_bp
 
+    lut_in = jnp.asarray(VLC_ENC_PLANES.reshape(
+        (VLC_ENC_PLANES.shape[0], 8, 1, 1)))
     outs = pl.pallas_call(
         kernel,
         out_shape=(
@@ -369,13 +482,14 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             jax.ShapeDtypeStruct(lane_sh, jnp.int32),
             jax.ShapeDtypeStruct(lane_sh, jnp.int32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6),
         scratch_shapes=[
             pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # rho
+            pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # ebot
             pltpu.VMEM((16,) + arr_tail, jnp.int32),             # ms stage
             pltpu.VMEM((16,) + arr_tail, jnp.int32),             # mel stage
-            pltpu.VMEM((16,) + arr_tail, jnp.int32),             # vlc stage
+            pltpu.VMEM((24,) + arr_tail, jnp.int32),             # vlc stage
             pltpu.VMEM(lane_sh, jnp.int32),                      # ms base
             pltpu.VMEM(lane_sh, jnp.int32),                      # mel base
             pltpu.VMEM(lane_sh, jnp.int32),                      # vlc base
@@ -383,7 +497,7 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             pltpu.VMEM(lane_sh, jnp.int32),                      # mid base
         ],
         interpret=interpret,
-    )(mneg, pv, wh, valid)
+    )(mneg, pv, wh, valid, lut_in)
     ms_b, mel_b, vlc_b, msb, melb, vlcb = outs
     bits = jnp.stack([msb.reshape(lane_sh), melb.reshape(lane_sh),
                       vlcb.reshape(lane_sh)], axis=0)
@@ -404,6 +518,14 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
     staged-window bound (numbps > 24) or with numbps == 0 are handled
     by the caller / scalar path."""
     from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
+
+    from grok_tpu.ops.pallas_ht import VLC_HAS_EK
+    if VLC_HAS_EK:
+        # EMB tables: the device encoder codes eps_k = 0 only (module
+        # docstring) — byte-identity demands the scalar coder
+        from grok_tpu.t1ht.scalar import ht_encode_block
+        return [ht_encode_block(b["mag"], b["neg"], b["orient"])
+                for b in blocks]
 
     results: list = [None] * len(blocks)
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -455,7 +577,7 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
                 wh[1, j] = h
                 valid[j] = 1
             LMEL = _cap_bytes(((W * H // 4) * 6) // 8 + 16)
-            LVLC = _cap_bytes(((W * H // 4) * 13) // 8 + 16)
+            LVLC = _cap_bytes(((W * H // 4) * 15) // 8 + 16)
             if S > 1:
                 mneg_a = mneg.reshape(H, W, S, LANES)
                 pv_a = pv.reshape(S, LANES)
@@ -486,6 +608,7 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
                 by[3::4] = (col >> 24) & 0xFF
                 return by[:nbytes].tobytes()
 
+            from grok_tpu.t1ht.scalar import assemble_cleanup
             for j, i in enumerate(chunk):
                 b = blocks[i]
                 if S > 1:
@@ -495,12 +618,10 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
                     ms_bits, mel_bits, vlc_bits = bits[:, j]
                 ms = lane_bytes(ms_w, j, -(-int(ms_bits) // 8))
                 mel = lane_bytes(mel_w, j, -(-int(mel_bits) // 8))
-                vlc = lane_bytes(vlc_w, j, -(-int(vlc_bits) // 8))[::-1]
-                nm = len(mel)
-                scup = nm + len(vlc) + 4
-                cleanup = bytes([0]) + ms + mel + vlc + \
-                    bytes([nm & 0xFF, (nm >> 8) & 0xFF,
-                           scup & 0xFF, (scup >> 8) & 0xFF])
+                vlc = lane_bytes(vlc_w, j, -(-int(vlc_bits) // 8))
+                cleanup = assemble_cleanup(
+                    0, (ms, int(ms_bits)), (mel, int(mel_bits)),
+                    (vlc, int(vlc_bits)))
                 mag = np.asarray(b["mag"], np.int64)
                 numbps = nbps_all[i]
                 sig = mag > 0

@@ -128,9 +128,11 @@ def _build_decode_fn(sig):
                 NL = S * LANES
                 stage = _make_word_stager(jnp, jax, body_d, NL)
 
+                # the upload is the C scan's clean digest (serve.py):
+                # all three sub-streams are forward LSB-first
                 ms_raw = stage(meta[:, 0], meta[:, 1], Lms, False)
                 mel_raw = stage(meta[:, 2], meta[:, 3], Lmel, False)
-                vlc_raw = stage(meta[:, 4], meta[:, 5], Lvlc, True)
+                vlc_raw = stage(meta[:, 4], meta[:, 5], Lvlc, False)
                 whc = np.ones((2, NL), np.int32)
                 vld = np.zeros((NL,), np.int32)
                 for (lane, _ci, _r, _o, _yo, _xo, bh, bw, _d,

@@ -11,12 +11,15 @@ ServePlan (geometry, the C Tier-2 parser's descriptor arrays, per-block
 placement metadata, the fused program signature skeleton) and runs the
 per-stream work as three C calls + two uploads per kernel launch:
 
-    C t2_parse  ->  C ht_scan  ->  jit(fused decode over the raw body)
+    C t2_parse  ->  C ht_scan2  ->  jit(fused decode over the digest)
 
-The raw codestream body is uploaded ONCE per call; per-lane sub-stream
-windows are staged on device by gathers, so no zero-padded staging
-buffers ever cross the host link (which is the bottleneck on tunneled
-hosts and still the largest non-kernel cost on local-attached TPU).
+The compressed bytes are uploaded ONCE per call — the C scan parses
+each block's wire framing and un-stuffs the three sub-streams into one
+clean digest buffer (for Part-1 MQ the raw body goes up unchanged);
+per-lane sub-stream windows are then staged on device by gathers, so
+no zero-padded staging buffers ever cross the host link (which is the
+bottleneck on tunneled hosts and still the largest non-kernel cost on
+local-attached TPU).
 
 Scope: single-tile, full-frame (no window/reduce/layer-cap), HT
 cleanup-only streams — exactly the serving shape.  Anything else returns
@@ -236,19 +239,10 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
                                         sublanes_for_ht)
     N = len(bodies)
     ncomps = len(plan.comps_sig)
-    # one buffer for all bodies; each body at a 16-byte-aligned base
-    bases = []
-    pos = 0
-    for b in bodies:
-        bases.append(pos)
-        pos += -(-len(b) // 16) * 16
-    blen = max(4096, -(-pos // 4096) * 4096)
-    body_cat = np.zeros(blen, np.uint8)
-    for b, base in zip(bodies, bases):
-        body_cat[base:base + len(b)] = np.frombuffer(b, np.uint8)
 
-    # per-stream T2 parse (+ HT framing scan)
+    # per-stream T2 parse (+ HT wire scan/un-stuff into clean digests)
     per = []             # (idx, offs_sel(+base), lens/npass/nbps, scan|None)
+    digests = []         # HT coder: per-stream clean sub-stream buffers
     for si, body in enumerate(bodies):
         parsed = native.t2_parse_prepared(body, plan.prep, plan.sop,
                                           plan.eph)
@@ -269,21 +263,43 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
         if plan.coder == "ht":
             if not (npass[idx] == 1).all():
                 return None
-            scan = native.ht_scan(body, offs[idx], lens[idx])
+            res = native.ht_scan2(body, offs[idx], lens[idx])
+            if res is None:
+                return None
+            scan, dig = res
             if (scan[:, 0] < 0).any():
                 return None
             if ((numbps - scan[:, 0]) > 24).any():
                 return None
-            if int(scan[:, 1:].max()) > MAX_STREAM:
+            if int(scan[:, 2::2].max()) > MAX_STREAM:
                 return None
+            digests.append(dig)
         else:
             if not ((npass[idx] >= 1) & (npass[idx] <= 109)).all():
                 return None
             if (numbps < 0).any() or int(numbps.max()) > 30:
                 return None
             scan = None
-        per.append((idx, (offs[idx] + bases[si]).astype(np.int64),
-                    lens[idx], npass[idx], numbps, scan))
+        per.append((idx, offs[idx], lens[idx], npass[idx], numbps, scan))
+
+    # one upload for all streams, each at a 16-byte-aligned base: the
+    # raw bodies for MQ, the clean HT digests for HT (the device then
+    # gathers per-lane sub-stream windows from it)
+    srcs = digests if plan.coder == "ht" else bodies
+    bases = []
+    pos = 0
+    for b in srcs:
+        bases.append(pos)
+        pos += -(-len(b) // 16) * 16
+    blen = max(4096, -(-pos // 4096) * 4096)
+    body_cat = np.zeros(blen, np.uint8)
+    for b, base in zip(srcs, bases):
+        body_cat[base:base + len(b)] = np.frombuffer(bytes(b), np.uint8) \
+            if not isinstance(b, np.ndarray) else b
+    if plan.coder == "mq":
+        per = [(idx, offs + bases[si], lens, npass, nbps, scan)
+               for si, (idx, offs, lens, npass, nbps, scan)
+               in enumerate(per)]
 
     import jax.numpy as jnp
     bucket_sigs = []
@@ -316,25 +332,25 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
                                 len(lane_gi), tuple(blocks_sig)))
             bucket_arrays.append((jnp.asarray(meta),))
             continue
-        mx = max(int(r[6][1:].max()) for r in lane_gi)
+        mx = max(int(r[6][2::2].max()) for r in lane_gi)
         S = sublanes_for_count(len(lane_gi), sublanes_for_ht(W, H, mx))
         step = S * LANES
         for k in range(0, len(lane_gi), step):
             chunk = lane_gi[k:k + step]
-            Lms = _quant_len(max(int(r[6][1]) for r in chunk))
-            Lmel = _quant_len(max(int(r[6][2]) for r in chunk))
-            Lvlc = _quant_len(max(int(r[6][3]) for r in chunk))
+            Lms = _quant_len(max(int(r[6][2]) for r in chunk))
+            Lmel = _quant_len(max(int(r[6][4]) for r in chunk))
+            Lvlc = _quant_len(max(int(r[6][6]) for r in chunk))
             meta = np.zeros((S * LANES, 7), np.int32)
             blocks_sig = []
-            for lane, (si, gi, off, _ln, _nps, _nbp, srow) in \
+            for lane, (si, gi, _off, _ln, _nps, _nbp, srow) in \
                     enumerate(chunk):
-                s0 = off + 1                                # ms start
-                meta[lane, 0] = s0
-                meta[lane, 1] = srow[1]
-                meta[lane, 2] = s0 + srow[1]                # mel start
-                meta[lane, 3] = srow[2]
-                meta[lane, 4] = meta[lane, 2] + srow[2]     # vlc start
-                meta[lane, 5] = srow[3]
+                # clean sub-stream windows in the digest upload
+                meta[lane, 0] = srow[1] + bases[si]         # ms start
+                meta[lane, 1] = srow[2]
+                meta[lane, 2] = srow[3] + bases[si]         # mel start
+                meta[lane, 3] = srow[4]
+                meta[lane, 4] = srow[5] + bases[si]         # vlc start
+                meta[lane, 5] = srow[6]
                 meta[lane, 6] = srow[0]                     # p
                 tail = plan.sig_tail[gi]
                 blocks_sig.append((lane, si * ncomps + tail[0])

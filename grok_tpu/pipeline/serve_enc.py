@@ -167,11 +167,13 @@ def _build_encode_fn(sig):
 @lru_cache(maxsize=32)
 def _build_compact_fn(T: int):
     """Phase-C program: per-lane word buffers -> one dense byte stream of
-    T bytes (as T//4 int32 LE words).  Lane k's segment is the final
-    cleanup segment [p=0 | ms | mel | vlc-reversed | nm lo,hi, scup
-    lo,hi]; lanes with numbps == 0 contribute nothing.  The segment
-    layout and cumulative offsets are recomputed on device from the bit
-    counts, so this program needs NO host inputs beyond the buffers."""
+    T bytes (as T//4 int32 LE words).  Lane k contributes its three
+    CLEAN sub-streams back-to-back (ms | mel | vlc, byte-aligned); the
+    host then stuffs/interleaves them into wire segments with the C
+    batch assembler (native.ht_assemble_batch — byte-identical to
+    t1ht.scalar.assemble_cleanup).  Lanes with numbps == 0 contribute
+    nothing.  Offsets are recomputed on device from the bit counts, so
+    this program needs NO host inputs beyond the buffers."""
     import jax
     import jax.numpy as jnp
 
@@ -182,7 +184,7 @@ def _build_compact_fn(T: int):
         melb = (bits[1] + 7) >> 3
         vlcb = (bits[2] + 7) >> 3
         nzero = numbps > 0
-        seg = jnp.where(nzero, 1 + msb + melb + vlcb + 4, 0)
+        seg = jnp.where(nzero, msb + melb + vlcb, 0)
         cum = jnp.cumsum(seg)
         start = cum - seg
         k = jnp.arange(T, dtype=jnp.int32)
@@ -199,26 +201,13 @@ def _build_compact_fn(T: int):
             w = flat[idx]
             return (w >> ((q & 3) * 8)) & 0xFF
 
-        ms_q = r - 1
-        mel_q = r - 1 - msb_l
-        vlc_fwd = r - 1 - msb_l - melb_l
-        vlc_q = vlcb_l - 1 - vlc_fwd
-        suf = r - 1 - msb_l - melb_l - vlcb_l
-        nm = melb_l
-        scup = melb_l + vlcb_l + 4
-        val = jnp.zeros_like(k)          # r == 0: the p byte (cleanup p=0)
-        val = jnp.where((r >= 1) & (ms_q < msb_l),
-                        word_byte(ms_w, jnp.maximum(ms_q, 0)), val)
+        mel_q = r - msb_l
+        vlc_q = r - msb_l - melb_l
+        val = jnp.where(r < msb_l, word_byte(ms_w, jnp.maximum(r, 0)), 0)
         val = jnp.where((mel_q >= 0) & (mel_q < melb_l),
                         word_byte(mel_w, jnp.maximum(mel_q, 0)), val)
-        val = jnp.where((vlc_fwd >= 0) & (vlc_fwd < vlcb_l),
+        val = jnp.where((vlc_q >= 0) & (vlc_q < vlcb_l),
                         word_byte(vlc_w, jnp.maximum(vlc_q, 0)), val)
-        sufv = jnp.stack([nm & 0xFF, nm >> 8, scup & 0xFF, scup >> 8],
-                         axis=0)                       # (4, T)
-        val = jnp.where(suf >= 0,
-                        jnp.take_along_axis(
-                            sufv, jnp.clip(suf, 0, 3)[None, :],
-                            axis=0)[0], val)
         val = jnp.where(k < cum[NL - 1], val, 0)
         w4 = val.reshape(T // 4, 4)
         words = (w4[:, 0] | (w4[:, 1] << 8) | (w4[:, 2] << 16)
@@ -283,7 +272,7 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
     if LMS > 128 * 32:
         return None
     LMEL = _cap_bytes(((Wm * Hm // 4) * 6) // 8 + 16)
-    LVLC = _cap_bytes(((Wm * Hm // 4) * 13) // 8 + 16)
+    LVLC = _cap_bytes(((Wm * Hm // 4) * 15) // 8 + 16)
     # S stays at the kernel's native sublane count (8, or 1 under VMEM
     # pressure): intermediate S values are novel Mosaic shapes that have
     # been observed to send compiles off a cliff; idle lanes are cheap
@@ -321,8 +310,10 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
         return None
     if params.rates and any(r > 1 for r in params.rates):
         return None
-    from grok_tpu.ops.pallas_ht import ht_pallas_enabled
-    if not ht_pallas_enabled():
+    from grok_tpu.ops.pallas_ht import VLC_HAS_EK, ht_pallas_enabled
+    if not ht_pallas_enabled() or VLC_HAS_EK:
+        # EMB tables: the device encoder codes eps_k = 0 only — fall
+        # back to the host coder until it learns the suppression
         return None
 
     # same-shaped tiles (interior tiles of a grid) share one plan
@@ -374,13 +365,14 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
     bits_h = [np.asarray(b[3]) for b in launches]
     nbps_h = [np.asarray(b[4]) for b in launches]
 
+    from grok_tpu import native
     from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
     encs: list = []
     for li, (bits, nbps) in enumerate(zip(bits_h, nbps_h)):
         msb = (bits[0] + 7) >> 3
         melb = (bits[1] + 7) >> 3
         vlcb = (bits[2] + 7) >> 3
-        seg = np.where(nbps > 0, 1 + msb + melb + vlcb + 4, 0)
+        seg = np.where(nbps > 0, msb + melb + vlcb, 0)
         total = int(seg.sum())
         T = max(512, -(-total // 512) * 512)
         words = np.asarray(_build_compact_fn(T)(
@@ -389,12 +381,42 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
         byts = words.astype("<u4").view(np.uint8)
         starts = np.cumsum(seg) - seg
         n_here = min(N * B - li * NL, NL)
+        # stuff + interleave the clean streams into wire segments
+        pvals = np.where(nbps[:n_here] > 0, 0, -1).astype(np.int32)
+        ms_off = starts[:n_here]
+        mel_off = ms_off + msb[:n_here]
+        vlc_off = mel_off + melb[:n_here]
+        if native.available():
+            res = native.ht_assemble_batch(
+                byts, ms_off, bits[0, :n_here], mel_off, bits[1, :n_here],
+                vlc_off, bits[2, :n_here], pvals)
+            if res is None:
+                return None
+            out, olens = res
+            opos = np.cumsum(olens) - olens
+            segs = [bytes(out[int(o):int(o + l)]) if l else b""
+                    for o, l in zip(opos, olens)]
+        else:
+            from grok_tpu.t1ht.scalar import assemble_cleanup
+            segs = []
+            for lane in range(n_here):
+                if pvals[lane] < 0:
+                    segs.append(b"")
+                    continue
+                segs.append(assemble_cleanup(
+                    0,
+                    (bytes(byts[ms_off[lane]:mel_off[lane]]),
+                     int(bits[0, lane])),
+                    (bytes(byts[mel_off[lane]:vlc_off[lane]]),
+                     int(bits[1, lane])),
+                    (bytes(byts[vlc_off[lane]:vlc_off[lane]
+                                + vlcb[lane]]), int(bits[2, lane]))))
         for lane in range(n_here):
             if nbps[lane] == 0:
                 encs.append(EncodedBlock())
                 continue
-            sl = int(seg[lane])
-            data = bytes(byts[int(starts[lane]):int(starts[lane]) + sl])
+            data = segs[lane]
+            sl = len(data)
             encs.append(EncodedBlock(
                 data=data, numbps=int(nbps[lane]),
                 passes=[PassInfo(rate=sl, dist=0.0, term=True)],

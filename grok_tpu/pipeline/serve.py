@@ -63,6 +63,9 @@ class ServePlan:
     rok: np.ndarray                   # block contributes at this reduce
     comps_sig: tuple
     mct_mode: int
+    blk_rect: np.ndarray              # (n, 4) absolute band-coord rects
+    blk_band: np.ndarray              # (n,) index into band_info
+    band_info: list                   # (c, r, orient, nl) per band
 
 
 def _pow2_at_least(v: int, lo: int = 4, hi: int = 64) -> int:
@@ -111,6 +114,9 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
     # ctx (c, r, p) -> band -> cblk
     comp_l, mb_l, bw_l, bh_l, bucket_l, tails = [], [], [], [], [], []
     rok_l = []
+    blk_rect_l, blk_band_l = [], []
+    band_info: list = []
+    band_ids: dict = {}
     bucket_ids: dict = {}
     bucket_dims: list = []
     for (c, r, p) in ctx_keys:
@@ -121,6 +127,10 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
         numres_c = geo.styles[c].num_resolutions
         r_lim_c = max(numres_c - reduce, 1) if reduce else numres_c
         for band_i, bg in enumerate(rg.bands):
+            bkey = (c, r, bg.orient, numres_c - 1)
+            bid_w = band_ids.setdefault(bkey, len(band_ids))
+            if bid_w == len(band_info):
+                band_info.append(bkey)
             mb = quant.mb(r, bg.orient)
             delta = float(quant.delta(r, bg.orient))
             bp = bg.precincts[p]
@@ -130,6 +140,9 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
                 bw_l.append(cb.rect.w)
                 bh_l.append(cb.rect.h)
                 rok_l.append(r < r_lim_c)
+                blk_rect_l.append((cb.rect.x0, cb.rect.y0,
+                                   cb.rect.x1, cb.rect.y1))
+                blk_band_l.append(bid_w)
                 if cb.rect.w > 64 or cb.rect.h > 64:
                     return None   # beyond the device kernels' bucket cap
                 key = (_pow2_at_least(cb.rect.w), _pow2_at_least(cb.rect.h))
@@ -182,7 +195,9 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
         bw=np.asarray(bw_l, np.int32), bh=np.asarray(bh_l, np.int32),
         bucket=np.asarray(bucket_l, np.int32), bucket_dims=bucket_dims,
         sig_tail=tails, coder=coder, rok=np.asarray(rok_l, bool),
-        comps_sig=tuple(comps_sig), mct_mode=mct_mode)
+        comps_sig=tuple(comps_sig), mct_mode=mct_mode,
+        blk_rect=np.asarray(blk_rect_l, np.int64).reshape(-1, 4),
+        blk_band=np.asarray(blk_band_l, np.int32), band_info=band_info)
 
 
 def _plan_for(cs: bytes, hdr, t: int, th,
@@ -215,8 +230,7 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
     launches, the N bodies go up as one buffer, and per-stream inverse
     DWT/MCT run inside the same jit.  Returns a list of N per-component
     array lists, or None (caller decodes individually / falls back)."""
-    if (dp.window is not None or dp.max_layers
-            or dp.mesh is not None or hdr.ppm is not None):
+    if dp.mesh is not None or hdr.ppm is not None:
         return None
     if (th.cod is not None or th.qcd is not None or th.coc or th.qcc
             or th.rgn or th.pocs or th.ppt is not None):
@@ -226,6 +240,29 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
     plan = _plan_for(cs, hdr, t, th, int(dp.reduce or 0))
     if plan is None:
         return None
+
+    # region decode: keep only blocks whose band rect intersects the
+    # synthesis-dilated window (same mask as the general path's
+    # band_window selection); everything else decodes as zeros and the
+    # caller reads pixels inside the window, exactly like decode_tile's
+    # windowed output (full-resolution arrays, valid in the window)
+    wmask = None
+    if dp.window is not None:
+        from grok_tpu.core.geometry import Rect
+        from grok_tpu.pipeline.tile import band_window
+        geo = plan.geo
+        wins = np.empty((len(plan.band_info), 4), np.int64)
+        for bi, (c, r, orient, nl) in enumerate(plan.band_info):
+            dx, dy = geo.subsampling[c]
+            sub = Rect(*dp.window).intersect(geo.rect).ceil_scale(dx, dy)
+            w = band_window(sub, nl, r, orient)
+            wins[bi] = (w.x0, w.y0, w.x1, w.y1)
+        wb = wins[plan.blk_band]
+        br = plan.blk_rect
+        wmask = ((np.maximum(br[:, 0], wb[:, 0])
+                  < np.minimum(br[:, 2], wb[:, 2]))
+                 & (np.maximum(br[:, 1], wb[:, 1])
+                    < np.minimum(br[:, 3], wb[:, 3])))
     if plan.coder == "ht":
         if dp.strict:
             return None   # strict HT decode needs the validating scalar
@@ -249,10 +286,23 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
         if parsed is None:
             return None
         incl, zb, npass, chunks, _end = parsed
+        incl = np.asarray(incl, bool)
+        if dp.max_layers:
+            # layer-capped decode: drop chunks of layers past the cap
+            # and rebuild inclusion/pass counts from what remains (zb
+            # stays valid — it was signaled at first inclusion)
+            chunks = chunks[chunks[:, 1] < dp.max_layers]
+            npass = np.zeros_like(npass)
+            np.add.at(npass, chunks[:, 0], chunks[:, 3])
+            incl = np.zeros_like(incl)
+            incl[chunks[:, 0]] = True
         if len(chunks) != int(np.count_nonzero(incl)) \
                 or (chunks[:, 2] != 0).any():
             return None   # serving shape: one codeword segment per block
-        idx = np.nonzero(np.asarray(incl, bool) & plan.rok)[0]
+        keep = incl & plan.rok
+        if wmask is not None:
+            keep &= wmask
+        idx = np.nonzero(keep)[0]
         if idx.size == 0:
             return None
         offs = np.zeros(plan.n_blks, np.int64)

@@ -1,6 +1,12 @@
-"""Multi-host scaffolding, degenerate single-process mode (SURVEY §7
-phase 6): the same entry points activate jax.distributed and
-process_allgather on a real pod slice."""
+"""Multi-host scaffolding (SURVEY §7 phase 6): the degenerate
+single-process mode in-process, plus a REAL 2-process jax.distributed
+run (CPU Gloo backend, subprocess workers) exercising the
+non-degenerate init / varlen gather / process-sharded encode paths."""
+
+import os
+import subprocess
+import sys
+import textwrap
 
 import numpy as np
 
@@ -33,3 +39,58 @@ def test_compress_distributed_rejects_container_modes():
     with pytest.raises(ValueError):
         compress_distributed(np.zeros((16, 16), np.uint8),
                              CompressParams(jp2=True))
+
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]; outp = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from grok_tpu.parallel.distributed import (compress_distributed,
+                                               gather_bytes_to_host0,
+                                               init_distributed)
+    got = init_distributed(coordinator=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+    assert got == (pid, 2), got
+    # varlen gather: different blob sizes per process
+    blobs = gather_bytes_to_host0(bytes([pid]) * (10 + 90 * pid))
+    assert blobs == [b"\\x00" * 10, b"\\x01" * 100], [len(b) for b in blobs]
+    from grok_tpu.core.params import CompressParams
+    from grok_tpu.util.oracle import synthetic_image
+    img = synthetic_image(200, 168, 1, seed=11)
+    cp = CompressParams(tile_w=64, tile_h=64, num_resolutions=3,
+                        write_tlm=True)
+    data = compress_distributed(img, cp)
+    if pid == 0:
+        open(outp, "wb").write(data)
+    else:
+        assert data is None
+""")
+
+
+def test_two_process_jax_distributed(tmp_path):
+    """First-class multi-process execution: 2 CPU processes via
+    jax.distributed (Gloo collectives) run the NON-degenerate branches
+    of init_distributed, gather_bytes_to_host0, and
+    compress_distributed; the assembled stream is byte-identical to the
+    single-process encoder."""
+    outp = tmp_path / "dist.j2k"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    env.pop("GROK_COORDINATOR", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _WORKER, str(i), "29811", str(outp)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=480)
+        outs.append(out.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), outs
+    img = synthetic_image(200, 168, 1, seed=11)
+    cp = CompressParams(tile_w=64, tile_h=64, num_resolutions=3,
+                        write_tlm=True)
+    assert outp.read_bytes() == compress(img, cp), outs

@@ -3,6 +3,14 @@
 Runs in interpret mode on the CPU suite (the Mosaic path is exercised on
 real TPU hardware — see docs/PERF.md; the kernel compiles and is
 bit-exact there since the all-2D layout rework).
+
+The DEFAULT suite runs one tiny DECODE config (8x8 blocks, 2-3
+bitplanes, plain + every mode-switch family in a single launch, ~2 min
+of interpret-mode execution) so the MQ decode kernel is never
+skip-only in plain `pytest tests/ -q`.  The ENCODE kernel's interpret
+execution is >9 min even at this size (per-pass or_bits staging), so
+it stays gated behind GROK_RUN_PALLAS_TESTS with the larger sweeps;
+its Mosaic path is exercised on hardware (tools/hw_validate.py).
 """
 
 import os
@@ -12,12 +20,40 @@ import pytest
 
 from grok_tpu.t1.t1_scalar import encode_block
 
-pytestmark = pytest.mark.skipif(
+_gated = pytest.mark.skipif(
     not os.environ.get("GROK_RUN_PALLAS_TESTS"),
     reason="interpret-mode trace of the full kernel takes minutes; "
            "set GROK_RUN_PALLAS_TESTS=1 (or run on TPU hardware)")
 
 
+def test_pallas_mq_tiny_default_suite():
+    """Default-suite coverage of the MQ decode kernel: one tiny launch
+    mixing plain + BYPASS + all-switches (0x3F covers TERMALL, RESET,
+    VSC, SEGSYM too), 8x8 / 2-3 bitplanes."""
+    from grok_tpu.ops.pallas_t1 import decode_bucket_pallas
+    from grok_tpu.t1.t1_scalar import decode_block
+
+    rng = np.random.default_rng(5)
+    styles = [0x00, 0x01, 0x3F]
+    blocks, refs = [], []
+    for i, style in enumerate(styles):
+        mag = np.abs(rng.normal(0, 1.5, (8, 8))).astype(np.int64)
+        mag[rng.random((8, 8)) < 0.5] = 0
+        mag[0, 0] = max(int(mag[0, 0]), 2)
+        neg = rng.random((8, 8)) < 0.5
+        enc = encode_block(mag, neg, i % 4, style)
+        blocks.append(dict(data=enc.data, seg_lens=enc.seg_lens,
+                           numpasses=enc.numpasses, numbps=enc.numbps,
+                           orient=i % 4, w=8, h=8, style=style))
+        refs.append(decode_block(enc.data, enc.seg_lens, enc.numpasses,
+                                 enc.numbps, i % 4, 8, 8, style))
+    res = decode_bucket_pallas(blocks, 8, 8, interpret=True)
+    for j, ((m2, ng), (rm2, rng_)) in enumerate(zip(res, refs)):
+        assert np.array_equal(m2, rm2), f"lane {j} style {styles[j]:#x}"
+        assert np.array_equal(ng[rm2 > 0], rng_[rm2 > 0]), f"lane {j}"
+
+
+@_gated
 @pytest.mark.parametrize("seed", [0])
 def test_pallas_interpret_bit_exact(seed):
     from grok_tpu.ops.pallas_t1 import decode_bucket_pallas
@@ -38,6 +74,7 @@ def test_pallas_interpret_bit_exact(seed):
         assert np.array_equal(neg[m > 0], n[m > 0]), f"lane {j} sign"
 
 
+@_gated
 @pytest.mark.parametrize("seed", [0])
 def test_pallas_encoder_interpret_bit_exact(seed):
     import jax.numpy as jnp
@@ -64,6 +101,7 @@ def test_pallas_encoder_interpret_bit_exact(seed):
         assert got == ref.data, f"lane {j}"
 
 
+@_gated
 @pytest.mark.parametrize("seed", [0])
 def test_pallas_styled_interpret_bit_exact(seed):
     """Round-2 capability: every Part-1 mode switch decodes in-kernel

@@ -176,6 +176,51 @@ def test_serving_reduced_resolution():
             assert np.array_equal(got, ref)
 
 
+def test_serving_window_and_layer_cap(monkeypatch):
+    """Region decode and layer-capped decode ride the serving path (the
+    plan cache + block mask), matching the general path inside the
+    window; the general decode_tile is patched to a bomb to prove no
+    fallback happens."""
+    from grok_tpu.api import decompress_device
+    from grok_tpu.pipeline import tile as tile_pipe
+    img = synthetic_image(128, 96, 1, seed=21)
+    data = compress(img, CompressParams(ht=True, num_resolutions=3,
+                                        cblk_w_exp=5, cblk_h_exp=5))
+    win = (40, 24, 104, 80)
+    ref = decompress(data, DecompressParams(window=win,
+                                            strict=False)).to_array()
+
+    def bomb(*a, **k):
+        raise AssertionError("serving path fell back to decode_tile")
+    monkeypatch.setattr(tile_pipe, "decode_tile", bomb)
+    # window: full-resolution arrays, valid inside the window
+    got = np.asarray(decompress_device(
+        data, DecompressParams(window=win))[0])
+    assert got.shape == img.shape
+    assert np.array_equal(got[win[1]:win[3], win[0]:win[2]], ref)
+    # layer cap on a single-layer stream: full image
+    got1 = np.asarray(decompress_device(
+        data, DecompressParams(max_layers=1))[0])
+    assert np.array_equal(got1, img)
+
+
+def test_serving_layer_cap_multilayer():
+    """max_layers=1 on a 2-layer HT stream decodes the first layer only,
+    matching the general path (HT cleanup passes land in one layer per
+    block, so the serving single-segment shape still holds)."""
+    from grok_tpu.api import decompress_device
+    img = synthetic_image(96, 96, 1, seed=22)
+    data = compress(img, CompressParams(ht=True, num_resolutions=3,
+                                        cblk_w_exp=5, cblk_h_exp=5,
+                                        num_layers=2, rates=[8, 1]))
+    for cap in (1, 2):
+        dp = DecompressParams(max_layers=cap, strict=False)
+        ref = decompress(data, dp).to_array()
+        got = np.asarray(decompress_device(
+            data, DecompressParams(max_layers=cap))[0])
+        assert np.array_equal(got, ref), cap
+
+
 def test_serving_corrupt_streams_never_crash():
     """Corrupted bodies must decode to something or fall back — never
     raise through decompress_device (permissive serving)."""

@@ -13,10 +13,14 @@ see CLAUDE.md).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-import numpy as np
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np  # noqa: E402
 
 
 def _setup_jax():
@@ -78,6 +82,8 @@ def run_ht_dec(jax, w=32, h=32, nblocks=1024):
     assert all(elig)
     mx = max(max(len(s) for s in j["_ht_hdr"][1:4]) for j in jobs)
     S = min(sublanes_for_ht(w, h, mx), -(-len(jobs) // 128))
+    if len(jobs) > S * 128:        # one launch only: trim to capacity
+        jobs, refs = jobs[:S * 128], refs[:S * 128]
     ms_d, mel_d, vlc_d, pv, wh, valid = pack_ht_for_pallas(jobs, S)
     args = [jnp.asarray(a) for a in (ms_d, mel_d, vlc_d, pv, wh, valid)]
 

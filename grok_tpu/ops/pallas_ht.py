@@ -259,7 +259,7 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
         return jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * nd, 0)
 
     def kernel(ms_ref, mel_ref, vlc_ref, p_ref, wh_ref, valid_ref,
-               lut_ref, out_ref, rho_ref, eb_ref, ms_st, mel_st, vlc_st,
+               lut_ref, out_ref, rho_ref, ms_st, mel_st, vlc_st,
                ms_ba, mel_ba, vlc_ba, ms_mid, ms_mba):
         if S == 1:
             p_l = p_ref[...]
@@ -275,8 +275,10 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
         gh_l = (hv + 1) >> 1
 
         out_ref[...] = jnp.zeros((H, W) + arr_tail, jnp.int32)
+        # one scratch row-grid holds BOTH per-quad states packed as
+        # (ebot << 4) | rho: rho <= 15, ebot <= 25 — zero extra VMEM
+        # and the quad-above read serves context and kappa at once
         rho_ref[...] = jnp.zeros((GH + 1, GW + 2) + arr_tail, jnp.int32)
-        eb_ref[...] = jnp.zeros((GH + 1, GW + 2) + arr_tail, jnp.int32)
         for st in (ms_st, mel_st):
             st[...] = jnp.zeros((64,) + arr_tail, jnp.int32)
         vlc_st[...] = jnp.zeros((96,) + arr_tail, jnp.int32)
@@ -410,9 +412,10 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
             # sample-level context: right column of the left quad,
             # bottom row of the quad above, bottom-left of above-right
             # (tables.quad_ctx)
-            left = row_read(rho_ref, g + 1, qx)
-            top = row_read(rho_ref, g, qx + 1)
-            topr = row_read(rho_ref, g, qx + 2)
+            left = row_read(rho_ref, g + 1, qx) & 0xF
+            top_p = row_read(rho_ref, g, qx + 1)
+            top = top_p & 0xF
+            topr = row_read(rho_ref, g, qx + 2) & 0xF
             c = ((left & 0b1100) != 0).astype(jnp.int32) | \
                 (((top & 0b1010) != 0).astype(jnp.int32) << 1) | \
                 (((topr & 0b0010) != 0).astype(jnp.int32) << 2)
@@ -484,7 +487,7 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
             vlc_bp = vlc_bp + jnp.where(umask, ulen, 0)
 
             # -- exponent bound U = kappa + u ------------------------------
-            eb_above = row_read(eb_ref, g, qx + 1)
+            eb_above = top_p >> 4
             multi = (rho & (rho - 1)) != 0
             kappa = jnp.where(multi, jnp.maximum(1, eb_above - 1), 1)
             # valid streams have U <= numbps - p + 1 <= 25 (eligibility);
@@ -514,9 +517,8 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
 
             # -- state + output writes -------------------------------------
             rowr = rho_ref[g + 1]
-            rho_ref[g + 1] = jnp.where((qiota == qx + 1) & act, rho, rowr)
-            rowe = eb_ref[g + 1]
-            eb_ref[g + 1] = jnp.where((qiota == qx + 1) & act, ebot, rowe)
+            rho_ref[g + 1] = jnp.where((qiota == qx + 1) & act,
+                                       rho | (ebot << 4), rowr)
 
             in_y1 = (2 * g + 1) < hv
             in_x1 = (2 * qx + 1) < wv
@@ -558,8 +560,7 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # rho
-            pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # ebot
+            pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # rho+eb
             pltpu.VMEM((64,) + arr_tail, jnp.int32),             # ms win
             pltpu.VMEM((64,) + arr_tail, jnp.int32),             # mel win
             pltpu.VMEM((96,) + arr_tail, jnp.int32),             # vlc win
@@ -585,7 +586,7 @@ def sublanes_for_ht(W: int, H: int, max_stream: int = 0) -> int:
     lanes per launch instead of collapsing straight to 128 — launch
     time is nearly S-independent, so this is ~S× decode throughput."""
     GH, GW = (H + 1) // 2, (W + 1) // 2
-    words = H * W + 2 * (GH + 1) * (GW + 2)       # rho + ebot scratch
+    words = H * W + (GH + 1) * (GW + 2)    # packed (ebot<<4)|rho scratch
     words += 64 + 64 + 96 + 10 * 32 + 4    # windows + MagSgn mid + bases
     if max_stream:
         words += _quant_len(max_stream) + 2 * 256   # ms + mel + vlc pairs

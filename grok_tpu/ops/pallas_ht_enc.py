@@ -111,7 +111,7 @@ def pallas_ht_encode(mneg, pv, wh, valid,
     def kernel(mneg_ref, p_ref, wh_ref, valid_ref, lut_ref,
                ms_ref, mel_ref, vlc_ref,
                msb_ref, melb_ref, vlcb_ref,
-               rho_ref, eb_ref, ms_st, mel_st, vlc_st,
+               rho_ref, ms_st, mel_st, vlc_st,
                ms_ba, mel_ba, vlc_ba, ms_mid, ms_mba):
         if S == 1:
             p_l = p_ref[...]
@@ -128,8 +128,10 @@ def pallas_ht_encode(mneg, pv, wh, valid,
 
         for ref, Lb in ((ms_ref, LMS), (mel_ref, LMEL), (vlc_ref, LVLC)):
             ref[...] = jnp.zeros((Lb // 32, 8) + arr_tail, jnp.int32)
+        # one scratch grid holds BOTH per-quad states packed as
+        # (ebot << 4) | rho (rho <= 15, ebot <= 25): zero extra VMEM,
+        # and the quad-above read serves context and kappa at once
         rho_ref[...] = jnp.zeros((GH + 1, GW + 2) + arr_tail, jnp.int32)
-        eb_ref[...] = jnp.zeros((GH + 1, GW + 2) + arr_tail, jnp.int32)
         for st in (ms_st, mel_st):
             st[...] = jnp.zeros((16,) + arr_tail, jnp.int32)
         vlc_st[...] = jnp.zeros((24,) + arr_tail, jnp.int32)
@@ -277,12 +279,6 @@ def pallas_ht_encode(mneg, pv, wh, valid,
                 return v
             return jnp.sum(v, axis=0)
 
-        def eb_read(gi, qi):
-            v = eb_ref[gi, pl.ds(qi, 1)]
-            if S == 1:
-                return v
-            return jnp.sum(v, axis=0)
-
         def sample(y, x):
             v = mneg_ref[y, pl.ds(x, 1)]
             if S == 1:
@@ -333,9 +329,10 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             rho = sig[0] | (sig[1] << 1) | (sig[2] << 2) | (sig[3] << 3)
 
             # sample-level context (tables.quad_ctx)
-            left = rho_read(g + 1, qx)
-            top = rho_read(g, qx + 1)
-            topr = rho_read(g, qx + 2)
+            left = rho_read(g + 1, qx) & 0xF
+            top_p = rho_read(g, qx + 1)
+            top = top_p & 0xF
+            topr = rho_read(g, qx + 2) & 0xF
             c = ((left & 0b1100) != 0).astype(jnp.int32) | \
                 (((top & 0b1010) != 0).astype(jnp.int32) << 1) | \
                 (((topr & 0b0010) != 0).astype(jnp.int32) << 2)
@@ -376,7 +373,7 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             Es = [bitlen(v) for v in vbits]
             Emax = jnp.maximum(jnp.maximum(Es[0], Es[1]),
                                jnp.maximum(Es[2], Es[3]))
-            eb_above = eb_read(g, qx + 1)
+            eb_above = top_p >> 4
             multi = (rho & (rho - 1)) != 0
             kappa = jnp.where(multi, jnp.maximum(1, eb_above - 1), 1)
             U = jnp.maximum(kappa, Emax)
@@ -425,9 +422,8 @@ def pallas_ht_encode(mneg, pv, wh, valid,
                     ebot = jnp.maximum(ebot, jnp.where(m_i, Es[i], 0))
 
             rowr = rho_ref[g + 1]
-            rho_ref[g + 1] = jnp.where((qiota == qx + 1) & act, rho, rowr)
-            rowe = eb_ref[g + 1]
-            eb_ref[g + 1] = jnp.where((qiota == qx + 1) & act, ebot, rowe)
+            rho_ref[g + 1] = jnp.where((qiota == qx + 1) & act,
+                                       rho | (ebot << 4), rowr)
             return (ms_bp, mel_bp, vlc_bp, k, run)
 
         def outer_body(o, carry):
@@ -485,8 +481,7 @@ def pallas_ht_encode(mneg, pv, wh, valid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6),
         scratch_shapes=[
-            pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # rho
-            pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # ebot
+            pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # rho+eb
             pltpu.VMEM((16,) + arr_tail, jnp.int32),             # ms stage
             pltpu.VMEM((16,) + arr_tail, jnp.int32),             # mel stage
             pltpu.VMEM((24,) + arr_tail, jnp.int32),             # vlc stage
@@ -608,20 +603,53 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
                 by[3::4] = (col >> 24) & 0xFF
                 return by[:nbytes].tobytes()
 
-            from grok_tpu.t1ht.scalar import assemble_cleanup
+            # wire assembly: C batch assembler when built (the Python
+            # per-bit stuffing costs ~1.7 s per 1024-block launch on
+            # the 1-vCPU host), byte-identical by test either way
+            from grok_tpu import native
+            use_c = native.available()
+            if use_c:
+                nb = len(chunk)
+                parts, offs, bcnts = [], np.zeros((3, nb), np.int64), \
+                    np.zeros((3, nb), np.int64)
+                pos = 0
+                for j in range(nb):
+                    if S > 1:
+                        bl = bits[:, j // LANES, j % LANES]
+                    else:
+                        bl = bits[:, j]
+                    for si, wbuf in enumerate((ms_w, mel_w, vlc_w)):
+                        by = lane_bytes(wbuf, j, -(-int(bl[si]) // 8))
+                        parts.append(by)
+                        offs[si, j] = pos
+                        bcnts[si, j] = int(bl[si])
+                        pos += len(by)
+                buf = np.frombuffer(b"".join(parts) + b"\0", np.uint8)
+                res = native.ht_assemble_batch(
+                    buf, offs[0], bcnts[0], offs[1], bcnts[1],
+                    offs[2], bcnts[2], np.zeros(nb, np.int32))
+                out_b, olens = res
+                opos = np.cumsum(olens) - olens
+                segs = [bytes(out_b[int(o):int(o + l)])
+                        for o, l in zip(opos, olens)]
+            else:
+                from grok_tpu.t1ht.scalar import assemble_cleanup
             for j, i in enumerate(chunk):
                 b = blocks[i]
-                if S > 1:
-                    ms_bits, mel_bits, vlc_bits = bits[:, j // LANES,
-                                                       j % LANES]
+                if use_c:
+                    cleanup = segs[j]
                 else:
-                    ms_bits, mel_bits, vlc_bits = bits[:, j]
-                ms = lane_bytes(ms_w, j, -(-int(ms_bits) // 8))
-                mel = lane_bytes(mel_w, j, -(-int(mel_bits) // 8))
-                vlc = lane_bytes(vlc_w, j, -(-int(vlc_bits) // 8))
-                cleanup = assemble_cleanup(
-                    0, (ms, int(ms_bits)), (mel, int(mel_bits)),
-                    (vlc, int(vlc_bits)))
+                    if S > 1:
+                        ms_bits, mel_bits, vlc_bits = bits[:, j // LANES,
+                                                           j % LANES]
+                    else:
+                        ms_bits, mel_bits, vlc_bits = bits[:, j]
+                    ms = lane_bytes(ms_w, j, -(-int(ms_bits) // 8))
+                    mel = lane_bytes(mel_w, j, -(-int(mel_bits) // 8))
+                    vlc = lane_bytes(vlc_w, j, -(-int(vlc_bits) // 8))
+                    cleanup = assemble_cleanup(
+                        0, (ms, int(ms_bits)), (mel, int(mel_bits)),
+                        (vlc, int(vlc_bits)))
                 mag = np.asarray(b["mag"], np.int64)
                 numbps = nbps_all[i]
                 sig = mag > 0

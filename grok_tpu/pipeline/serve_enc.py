@@ -10,8 +10,11 @@ a small per-lane bit-count table.  The host then runs Tier-2 packet
 emission over the downloaded segments.
 
 Scope (falls back to the general encoder otherwise): HT cleanup-only
-styles, single quality layer with no byte/quality targets, no ROI, no
-custom MCT, no mesh, default precincts.  The reversible path produces
+styles, no ROI, no custom MCT, no mesh, default precincts.  Multi-layer
+and byte-rate-targeted encodes STAY on the device path: the kernel
+emits exact per-block distortion stats and the host runs the same PCRD
++ prepared-emitter finish as the general encoder
+(pipeline.tile.finish_tile_encode).  The reversible path produces
 codestreams byte-identical to the host encoder (the Pallas HT kernel is
 byte-exact vs t1ht.scalar); the irreversible path quantizes in f32 on
 device (vs f64 on host), so streams are self-consistent but may differ
@@ -44,6 +47,7 @@ class EncPlan:
     bucket: tuple            # (W, H, S, LMS, LMEL, LVLC, nlaunch)
     lane_block: list         # lane -> (c, r, p, band_i, cblk_i) or None
     lane_mb: np.ndarray      # Mb per lane
+    lane_w: np.ndarray       # PCRD distortion weight per lane
     sig: tuple               # full signature for _build_encode_fn
 
 
@@ -157,8 +161,32 @@ def _build_encode_fn(sig):
                 ms_w = ms_w.reshape(-1, NL)
                 mel_w = mel_w.reshape(-1, NL)
                 vlc_w = vlc_w.reshape(-1, NL)
+            # per-lane EXACT distortion components for PCRD, in int32
+            # splits (mag <= 2^24: m^2 = t1*2^24 + 2*t2*2^12 + t3 with
+            # 12-bit halves; chunked reduce + hi/lo carry keeps every
+            # partial exactly representable) — the host reconstructs
+            # d_clean = sum_sig m^2 - 0.25*nsig in f64, matching the
+            # scalar coder's value bit-for-bit for Mb <= 26 content
+            mag = mneg >> 1
+            mhi = mag >> 12
+            mlo = mag & 4095
+            HW = H * W
+            ch = min(64, HW)
+
+            def exact_sum(x):
+                p0 = jnp.sum(x.reshape(HW // ch, ch, NL), axis=1)
+                return (jnp.sum(p0 >> 16, axis=0),
+                        jnp.sum(p0 & 0xFFFF, axis=0))
+
+            parts = []
+            for x in (mhi * mhi, mhi * mlo, mlo * mlo):
+                hi, lo = exact_sum(x)
+                parts += [hi, lo]
+            parts.append(jnp.sum((mag > 0).astype(jnp.int32)
+                                 .reshape(HW, NL), axis=0))
+            dstat = jnp.stack(parts, axis=0)            # (7, NL)
             results.append((ms_w, mel_w, vlc_w, bits,
-                            numbps * jnp.asarray(vld)))
+                            numbps * jnp.asarray(vld), dstat))
         return tuple(results)
 
     return run
@@ -218,8 +246,10 @@ def _build_compact_fn(T: int):
 
 
 def _build_plan(hdr, t: int, params) -> EncPlan | None:
+    from grok_tpu.core.quant import band_level, band_norm
     from grok_tpu.ops.pallas_ht_enc import _cap_bytes, sublanes_for_ht_enc
     from grok_tpu.pipeline.tile import TileGeometry
+    from grok_tpu.transform.mct_np import mct_component_norms
 
     geo = TileGeometry.build(hdr, t)
     if geo.rgn or geo.custom_mct is not None:
@@ -228,15 +258,21 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
         return None
     if any(cs.prec_exps for cs in geo.styles):
         return None
+    mct_norms = mct_component_norms(bool(geo.styles[0].irreversible)) \
+        if geo.cod.mct else None
     mbmax = 0
     Wm = Hm = 4
     blocks = []               # (ci, r, orient, yoff, xoff, bh, bw)
     lane_block = []
     lane_mb = []
+    lane_w = []
     comps_sig = []
     for c, tcg in enumerate(geo.tcgs):
         quant = geo.quants[c]
         cs = geo.styles[c]
+        irrev = cs.irreversible
+        wc = float(mct_norms[c]) if mct_norms is not None and \
+            c < len(mct_norms) else 1.0
         bands_sig = []
         for rg in tcg.resolutions:
             for band_i, bg in enumerate(rg.bands):
@@ -244,6 +280,13 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
                                   float(quant.delta(rg.r, bg.orient))))
                 mb = quant.mb(rg.r, bg.orient)
                 mbmax = max(mbmax, mb)
+                # PCRD weight, op-for-op as pipeline.tile.encode_tile
+                delta = quant.delta(rg.r, bg.orient)
+                lvl = band_level(cs.num_resolutions, rg.r) \
+                    if rg.r > 0 else cs.num_resolutions - 1
+                bnorm = band_norm(irrev, max(lvl, 0), bg.orient) \
+                    if lvl > 0 else 1.0
+                w = (delta * bnorm * wc) ** 2
                 for p in range(rg.num_precincts):
                     for cblk_i, cb in enumerate(bg.precincts[p].cblks):
                         blocks.append((c, rg.r, bg.orient,
@@ -252,6 +295,7 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
                                        cb.rect.h, cb.rect.w))
                         lane_block.append((c, rg.r, p, band_i, cblk_i))
                         lane_mb.append(mb)
+                        lane_w.append(w)
                         Wm = max(Wm, _pow2_at_least(cb.rect.w))
                         Hm = max(Hm, _pow2_at_least(cb.rect.h))
         rect = geo.comp_rects[c]
@@ -287,7 +331,8 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
            (Wm, Hm, S, LMS, LMEL, LVLC, nlaunch), tuple(blocks))
     return EncPlan(geo=geo, bucket=(Wm, Hm, S, LMS, LMEL, LVLC, nlaunch),
                    lane_block=lane_block,
-                   lane_mb=np.asarray(lane_mb, np.int32), sig=sig)
+                   lane_mb=np.asarray(lane_mb, np.int32),
+                   lane_w=np.asarray(lane_w, np.float64), sig=sig)
 
 
 def try_encode_serving(image, hdr, t: int, params, pocs):
@@ -304,11 +349,8 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
     program, amortizing the per-frame host and dispatch overheads.
     Returns a list of TileEncodeResult (one per frame) or None if the
     config is outside the serving shape."""
-    if (params.num_layers != 1 or params.mesh is not None
-            or params.roi_rect is not None or params.write_ppm
-            or params.fixed_quality or pocs):
-        return None
-    if params.rates and any(r > 1 for r in params.rates):
+    if (params.mesh is not None or params.roi_rect is not None
+            or params.write_ppm or params.fixed_quality or pocs):
         return None
     from grok_tpu.ops.pallas_ht import VLC_HAS_EK, ht_pallas_enabled
     if not ht_pallas_enabled() or VLC_HAS_EK:
@@ -361,9 +403,19 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
     fn = _build_encode_fn(sig_n)
     launches = fn(tuple(comps))
 
-    # download the per-lane bit counts + numbps (small int32 tables)
+    # download the per-lane bit counts + numbps + distortion stats
+    # (small int32 tables)
     bits_h = [np.asarray(b[3]) for b in launches]
     nbps_h = [np.asarray(b[4]) for b in launches]
+    dist_h = []
+    for b in launches:
+        d = np.asarray(b[5]).astype(np.float64)
+        s1 = d[0] * 65536.0 + d[1]
+        s2 = d[2] * 65536.0 + d[3]
+        s3 = d[4] * 65536.0 + d[5]
+        # sum_sig m^2 - 0.25 * nsig, exact in f64 (scalar coder parity)
+        dist_h.append(s1 * 16777216.0 + 2.0 * s2 * 4096.0 + s3
+                      - 0.25 * d[6])
 
     from grok_tpu import native
     from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
@@ -411,6 +463,7 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
                      int(bits[1, lane])),
                     (bytes(byts[vlc_off[lane]:vlc_off[lane]
                                 + vlcb[lane]]), int(bits[2, lane]))))
+        dl = dist_h[li]
         for lane in range(n_here):
             if nbps[lane] == 0:
                 encs.append(EncodedBlock())
@@ -419,42 +472,46 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
             sl = len(data)
             encs.append(EncodedBlock(
                 data=data, numbps=int(nbps[lane]),
-                passes=[PassInfo(rate=sl, dist=0.0, term=True)],
+                passes=[PassInfo(rate=sl, dist=float(dl[lane]),
+                                 term=True)],
                 seg_lens=[sl], seg_passes=[1]))
 
-    return [_t2_for_frame(plan, geo, encs[fi * B:(fi + 1) * B])
+    # Tier-2 + rate control over the device-coded blocks: the same
+    # finish the host encoder runs (PCRD bisection, prepared C emitter),
+    # fed by the kernel's exact distortion stats — rate-targeted and
+    # multi-layer encodes stay on the device path (SURVEY.md §3.5,
+    # §2 row 13)
+    from grok_tpu.pipeline.tile import finish_tile_encode
+    targets = _layer_targets(hdr, geo, params)
+    jobs_meta = [dict(key=kb, weight=float(w), mb=int(mb))
+                 for kb, w, mb in zip(plan.lane_block, plan.lane_w,
+                                      plan.lane_mb)]
+    return [finish_tile_encode(geo, jobs_meta, encs[fi * B:(fi + 1) * B],
+                               targets)
             for fi in range(N)]
 
 
-def _t2_for_frame(plan, geo, encs):
-    """Tier-2 for one frame: single layer, all passes."""
-    from grok_tpu.pipeline.tile import TileEncodeResult
-    from grok_tpu.t2.progression import iter_packets
-    ctxs = geo.make_contexts()
-    for enc, keyb, mb in zip(encs, plan.lane_block, plan.lane_mb):
-        c, r, p, band_i, cblk_i = keyb
-        ctx = ctxs[(c, r, p)]
-        ctx.set_block(band_i, cblk_i, enc, int(mb))
-        ctx.eblocks[band_i][cblk_i].layer_cum = [len(enc.passes)]
-    from grok_tpu.t2.packet import EPH_MARKER, SOP_MARKER
-    pkts = []
-    for pc in iter_packets(geo.tcgs, geo.subsampling, 1,
-                           geo.cod.prog_order, geo.rect.x0, geo.rect.y0,
-                           None):
-        header, body = ctxs[(pc.comp, pc.res, pc.prec)].encode_packet(
-            pc.layer)
-        pkt = bytearray()
-        if geo.cod.sop:
-            idx = len(pkts) & 0xFFFF
-            pkt += SOP_MARKER + bytes([0, 4, idx >> 8, idx & 0xFF])
-        pkt += header
-        if geo.cod.eph:
-            pkt += EPH_MARKER
-        pkt += body
-        pkts.append(bytes(pkt))
-    body = b"".join(pkts)
-    return TileEncodeResult(packets=pkts, packet_lens=[len(p) for p in pkts],
-                            body=body)
+def _layer_targets(hdr, geo, params):
+    """Cumulative per-layer byte budgets for this tile, op-for-op as
+    api.compress computes them (byte-identity with the host path)."""
+    if not (params.rates and any(r > 1 for r in params.rates)):
+        return [None] * params.num_layers
+    from grok_tpu.api import _main_header_bytes
+    siz = hdr.siz
+    raw_bytes = sum((siz.xsiz - siz.xosiz) * (siz.ysiz - siz.yosiz)
+                    * c.prec / 8.0 / (c.dx * c.dy) for c in hdr.comps)
+    total_pixels = (siz.xsiz - siz.xosiz) * (siz.ysiz - siz.yosiz)
+    mh_probe = _main_header_bytes(hdr, params, None)
+    header_overhead = len(mh_probe) + siz.num_tiles * 14 + 2
+    frac = (geo.rect.w * geo.rect.h) / max(total_pixels, 1)
+    targets: list[float | None] = []
+    for l in range(params.num_layers):
+        if params.rates and params.rates[l] > 1:
+            budget = raw_bytes / params.rates[l] - header_overhead
+            targets.append(max(budget, 100.0) * frac)
+        else:
+            targets.append(None)
+    return targets
 
 
 def _hdr_key(hdr):

@@ -252,8 +252,6 @@ def encode_tile(image: Image, geo: TileGeometry,
     backend = _resolve_backend(backend)
     with trace("dwt_fwd"):
         all_bands = _forward_transform(image, geo, mesh=mesh)
-    ctxs = geo.make_contexts()
-    num_layers = geo.cod.num_layers
 
     # collect per-block encode jobs
     _roi_warned: set[int] = set()
@@ -356,6 +354,26 @@ def encode_tile(image: Image, geo: TileGeometry,
                 encs[i] = encode_block(j["mag"], j["neg"], j["orient"],
                                        j["style"])
 
+    return finish_tile_encode(geo, ejobs, encs, layer_targets,
+                              quality_targets=quality_targets, pocs=pocs,
+                              split_headers=split_headers, mesh=mesh)
+
+
+def finish_tile_encode(geo: TileGeometry, ejobs: list[dict], encs: list,
+                       layer_targets: list | None,
+                       quality_targets: list | None = None,
+                       pocs: list | None = None,
+                       split_headers: bool = False,
+                       mesh=None) -> TileEncodeResult:
+    """Rate allocation + Tier-2 emission over already-coded blocks:
+    the host half of "device does the bitplane math, host does the
+    bytes".  ejobs need only key/weight/mb per block; encs are the
+    EncodedBlocks (any backend — the fused device encoder feeds this
+    directly, pipeline/serve_enc.py).  Runs PCRD (byte or quality
+    targets), the prepared C emitter when available, and the PPM
+    header-split mode, exactly as the host encoder does."""
+    ctxs = geo.make_contexts()
+    num_layers = geo.cod.num_layers
     hulls: list[Hull] = []
     rate_tables: list[np.ndarray] = []   # cumulative bytes per pass
     entry_keys: list[tuple] = []     # (c, r, p, band_i, cblk_i)

@@ -115,6 +115,38 @@ def test_serving_encode_irreversible_self_consistent():
     assert psnr(img, out) > 38
 
 
+def test_serving_encode_rate_targeted_byte_identical():
+    """Rate-targeted and multi-layer encodes STAY on the device path:
+    the kernel's exact distortion stats feed the same PCRD finish the
+    host runs, so streams are byte-identical to the host encoder."""
+    import dataclasses
+
+    from grok_tpu.pipeline import serve_enc, tile as tile_pipe
+    img = synthetic_image(128, 96, 1, seed=17)
+    for rates, layers in (([4.0], 1), ([8.0, 2.0], 2), ([6.0, 1.0], 2)):
+        ph = CompressParams(ht=True, num_resolutions=3, cblk_w_exp=5,
+                            cblk_h_exp=5, num_layers=layers, rates=rates)
+        a = compress(img, ph)
+        calls = []
+        orig = tile_pipe.encode_tile
+
+        def spy(*args, **kw):
+            calls.append(1)
+            return orig(*args, **kw)
+        tile_pipe.encode_tile = spy
+        try:
+            b = compress(img, dataclasses.replace(ph, backend="jax"))
+        finally:
+            tile_pipe.encode_tile = orig
+        assert not calls, "device encode fell back to encode_tile"
+        assert a == b, (rates, layers)
+        out = decompress(b, DecompressParams(strict=False)).to_array()
+        assert out.shape == img.shape
+        # rate target respected (roughly: header overhead included)
+        raw = img.size
+        assert len(b) <= raw / rates[-1] * 1.4 + 600, (len(b), rates)
+
+
 def test_serving_encode_declines_non_ht():
     img = synthetic_image(64, 64, 1, seed=11)
     p = CompressParams(num_resolutions=3, backend="jax")  # Part-1 MQ

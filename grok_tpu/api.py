@@ -218,7 +218,8 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
                                         pocs=hdr.pocs,
                                         quality_targets=quality_targets,
                                         split_headers=params.write_ppm,
-                                        mesh=params.mesh)
+                                        mesh=params.mesh,
+                                        ht_planes=params.ht_planes)
         if params.write_ppm:
             ppm_chunks.append(res.headers)
         nparts = max(1, min(params.max_tile_parts, len(res.packets) or 1))

@@ -274,7 +274,8 @@ class Compressor:
                                         self._mct_norms,
                                         backend=self.params.backend,
                                         pocs=self._hdr.pocs,
-                                        mesh=self.params.mesh)
+                                        mesh=self.params.mesh,
+                                        ht_planes=self.params.ht_planes)
         plt_seg = j2k.write_plt(res.packet_lens) if self.params.write_plt \
             else b""
         psot = 12 + len(plt_seg) + 2 + len(res.body)

@@ -103,6 +103,17 @@ class CompressParams:
     max_tile_parts: int = 1
     # HTJ2K
     ht: bool = False
+    ht_planes: int = 0          # HT lossy refinement: code the cleanup
+                                # pass at plane p=ht_planes and add HT
+                                # SigProp + MagRef passes refining plane
+                                # p-1 (3 truncation points per block for
+                                # PCRD).  Measured on the 256^2 bench
+                                # image: +0.3..+1.2 dB at 4:1..16:1 over
+                                # cleanup-only (docs/PERF.md).  p=1 keeps
+                                # losslessness; p>=2 drops planes p-2..0.
+                                # Host coder path (the fused device
+                                # encoder declines; its kernel codes
+                                # cleanup-only).
     # container
     jp2: bool = False           # wrap codestream in JP2 boxes
     # execution backend for the block coder: "auto" (native C if built,

@@ -350,7 +350,8 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
     Returns a list of TileEncodeResult (one per frame) or None if the
     config is outside the serving shape."""
     if (params.mesh is not None or params.roi_rect is not None
-            or params.write_ppm or params.fixed_quality or pocs):
+            or params.write_ppm or params.fixed_quality or pocs
+            or params.ht_planes):
         return None
     from grok_tpu.ops.pallas_ht import VLC_HAS_EK, ht_pallas_enabled
     if not ht_pallas_enabled() or VLC_HAS_EK:

@@ -241,7 +241,7 @@ def encode_tile(image: Image, geo: TileGeometry,
                 pocs: list | None = None,
                 quality_targets: list | None = None,
                 split_headers: bool = False,
-                mesh=None) -> TileEncodeResult:
+                mesh=None, ht_planes: int = 0) -> TileEncodeResult:
     """Full encode of one tile; layer_targets are cumulative byte budgets
     per layer for this tile (None = all remaining passes).  backend="jax"
     runs default-style blocks through the batched device encoder.
@@ -329,7 +329,7 @@ def encode_tile(image: Image, geo: TileGeometry,
                   if j["style"] & CBLK_HT and encs[i] is None]
         if ht_idx:
             done = False
-            if backend == "jax":
+            if backend == "jax" and not ht_planes:
                 from grok_tpu.ops.pallas_ht import ht_pallas_enabled
                 if ht_pallas_enabled():
                     from grok_tpu.ops.pallas_ht_enc import encode_ht_blocks
@@ -342,7 +342,8 @@ def encode_tile(image: Image, geo: TileGeometry,
                 for i in ht_idx:
                     j = ejobs[i]
                     encs[i] = ht_encode_block(j["mag"], j["neg"],
-                                              j["orient"], j["style"])
+                                              j["orient"], j["style"],
+                                              p=ht_planes)
         rest = [i for i, e in enumerate(encs) if e is None]
         if backend in ("native", "jax") and rest and _native.available():
             for i, e in zip(rest, _native.encode_tile_blocks(

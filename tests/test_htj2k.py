@@ -85,6 +85,34 @@ class TestVLCTables:
                     assert (dsym, dln) == (sym, ln)
 
 
+class TestHTRefinementPasses:
+    def test_ht_planes_1_stays_lossless(self):
+        """p=1: cleanup codes plane 1, SigProp+MagRef cover plane 0 —
+        every plane coded, so full-quality decode is exact."""
+        img = synthetic_image(96, 96, 1, seed=19)
+        data = compress(img, CompressParams(ht=True, num_resolutions=3,
+                                            ht_planes=1))
+        out = decompress(data).to_array()
+        assert np.array_equal(out, img)
+
+    def test_ht_planes_improves_rate_targeted_psnr(self):
+        """The measured basis for keeping cleanup-only as the default
+        (device path) while offering ht_planes for lossy host encodes:
+        at byte targets the 3-pass blocks give PCRD finer truncation."""
+        from grok_tpu.util.oracle import psnr
+        img = synthetic_image(128, 128, 1, seed=20)
+        dp = DecompressParams(strict=False)
+        p0 = CompressParams(ht=True, num_resolutions=4, rates=[8.0])
+        p2 = CompressParams(ht=True, num_resolutions=4, rates=[8.0],
+                            ht_planes=2)
+        d0, d2 = compress(img, p0), compress(img, p2)
+        budget = img.size / 8.0 + 400
+        assert len(d0) <= budget and len(d2) <= budget
+        ps0 = psnr(img, decompress(d0, dp).to_array())
+        ps2 = psnr(img, decompress(d2, dp).to_array())
+        assert ps2 >= ps0 - 0.05, (ps0, ps2)
+
+
 class TestTableDropIn:
     def test_alternate_tables_roundtrip(self, monkeypatch):
         """The stand-in -> normative swap path: rebuilding the CxtVLC

@@ -2,6 +2,12 @@
 attached device.  Amortized N-call timing with a D2H completion barrier
 (per-call timings lie on the axon runtime).  Run from the repo root."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 import sys
 import time
 

@@ -4,6 +4,12 @@ Times three standalone jitted pieces at the bench shape (512x512 gray,
 5 levels, 32x32 HT blocks) with the amortized D2H-barrier methodology.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 import time
 
 import jax

@@ -5,6 +5,12 @@ scan, staging-array build, and the fused jit program (timed amortized
 with a D2H barrier).  Run from the repo root on a TPU-attached host.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 import sys
 import time
 

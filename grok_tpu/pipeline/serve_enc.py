@@ -185,8 +185,12 @@ def _build_encode_fn(sig):
             parts.append(jnp.sum((mag > 0).astype(jnp.int32)
                                  .reshape(HW, NL), axis=0))
             dstat = jnp.stack(parts, axis=0)            # (7, NL)
-            results.append((ms_w, mel_w, vlc_w, bits,
-                            numbps * jnp.asarray(vld), dstat))
+            # ONE stats tensor per launch: each separate D2H pays the
+            # relay round-trip (~7 ms measured), so bits + numbps +
+            # dstat ride together as (11, NL)
+            stats = jnp.concatenate(
+                [bits, (numbps * jnp.asarray(vld))[None], dstat], axis=0)
+            results.append((ms_w, mel_w, vlc_w, stats))
         return tuple(results)
 
     return run
@@ -404,13 +408,13 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
     fn = _build_encode_fn(sig_n)
     launches = fn(tuple(comps))
 
-    # download the per-lane bit counts + numbps + distortion stats
-    # (small int32 tables)
-    bits_h = [np.asarray(b[3]) for b in launches]
-    nbps_h = [np.asarray(b[4]) for b in launches]
+    # download the per-lane stats: ONE (11, NL) D2H per launch
+    stats_h = [np.asarray(b[3]) for b in launches]
+    bits_h = [st[0:3] for st in stats_h]
+    nbps_h = [st[3] for st in stats_h]
     dist_h = []
-    for b in launches:
-        d = np.asarray(b[5]).astype(np.float64)
+    for st in stats_h:
+        d = st[4:11].astype(np.float64)
         s1 = d[0] * 65536.0 + d[1]
         s2 = d[2] * 65536.0 + d[3]
         s3 = d[4] * 65536.0 + d[5]
@@ -430,7 +434,7 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
         T = max(512, -(-total // 512) * 512)
         words = np.asarray(_build_compact_fn(T)(
             launches[li][0], launches[li][1], launches[li][2],
-            launches[li][3], launches[li][4]))
+            launches[li][3][0:3], launches[li][3][3]))
         byts = words.astype("<u4").view(np.uint8)
         starts = np.cumsum(seg) - seg
         n_here = min(N * B - li * NL, NL)

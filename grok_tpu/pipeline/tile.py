@@ -375,6 +375,13 @@ def finish_tile_encode(geo: TileGeometry, ejobs: list[dict], encs: list,
     header-split mode, exactly as the host encoder does."""
     ctxs = geo.make_contexts()
     num_layers = geo.cod.num_layers
+    # the serving hot shape — one layer, no byte/quality target — needs
+    # no rate allocation at all: every pass ships.  Skip the per-block
+    # convex hulls and the prepared-emitter flattening (measured ~80 ms
+    # of host time per 512^2 frame) and emit directly.
+    trivial = (quality_targets is None and num_layers == 1
+               and (not layer_targets or all(t is None
+                                             for t in layer_targets)))
     hulls: list[Hull] = []
     rate_tables: list[np.ndarray] = []   # cumulative bytes per pass
     entry_keys: list[tuple] = []     # (c, r, p, band_i, cblk_i)
@@ -386,11 +393,13 @@ def finish_tile_encode(geo: TileGeometry, ejobs: list[dict], encs: list,
                 f"block overflows Mb: {enc.numbps} > {mb} "
                 f"(band r={r}); raise guard bits")
         ctxs[(c, r, p)].set_block(band_i, cblk_i, enc, mb)
-        rates = np.array([pi.rate for pi in enc.passes], dtype=np.float64)
-        dists = np.array([pi.dist * j["weight"] for pi in enc.passes],
-                         dtype=np.float64)
-        hulls.append(convex_hull(rates, dists))
-        rate_tables.append(rates)
+        if not trivial:
+            rates = np.array([pi.rate for pi in enc.passes],
+                             dtype=np.float64)
+            dists = np.array([pi.dist * j["weight"] for pi in enc.passes],
+                             dtype=np.float64)
+            hulls.append(convex_hull(rates, dists))
+            rate_tables.append(rates)
         entry_keys.append(j["key"])
 
     pkt_overhead = (6 if geo.cod.sop else 0) + (2 if geo.cod.eph else 0)
@@ -437,7 +446,7 @@ def finish_tile_encode(geo: TileGeometry, ejobs: list[dict], encs: list,
     # codeword bytes) are flattened ONCE; every PCRD bisection step and
     # the final emission then cost one numpy scatter + one C call
     emit_prep = None
-    if _native.available() and not pocs and entry_keys:
+    if _native.available() and not pocs and entry_keys and not trivial:
         ctx_keys_all = list(ctxs.keys())
         _prep = _native.t2_emit_prepare(ctxs, ctx_keys_all)
         if _prep is not None:
@@ -483,6 +492,33 @@ def finish_tile_encode(geo: TileGeometry, ejobs: list[dict], encs: list,
             cs[(c, r, p)].set_block(band_i, cblk_i, src.enc, mbv)
             cs[(c, r, p)].eblocks[band_i][cblk_i].layer_cum = layer_cum[i]
         return sum(len(p) for p in emit(cs, nlayers))
+
+    if trivial:
+        if not entry_keys:
+            return TileEncodeResult(packets=[], packet_lens=[], body=b"")
+        for i, key in enumerate(entry_keys):
+            c, r, p, band_i, cblk_i = key
+            st = ctxs[(c, r, p)].eblocks[band_i][cblk_i]
+            st.layer_cum = [st.enc.numpasses]
+        if split_headers:
+            headers = bytearray()
+            bodies = []
+            for pc in iter_packets(geo.tcgs, geo.subsampling, num_layers,
+                                   geo.cod.prog_order, geo.rect.x0,
+                                   geo.rect.y0, pocs or None):
+                hd, bd = ctxs[(pc.comp, pc.res,
+                               pc.prec)].encode_packet(pc.layer)
+                headers += hd
+                bodies.append(bd)
+            return TileEncodeResult(packets=bodies,
+                                    packet_lens=[len(p) for p in bodies],
+                                    body=b"".join(bodies),
+                                    headers=bytes(headers))
+        with trace("t2_emit"):
+            packets = emit(ctxs, num_layers)
+        return TileEncodeResult(packets=packets,
+                                packet_lens=[len(p) for p in packets],
+                                body=b"".join(packets))
 
     if not hulls:
         return TileEncodeResult(packets=[], packet_lens=[], body=b"")

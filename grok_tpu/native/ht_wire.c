@@ -230,12 +230,15 @@ int grk_ht_assemble_batch(const uint8_t *buf,
 
 /* ---- wire -> clean (un-stuffing; pointwise in the wire bytes) ---------- */
 
-/* Scan + split n cleanup segments at body[off[i] .. off[i]+len[i]) into
- * clean LSB-first sub-streams appended to digest.  out7[i*7 + 0..6] =
- * (p, ms_off, ms_len, mel_off, mel_len, vlc_off, vlc_len); p = -1 if
- * the framing is invalid.  Returns 0, or 1 if digest capacity dcap
- * would overflow (caller sizes dcap >= sum(3*len + 16)).  *dused gets
- * the digest bytes written. */
+/* Scan n cleanup segments at body[off[i] .. off[i]+len[i]): un-stuff
+ * the MagSgn stream into clean LSB-first bytes appended to digest and
+ * copy the raw SUFFIX (MEL+VLC+Scup region) verbatim after it — the
+ * suffix is un-stuffed ON DEVICE (pipeline/device.py) so its bytes
+ * cross the host link exactly once.  out7[i*7 + 0..6] =
+ * (p, ms_off, ms_len, suf_off, suf_len, 0, 0); p = -1 if the framing
+ * is invalid.  Returns 0, or 1 if digest capacity dcap would overflow
+ * (caller sizes dcap >= sum(2*len + 24)).  *dused gets the digest
+ * bytes written. */
 int grk_ht_scan2(const uint8_t *body, long long blen,
                  const long long *off, const int *len, int n,
                  int *out7, uint8_t *digest, long long dcap,
@@ -256,7 +259,7 @@ int grk_ht_scan2(const uint8_t *body, long long blen,
         if (scup < 2 || scup > L - 1 || p > 63)
             continue;
         long long suf = L - scup;
-        if (d + L + 2 * scup + 16 > dcap)
+        if (d + 2 * L + 24 > dcap)
             return 1;
 
         /* MagSgn: forward LSB-first, 7 payload bits after 0xFF */
@@ -274,40 +277,20 @@ int grk_ht_scan2(const uint8_t *body, long long blen,
         r[2] = (int)sink_flush(&s);
         d += r[2];
 
-        /* MEL: forward MSB-first over the whole suffix (boundary with
-         * VLC is implicit; un-stuffing is prefix-local) */
-        s.out = digest + d;
-        s.n = 0;
-        prev_ff = 0;
-        for (long long j = suf; j < L - 2; j++) {
-            int b = seg[j];
-            if (prev_ff)
-                sink_bits(&s, (uint32_t)(REV8[b & 0x7F] >> 1), 7);
-            else
-                sink_bits(&s, (uint32_t)REV8[b], 8);
-            prev_ff = (b == 0xFF);
+        /* raw suffix, verbatim (device un-stuffs MEL forward and VLC
+         * backward from it); count the stuffing events so the device
+         * repack can size its shift-candidate set statically */
+        memcpy(digest + d, seg + suf, (size_t)scup);
+        int nff = 0, n7f = 0;
+        for (long long j = 0; j < scup; j++) {
+            nff += (seg[suf + j] == 0xFF);
+            n7f += (seg[suf + j] == 0x7F);
         }
         r[3] = (int)d;
-        r[4] = (int)sink_flush(&s);
-        d += r[4];
-
-        /* VLC: backward from the high nibble of seg[L-2]; a 0x7F byte
-         * whose file successor is > 0x8F carries 7 bits */
-        s.out = digest + d;
-        s.n = 0;
-        sink_bits(&s, (uint32_t)(seg[L - 2] >> 4), 4);
-        int prev = seg[L - 2];
-        for (long long f = L - 3; f >= suf; f--) {
-            int b = seg[f];
-            if (prev > 0x8F && b == 0x7F)
-                sink_bits(&s, (uint32_t)b, 7);
-            else
-                sink_bits(&s, (uint32_t)b, 8);
-            prev = b;
-        }
-        r[5] = (int)d;
-        r[6] = (int)sink_flush(&s);
-        d += r[6];
+        r[4] = (int)scup;
+        r[5] = nff;
+        r[6] = n7f;
+        d += scup;
         r[0] = p;
     }
     *dused = d;

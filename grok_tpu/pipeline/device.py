@@ -74,6 +74,76 @@ def _make_word_stager(jnp, jax, body_d, NL):
     return stage
 
 
+def _unstuff_suffix(jnp, jax, suf_f, suf_r, Dm: int):
+    """Un-stuff the raw HT cleanup suffix ON DEVICE: (mel_clean,
+    vlc_clean) as (NL, L+1) int32 byte arrays.
+
+    The suffix crosses the host link exactly once (raw); both its
+    readings are recovered here because the stuffing capacity rules are
+    pointwise in the known wire bytes (t1ht/wire.py's vectorized host
+    splitters, as XLA vector ops): MEL reads suf_f forward MSB-first
+    with 7 payload bits after 0xFF; VLC reads suf_r (the word stager's
+    REVERSED view, starting at the nibble byte ln-2) with the
+    0x7F-after->0x8F rule.  GATHER-FREE by design (TPU gathers were
+    measured to cost more than the upload saving): un-stuffing only
+    DELETES bits, so clean byte j comes from source bytes j+d for a
+    small d; Dm bounds d statically from the C scan's stuffing-event
+    counts (typically 1), and each candidate is a STATIC slice + a
+    masked select."""
+    NL, L1 = suf_f.shape
+    L = L1 - 1
+
+    def rev8(x):
+        x = ((x & 0x55) << 1) | ((x >> 1) & 0x55)
+        x = ((x & 0x33) << 2) | ((x >> 2) & 0x33)
+        return ((x & 0x0F) << 4) | ((x >> 4) & 0x0F)
+
+    def repack(pv, nb):
+        # clean byte j draws bits [8j, 8j+8) from source bytes k, k+1
+        # where P[k] <= 8j < P[k+1], P = exclusive prefix sum of nb.
+        # k = j + d with d in [0, Dm]; capacities >= 4 guarantee the
+        # two bytes k, k+1 always cover the 8 output bits.
+        pad = Dm + 2
+        pvp = jnp.pad(pv, ((0, 0), (0, pad)))
+        nbp = jnp.pad(nb, ((0, 0), (0, pad)), constant_values=8)
+        P = jnp.cumsum(nbp, axis=1) - nbp
+        j8 = 8 * jnp.arange(L)[None]
+        out = jnp.zeros((NL, L), jnp.int32)
+        for d in range(Dm + 1):
+            off = j8 - P[:, d:d + L]
+            nbd = nbp[:, d:d + L]
+            cond = (off >= 0) & (off < nbd)
+            offc = jnp.clip(off, 0, 7)
+            val = ((pvp[:, d:d + L] >> offc)
+                   | (pvp[:, d + 1:d + 1 + L] << (nbd - offc))) & 0xFF
+            out = jnp.where(cond, val, out)
+        return out
+
+    # --- MEL: forward MSB-first ------------------------------------------
+    prevff = jnp.concatenate(
+        [jnp.zeros((NL, 1), jnp.int32), (suf_f[:, :-1] == 0xFF)
+         .astype(jnp.int32)], axis=1)
+    pv_mel = jnp.where(prevff == 1, rev8(suf_f & 0x7F) >> 1, rev8(suf_f))
+    nb_mel = 8 - prevff
+    mel = repack(pv_mel, nb_mel)
+
+    # --- VLC: backward; suf_r[0] is the nibble byte ln-2 ------------------
+    m0 = jnp.concatenate(
+        [jnp.ones((NL, 1), jnp.int32), jnp.zeros((NL, L1 - 1), jnp.int32)],
+        axis=1)
+    prev = jnp.concatenate(
+        [jnp.zeros((NL, 1), jnp.int32), suf_r[:, :-1]], axis=1)
+    is7 = (m0 == 0) & (prev > 0x8F) & (suf_r == 0x7F)
+    pv_vlc = jnp.where(m0 == 1, suf_r >> 4,
+                       jnp.where(is7, suf_r & 0x7F, suf_r))
+    nb_vlc = jnp.where(m0 == 1, 4, jnp.where(is7, 7, 8))
+    vlc = repack(pv_vlc, nb_vlc)
+
+    pad1 = jnp.zeros((NL, 1), jnp.int32)
+    return (jnp.concatenate([mel, pad1], axis=1),
+            jnp.concatenate([vlc, pad1], axis=1))
+
+
 @lru_cache(maxsize=64)
 def _build_decode_fn(sig):
     """Compile the fused decode program for one geometry signature.
@@ -110,29 +180,35 @@ def _build_decode_fn(sig):
         for (bs, arrs) in zip(buckets_sig, bucket_arrays):
             (coder, W, H, maxbp, _count, _blocks) = bs
             if coder == "ht3":
-                # serving layout: the RAW codestream body is uploaded once
-                # (body_d) and the per-lane sub-stream windows are staged
-                # ON DEVICE by gathers — no zero-padded staging buffers
-                # cross the host link.  arrs = one (NL, 7) int32 array:
-                # [ms_start, ms_len, mel_start, mel_len, vlc_start,
-                #  vlc_len, p] per lane; wh/valid are constants from the
-                # static block sig.  The gather runs at int32-WORD
+                # serving layout: the digest (clean MagSgn + raw
+                # suffix per block) is uploaded once (body_d) and the
+                # per-lane sub-stream windows are staged ON DEVICE by
+                # gathers — no zero-padded staging buffers cross the
+                # host link.  arrs = one (NL, 5) int32 array:
+                # [ms_start, ms_len, suf_start, suf_len, p] per lane;
+                # wh/valid are constants from the static block sig.
+                # The gather runs at int32-WORD
                 # granularity (4x fewer gather elements than per-byte —
                 # the per-byte gather was the fused program's dominant
                 # cost); bytes are realigned with four static slices and
                 # a select_n on start&3, all vector ops.
                 from grok_tpu.ops.pallas_ht import (LANES, _ht_interpret,
                                                     pallas_ht_decode)
-                (S, Lms, Lmel, Lvlc) = maxbp
+                (S, Lms, Lsuf, Dm) = maxbp
                 (meta,) = arrs
                 NL = S * LANES
                 stage = _make_word_stager(jnp, jax, body_d, NL)
 
-                # the upload is the C scan's clean digest (serve.py):
-                # all three sub-streams are forward LSB-first
+                # the upload is the C scan's digest (serve.py): the
+                # MagSgn stream already clean, plus the RAW suffix
+                # (uploaded once); MEL and VLC are un-stuffed from it
+                # here on device (forward view + a reversed view that
+                # starts at the nibble byte ln-2)
                 ms_raw = stage(meta[:, 0], meta[:, 1], Lms, False)
-                mel_raw = stage(meta[:, 2], meta[:, 3], Lmel, False)
-                vlc_raw = stage(meta[:, 4], meta[:, 5], Lvlc, False)
+                suf_f = stage(meta[:, 2], meta[:, 3], Lsuf, False)
+                suf_r = stage(meta[:, 2], meta[:, 3] - 1, Lsuf, True)
+                mel_raw, vlc_raw = _unstuff_suffix(jnp, jax, suf_f,
+                                                   suf_r, Dm)
                 whc = np.ones((2, NL), np.int32)
                 vld = np.zeros((NL,), np.int32)
                 for (lane, _ci, _r, _o, _yo, _xo, bh, bw, _d,
@@ -140,7 +216,7 @@ def _build_decode_fn(sig):
                     whc[0, lane] = bw
                     whc[1, lane] = bh
                     vld[lane] = 1
-                pvl = meta[:, 6]
+                pvl = meta[:, 4]
                 if S > 1:
                     whv = jnp.asarray(whc.reshape(2, S, LANES))
                     valid = jnp.asarray(vld.reshape(S, LANES))

@@ -321,7 +321,7 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
                 return None
             if ((numbps - scan[:, 0]) > 24).any():
                 return None
-            if int(scan[:, 2::2].max()) > MAX_STREAM:
+            if int(scan[:, 2:5:2].max()) > MAX_STREAM:
                 return None
             digests.append(dig)
         else:
@@ -382,30 +382,36 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
                                 len(lane_gi), tuple(blocks_sig)))
             bucket_arrays.append((jnp.asarray(meta),))
             continue
-        mx = max(int(r[6][2::2].max()) for r in lane_gi)
+        mx = max(int(r[6][2:5:2].max()) for r in lane_gi)
         S = sublanes_for_count(len(lane_gi), sublanes_for_ht(W, H, mx))
         step = S * LANES
         for k in range(0, len(lane_gi), step):
             chunk = lane_gi[k:k + step]
             Lms = _quant_len(max(int(r[6][2]) for r in chunk))
-            Lmel = _quant_len(max(int(r[6][4]) for r in chunk))
-            Lvlc = _quant_len(max(int(r[6][6]) for r in chunk))
-            meta = np.zeros((S * LANES, 7), np.int32)
+            Lsuf = _quant_len(max(int(r[6][4]) for r in chunk))
+            # shift-candidate bound for the device un-stuff: total bit
+            # deficit <= 4 (VLC nibble) + stuffing deletions (the C
+            # scan's FF / 0x7F counts); quantized so programs reuse
+            dmax = max(max(int(r[6][5]), 4 + int(r[6][6]))
+                       for r in chunk)
+            Dm = 1
+            while Dm < -(-dmax // 8) + 1 and Dm < 64:
+                Dm *= 2
+            meta = np.zeros((S * LANES, 5), np.int32)
             blocks_sig = []
             for lane, (si, gi, _off, _ln, _nps, _nbp, srow) in \
                     enumerate(chunk):
-                # clean sub-stream windows in the digest upload
+                # digest windows: clean MagSgn + the raw suffix (device
+                # un-stuffs its MEL and VLC readings)
                 meta[lane, 0] = srow[1] + bases[si]         # ms start
                 meta[lane, 1] = srow[2]
-                meta[lane, 2] = srow[3] + bases[si]         # mel start
+                meta[lane, 2] = srow[3] + bases[si]         # suffix
                 meta[lane, 3] = srow[4]
-                meta[lane, 4] = srow[5] + bases[si]         # vlc start
-                meta[lane, 5] = srow[6]
-                meta[lane, 6] = srow[0]                     # p
+                meta[lane, 4] = srow[0]                     # p
                 tail = plan.sig_tail[gi]
                 blocks_sig.append((lane, si * ncomps + tail[0])
                                   + tail[1:])
-            bucket_sigs.append(("ht3", W, H, (S, Lms, Lmel, Lvlc),
+            bucket_sigs.append(("ht3", W, H, (S, Lms, Lsuf, Dm),
                                 len(chunk), tuple(blocks_sig)))
             bucket_arrays.append((jnp.asarray(meta),))
 

@@ -273,6 +273,30 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             st = st | jnp.where((siota == wi + 1) & mask, hi_part, zero)
             st_ref[...] = st
 
+        def or_bits128(st_ref, ba_ref, bitpos, ws, anymask):
+            """OR up to four consecutive 32-bit words (a <= 128-bit
+            field) at bit position bitpos into the staged window: ONE
+            window read-modify-write instead of four (the or_bits RMW
+            per write was the encoder's dominant cost).  ws values with
+            no bits contribute zero, so per-word masks are not
+            needed."""
+            off = bitpos - (ba_ref[...] << 3)
+            w0 = off >> 5
+            b = off & 31
+            bs = (32 - b) & 31
+            st = st_ref[...]
+            siota = siotas[st.shape[0]]
+            zero = jnp.zeros_like(st)
+            prev = jnp.zeros_like(bitpos)
+            for k2 in range(5):
+                cur = ws[k2] if k2 < 4 else jnp.zeros_like(bitpos)
+                val = (cur << b) | jnp.where(
+                    b == 0, 0, (prev >> bs) & ((one << b) - 1))
+                st = st | jnp.where((siota == w0 + k2) & anymask,
+                                    val, zero)
+                prev = cur
+            st_ref[...] = st
+
         def rho_read(gi, qi):
             v = rho_ref[gi, pl.ds(qi, 1)]
             if S == 1:
@@ -395,10 +419,8 @@ def pallas_ht_encode(mneg, pv, wh, valid,
                 entry = entry | (((word >> lo) & 1) << j)
             w_vlc = entry & 0x7F
             n_vlc = (entry >> 7) & 7
-            or_bits(vlc_st, vlc_ba, vlc_bp, w_vlc, vwrite & (w_vlc != 0))
-            vlc_bp = vlc_bp + jnp.where(vwrite, n_vlc, 0)
 
-            # -- UVLC of u = U - kappa (only when u_off = 1) ---------------
+            # -- UVLC of u = U - kappa, fused into the same write ----------
             umask = vwrite & (u_off == 1)
             w_u = jnp.where(u == 1, 0,
                             jnp.where(u == 2, 0b01,
@@ -408,18 +430,34 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             n_u = jnp.where(u == 1, 1,
                             jnp.where(u == 2, 2,
                                       jnp.where(u <= 4, 4, 8)))
-            or_bits(vlc_st, vlc_ba, vlc_bp, w_u, umask & (w_u != 0))
-            vlc_bp = vlc_bp + jnp.where(umask, n_u, 0)
+            w_all = w_vlc | jnp.where(umask, w_u << n_vlc, 0)
+            or_bits(vlc_st, vlc_ba, vlc_bp, w_all, vwrite & (w_all != 0))
+            vlc_bp = vlc_bp + jnp.where(vwrite, n_vlc, 0) \
+                + jnp.where(umask, n_u, 0)
 
-            # -- MagSgn: per significant sample, U bits of v_n -------------
+            # -- MagSgn: the quad's four fields (<= 100 bits) packed into
+            # four 32-bit words and written with ONE window RMW ------------
             ebot = jnp.zeros_like(c)
+            words = [jnp.zeros_like(c) for _ in range(4)]
+            total = jnp.zeros_like(c)
             for i in range(4):
                 m_i = act & (sig[i] == 1)
-                or_bits(ms_st, ms_ba, ms_bp, vbits[i],
-                        m_i & (vbits[i] != 0))
-                ms_bp = ms_bp + jnp.where(m_i, U, 0)
+                vi = jnp.where(m_i, vbits[i], 0)
+                wi = total >> 5
+                sft = total & 31
+                bs = (32 - sft) & 31
+                lo = vi << sft
+                hi = jnp.where(sft == 0, 0,
+                               (vi >> bs) & ((one << sft) - 1))
+                for j in range(4):
+                    zj = jnp.zeros_like(c)
+                    words[j] = words[j] | jnp.where(wi == j, lo, zj) \
+                        | jnp.where(wi + 1 == j, hi, zj)
+                total = total + jnp.where(m_i, U, 0)
                 if i & 1:
                     ebot = jnp.maximum(ebot, jnp.where(m_i, Es[i], 0))
+            or_bits128(ms_st, ms_ba, ms_bp, words, act & (rho != 0))
+            ms_bp = ms_bp + total
 
             rowr = rho_ref[g + 1]
             rho_ref[g + 1] = jnp.where((qiota == qx + 1) & act,

@@ -85,6 +85,36 @@ class TestVLCTables:
                     assert (dsym, dln) == (sym, ln)
 
 
+class TestNoMarkerEmulation:
+    @pytest.mark.parametrize("seed", [1, 5])
+    def test_no_ff_hazard_in_packet_bodies(self, seed):
+        """The wire stuffing rules guarantee no 0xFF byte is followed by
+        a byte > 0x8F anywhere inside HT packet bodies — so marker
+        scanners (including our own SOP resync) can never misparse a
+        body as a marker.  Checked over whole codestreams: any FF>8F
+        pair must BE a real marker (leading FF4F..FFD9 family)."""
+        img = synthetic_image(160, 128, 1, seed=seed)
+        for kw in (dict(), dict(ht_planes=2, rates=[6.0]),
+                   dict(sop=True, eph=True)):
+            data = compress(img, CompressParams(ht=True,
+                                                num_resolutions=4, **kw))
+            arr = np.frombuffer(data, np.uint8)
+            pos = np.nonzero((arr[:-1] == 0xFF) & (arr[1:] > 0x8F))[0]
+            for i in pos.tolist():
+                assert 0x4F <= arr[i + 1] <= 0xF0, \
+                    f"FF {arr[i+1]:02X} at {i}: marker emulation"
+            # forced stress: blocks whose MagSgn is all-ones bit runs
+        mag = np.full((64, 64), (1 << 20) - 1, np.int64)
+        neg = np.zeros((64, 64), bool)
+        enc = ht_encode_block(mag, neg, 0)
+        b = np.frombuffer(enc.data, np.uint8)
+        bad = np.nonzero((b[:-1] == 0xFF) & (b[1:] > 0x8F))[0]
+        assert bad.size == 0
+        m2, ng = ht_decode_block(enc.data, enc.seg_lens, 1, enc.numbps,
+                                 0, 64, 64)
+        assert np.array_equal(m2 >> 1, mag)
+
+
 class TestHTRefinementPasses:
     def test_ht_planes_1_stays_lossless(self):
         """p=1: cleanup codes plane 1, SigProp+MagRef cover plane 0 —

@@ -134,7 +134,7 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh, ptbl, stylev,
                      interpret: bool = False):
     """Decode a batch of S*128 code-blocks with one Pallas kernel.
 
-    data: (G, 32, [S,] LANES) int32 byte-pair-packed ((b<<8)|next)
+    data: (G, 32, [S,] LANES) int32 quad-packed (b0|b1<<8|b2<<16|b3<<24)
     codewords in 32-byte granules, 0xFF-padded per lane beyond each
     length, with >=2 spare granules.
     numpasses/numbps/orient: (1|S, LANES) int32; wh: (2, [S,] LANES).
@@ -152,6 +152,14 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh, ptbl, stylev,
     G = data.shape[0]
     P8 = ptbl.shape[1]
     n_stripes = (H + 3) // 4
+    # mid-hierarchy sizing: worst-case MQ consumption is ~26 B/column
+    # (11 decisions x 2 bytein); K columns between full reloads needs
+    # 31 B skew + 26K + 64 B window <= 32*MIDG
+    MIDG = 16
+    NC = n_stripes * W
+    K = 16
+    while NC % K:
+        K //= 2
     arr_tail = (S, LANES) if S > 1 else (LANES,)
     nd = len(arr_tail)
     lane_sh = (S, LANES) if S > 1 else (1, LANES)
@@ -163,7 +171,8 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh, ptbl, stylev,
         return jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * nd, 0)
 
     def kernel(data_ref, npass_ref, nbps_ref, ori_ref, wh_ref, ptbl_ref,
-               style_ref, mqtbl_ref, out_ref, flags_ref):
+               style_ref, mqtbl_ref, out_ref, flags_ref, mid_ref,
+               mba_ref):
         if S == 1:
             ori = ori_ref[...]                 # (1, L)
             npass = npass_ref[...]
@@ -187,43 +196,70 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh, ptbl, stylev,
 
         giota = jax.lax.broadcasted_iota(
             jnp.int32, (G,) + (1,) * (nd + 1), 0)
+        miota = jax.lax.broadcasted_iota(
+            jnp.int32, (MIDG,) + (1,) * (nd + 1), 0)
         siota = iota_for(64)
         tiota = iota_for(47)
         piota = iota_for(P8)
 
+        mid_ref[...] = jnp.zeros((MIDG, 32) + arr_tail, jnp.int32)
+        mba_ref[...] = jnp.zeros(lane_sh, jnp.int32)
+
+        def mid_refresh(bp):
+            """Reload the MIDG-granule mid scratch from the full
+            (G, 32) stream buffer around bp — the round-3 hierarchy
+            (borrowed from the HT kernels): the O(G) full-buffer scan
+            runs once per K-column group / pass start instead of per
+            column, which at G=128 (dense 64x64 streams) was the
+            kernel's dominant cost.  Byte-pair entries ride two
+            granules per one-hot pass."""
+            mg = bp >> 5
+            d = data_ref[...]
+            parts = []
+            for jj in range(MIDG):
+                sel = (giota == (mg + jj)[None]).astype(jnp.int32)
+                parts.append(jnp.sum(d * sel, axis=0))
+            mid_ref[...] = jnp.stack(parts, axis=0)
+            mba_ref[...] = mg << 5
+
         def stage_load(bp):
             """(64, [S,] L) staged byte-pair window at each lane's
-            32-aligned base.  Entries are 16-bit pairs, so BOTH granules
-            ride ONE one-hot sum pass over the stream buffer: the second
-            granule's one-hot is packed into the high 16 bits (halves
-            the per-column-group staging cost, the kernel's hot loop)."""
-            g0 = bp >> 5
-            sel = (giota == g0[None]).astype(jnp.int32) + \
-                ((giota == (g0 + 1)[None]).astype(jnp.int32) << 16)
-            packed = jnp.sum(data_ref[...] * sel, axis=0)
-            lo = packed & 0xFFFF
-            hi = (packed >> 16) & 0xFFFF
-            return jnp.concatenate([lo, hi], axis=0), (g0 << 5)
+            32-aligned base, reloaded from the mid scratch (O(MIDG)).
+            Valid while bp stays inside mid's coverage — guaranteed by
+            the K-column group bound (<= 26 B/column worst case)."""
+            rel = (bp >> 5) - (mba_ref[...] >> 5)
+            d = mid_ref[...]
+            lo = jnp.sum(d * (miota == rel[None]).astype(jnp.int32),
+                         axis=0)
+            hi = jnp.sum(d * (miota == (rel + 1)[None]).astype(jnp.int32),
+                         axis=0)
+            return jnp.concatenate([lo, hi], axis=0), ((bp >> 5) << 5)
 
         def stage_read(stage, base, bp):
-            """Byte pair at bp from the staged window: (cur, nxt)."""
+            """Quad word (bytes bp..bp+3, LE) from the staged window."""
             sel = (siota == (bp - base)).astype(jnp.int32)
-            v = jnp.sum(stage * sel, axis=0, keepdims=kd)
-            return (v >> 8) & 0xFF, v & 0xFF
+            return jnp.sum(stage * sel, axis=0, keepdims=kd)
 
         # MQ register tuple: (a, c, ct, bp, stage, base, send)
         # send = current segment's end byte offset: reads past it see
         # 0xFF (C.3.4 end-of-data semantics) so concatenated segments
         # never bleed into each other.
-        def seg_byte(stage, base, bp, send):
-            cur, nxt = stage_read(stage, base, bp)
+        def seg_bytes_w(w, off, bp, send):
+            """(cur, nxt) at byte offset `off` of the quad word `w`
+            anchored at bp - off, with C.3.4 end-of-data clamping."""
+            sh = off << 3
+            cur = (w >> sh) & 0xFF
+            nxt = (w >> (sh + 8)) & 0xFF
             cur = jnp.where(bp >= send, 0xFF, cur)
             nxt = jnp.where(bp + 1 >= send, 0xFF, nxt)
             return cur, nxt
 
-        def bytein(mq, m):
+        def bytein_w(mq, m, w, bp0):
+            """One BYTEIN with the bytes taken from the pre-read quad
+            word w (anchored at bp0; bp - bp0 <= 2 across a renorm's
+            three chained byteins, so one window read serves all)."""
             a, c, ct, bp, stage, base, send = mq
-            cur, nxt = seg_byte(stage, base, bp, send)
+            cur, nxt = seg_bytes_w(w, bp - bp0, bp, send)
             is_ff = cur == 0xFF
             stop = is_ff & (nxt > 0x8F)
             c_new = jnp.where(stop, c + 0xFF00,
@@ -249,11 +285,13 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh, ptbl, stylev,
         def renorm(mq, need):
             a, c, ct, bp, stage, base, send = mq
             n = jnp.where(need, nbits_to_msb(a), 0)
+            w = stage_read(stage, base, bp)
+            bp0 = bp
             for _ in range(3):
                 m = n > 0
                 feed = m & (ct == 0)
-                a, c, ct, bp, stage, base, send = bytein(
-                    (a, c, ct, bp, stage, base, send), feed)
+                a, c, ct, bp, stage, base, send = bytein_w(
+                    (a, c, ct, bp, stage, base, send), feed, w, bp0)
                 s = jnp.minimum(n, jnp.where(ct > 0, ct, 0))
                 a = jnp.where(m, (a << s) & 0xFFFF, a)
                 c = jnp.where(m, c << s, c)
@@ -327,7 +365,7 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh, ptbl, stylev,
             (a, c, ct, bp, stage, base, send), banks, ex = st
             rct, rbyte, rprev = ex
             need = m & (rct == 0)
-            cur, _ = stage_read(stage, base, bp)
+            cur = stage_read(stage, base, bp) & 0xFF
             cur = jnp.where(bp >= send, 0, cur)
             nb = jnp.where(rprev == 0xFF, 7, 8)
             rbyte = jnp.where(need, cur, rbyte)
@@ -363,14 +401,16 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh, ptbl, stylev,
             rprev = jnp.where(m_raw, 0, rprev)
             # MQ open (C.3.5 INITDEC), masked
             m_mq = m_new & (rawf == 0)
+            mid_refresh(bp)
             stage, base = stage_load(bp)
-            cur, _ = seg_byte(stage, base, bp, send)
+            w0 = stage_read(stage, base, bp)
+            cur, _ = seg_bytes_w(w0, jnp.zeros_like(bp), bp, send)
             a = jnp.where(m_mq, 0x8000, a)
             c = jnp.where(m_mq, cur << 16, c)
             ct = jnp.where(m_mq, 0, ct)
             # bytein reads b[bp] for the 0xFF check and feeds b[bp+1]:
             # bp stays on the segment's first byte here
-            mq = bytein((a, c, ct, bp, stage, base, send), m_mq)
+            mq = bytein_w((a, c, ct, bp, stage, base, send), m_mq, w0, bp)
             a, c, ct, bp, stage, base, send = mq
             c = jnp.where(m_mq, c << 7, c)
             ct = jnp.where(m_mq, ct - 7, ct)
@@ -387,6 +427,13 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh, ptbl, stylev,
             (a, c, ct, bp, stage, base, send), banks, ex = st
             stage, base = stage_load(bp)
             return ((a, c, ct, bp, stage, base, send), banks, ex)
+
+        def mid_at(st):
+            """Re-center the mid scratch on the current byte position
+            (group-level; the per-column refresh reads mid only)."""
+            (a, c, ct, bp, stage, base, send), banks, ex = st
+            mid_refresh(bp)
+            return st
 
         # -- flag helpers --------------------------------------------------
         wiota = iota_for(W)
@@ -599,7 +646,11 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh, ptbl, stylev,
                 for dy in range(4):
                     st = spp_step(col, dy, bp, st, raw_spp)
                 return st
-            st = jax.lax.fori_loop(0, n_stripes * W, spp_col, st)
+
+            def spp_group(o, st):
+                st = mid_at(st)
+                return jax.lax.fori_loop(o * K, o * K + K, spp_col, st)
+            st = jax.lax.fori_loop(0, NC // K, spp_group, st)
 
             act_mrp = (k_lane >= 1) & (3 * k_lane - 1 < npass)
             st, raw_mrp = pass_start(st, 3 * k_lane - 1, act_mrp)
@@ -609,7 +660,11 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh, ptbl, stylev,
                 for dy in range(4):
                     st = mrp_step(col, dy, bp, st, raw_mrp)
                 return st
-            st = jax.lax.fori_loop(0, n_stripes * W, mrp_col, st)
+
+            def mrp_group(o, st):
+                st = mid_at(st)
+                return jax.lax.fori_loop(o * K, o * K + K, mrp_col, st)
+            st = jax.lax.fori_loop(0, NC // K, mrp_group, st)
 
             act_cln = (k_lane >= 0) & (3 * k_lane < npass)
             st, _raw_cln = pass_start(st, 3 * k_lane, act_cln)
@@ -626,11 +681,17 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh, ptbl, stylev,
                 for j in range(6, 11):
                     carry = cln_step(col, j, bp, carry)
                 return carry
-            carry = jax.lax.fori_loop(0, n_stripes * W, cln_col,
+            def cln_group(o, carry):
+                st_g = mid_at(carry[0])
+                return jax.lax.fori_loop(
+                    o * K, o * K + K, cln_col,
+                    (st_g,) + tuple(carry[1:]))
+            carry = jax.lax.fori_loop(0, NC // K, cln_group,
                                       (st, zi, zi, zi, zi))
             st = carry[0]
             # SEGSYM: four discarded UNI decisions close each cleanup
             m_ss = segsym_l & act_cln
+            st = mid_at(st)
             st = refresh(st)
             for _ in range(4):
                 st, _bit = reg_dec(st, UNI, m_ss)
@@ -657,6 +718,8 @@ def pallas_t1_decode(data, numpasses, numbps, orient, wh, ptbl, stylev,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((H + 2, W + 2) + arr_tail, jnp.int32),   # flags
+            pltpu.VMEM((MIDG, 32) + arr_tail, jnp.int32),       # byte mid
+            pltpu.VMEM(lane_sh, jnp.int32),                     # mid base
         ],
         interpret=interpret,
     )(data, numpasses, numbps, orient, wh, ptbl, stylev, mq_tbl)
@@ -686,7 +749,7 @@ def pack_for_pallas(blocks: list[dict], S: int, L: int | None = None):
         # >=2 spare 0xFF granules past the longest codeword so the
         # staged window (granules g, g+1) never reads outside the buffer
         L = max(96, -(-(maxlen + 72) // 32) * 32)
-    raw = np.full((NL, L + 1), 0xFF, dtype=np.uint8)
+    raw = np.full((NL, L + 3), 0xFF, dtype=np.uint8)
     npass = np.zeros((NL,), np.int32)
     nbps = np.zeros((NL,), np.int32)
     ori = np.zeros((NL,), np.int32)
@@ -733,7 +796,12 @@ def pack_for_pallas(blocks: list[dict], S: int, L: int | None = None):
                 prev_si = si
             ptype, _bp = sched[pno]
             ptbl[2, pno, j] = 1 if is_raw_pass(pno, ptype, style) else 0
-    pairs = (raw[:, :L].astype(np.int32) << 8) | raw[:, 1:L + 1]
+    # quad entries: bytes [i .. i+3] LE at every byte position, so the
+    # kernel reads ONE staged word per renorm (up to 3 chained byteins
+    # ride in-register byte selects instead of 3 one-hot window reads)
+    r32 = raw.astype(np.uint32)
+    pairs = (r32[:, :L] | (r32[:, 1:L + 1] << 8) | (r32[:, 2:L + 2] << 16)
+             | (r32[:, 3:L + 3] << 24)).view(np.int32)
     # (NL, L) -> (G, 32, [S,] LANES); lane j = s*LANES + l
     G = L // 32
     if S > 1:

@@ -53,6 +53,24 @@ from grok_tpu.t1.mq import MQ_NLPS, MQ_NMPS, MQ_QE, MQ_SWITCH
 
 LANES = 128
 
+
+def t1_pallas_enabled() -> bool:
+    """Pallas is the DEFAULT Part-1 device kernel on TPU backends since
+    round 3 (13.2 MP/s/core at 64x64 > the host C coder's 12.5; the XLA
+    kernel is dispatch-bound on the axon runtime).  GROK_T1_PALLAS=0
+    forces the XLA kernel; any other value forces Pallas on."""
+    import os
+
+    env = os.environ.get("GROK_T1_PALLAS")
+    if env is not None:
+        return env not in ("0", "")
+    try:
+        import jax as _jax
+        return _jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
 # flag word bits (coefficient-relative neighbourhood state)
 F_NW, F_N, F_NE = 1 << 0, 1 << 1, 1 << 2
 F_W, F_E = 1 << 3, 1 << 4
@@ -827,8 +845,9 @@ def decode_bucket_pallas(blocks: list[dict], W: int, H: int,
                          interpret: bool = False):
     """decode_blocks-compatible adapter: one pallas launch per <=S*128
     blocks of a (W, H) bucket.  Returns [(mag2 int64 (h, w), neg bool)].
-    Enable via GROK_T1_PALLAS=1 (TPU backends; the XLA kernel remains
-    the default device path)."""
+    The DEFAULT device path on TPU backends since round 3 (the XLA
+    kernel is axon-dispatch-bound: A/B 49.9 vs 2348 ms per 512^2 frame
+    on the serving path); GROK_T1_PALLAS=0 forces the XLA kernel."""
     S = min(sublanes_for(W, H), -(-len(blocks) // LANES))
     data, npass, nbps, ori, wh, ptbl, style_v, B = pack_for_pallas(
         blocks, S)

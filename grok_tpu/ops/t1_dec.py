@@ -460,8 +460,8 @@ def decode_blocks(blocks: list[dict], interpret: bool = False):
         key = (_pow2_at_least(b["w"]), _pow2_at_least(b["h"]))
         buckets.setdefault(key, []).append(i)
 
-    use_pallas = bool(os.environ.get("GROK_T1_PALLAS")) and \
-        jax.default_backend() in ("tpu", "axon")
+    from grok_tpu.ops.pallas_t1 import t1_pallas_enabled
+    use_pallas = t1_pallas_enabled()
     for (W, H), idxs in buckets.items():
         if use_pallas and W <= 64 and H <= 64:
             from grok_tpu.ops.pallas_t1 import (LANES, decode_bucket_pallas,

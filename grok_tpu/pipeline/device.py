@@ -235,21 +235,69 @@ def _build_decode_fn(sig):
                 continue
             if coder == "mq3":
                 # serving layout for Part-1 streams: raw body gathers
-                # feed the lockstep XLA MQ batch decoder.  arrs = one
+                # feed the lockstep MQ batch decoder.  arrs = one
                 # (B, 4) int32 array [start, dlen, npass, nbps]; orient
                 # and (w, h) are constants from the static block sig.
+                # On TPU backends the Pallas kernel decodes (13.2
+                # MP/s/core at 64x64, past the host C coder); interpret
+                # mode / CPU keeps the XLA kernel (a minutes-long
+                # interpret trace is not a serving path).
                 (L, mbp) = maxbp
                 (meta,) = arrs
                 B = meta.shape[0]
-                bby = _make_word_stager(jnp, jax, body_d, B)(
-                    meta[:, 0], meta[:, 1], L, False)
-                data16 = (bby[:, :L] << 8) | bby[:, 1:]
                 oric = np.zeros((B,), np.int32)
                 whc = np.ones((B, 2), np.int32)
                 for (lane, _ci, _r, orient, _yo, _xo, bh, bw, _d,
                      _ir) in _blocks:
                     oric[lane] = orient
                     whc[lane] = (bw, bh)
+                from grok_tpu.ops.pallas_ht import _ht_interpret
+                from grok_tpu.ops.pallas_t1 import t1_pallas_enabled
+                if (t1_pallas_enabled() and not _ht_interpret()
+                        and W <= 64 and H <= 64):
+                    from grok_tpu.ops.pallas_t1 import pallas_t1_decode
+                    # quad entries at every byte position (one staged
+                    # read per renorm in-kernel) + >= 2 spare granules
+                    Lp = max(96, -(-(L + 72) // 32) * 32)
+                    bby = _make_word_stager(jnp, jax, body_d, B)(
+                        meta[:, 0], meta[:, 1], Lp + 4, False)
+                    quad = (bby[:, :Lp] | (bby[:, 1:Lp + 1] << 8)
+                            | (bby[:, 2:Lp + 2] << 16)
+                            | (bby[:, 3:Lp + 3] << 24))
+                    G = Lp // 32
+                    P8 = max(8, -(-(3 * mbp) // 8) * 8)
+                    mags, negs = [], []
+                    for k0 in range(0, B, 128):
+                        q = quad[k0:k0 + 128]
+                        dl = meta[k0:k0 + 128, 1]
+                        npz = meta[k0:k0 + 128, 2]
+                        nbz = meta[k0:k0 + 128, 3]
+                        data = q.reshape(128, G, 32).transpose(1, 2, 0)
+                        # default-style single segment [0, dlen) opens
+                        # at pass 0; every later pass continues
+                        ptbl = jnp.full((3, P8, 128), -1, jnp.int32)
+                        ptbl = ptbl.at[0, 1:].set(-1).at[1].set(0) \
+                            .at[2].set(0)
+                        ptbl = ptbl.at[0, 0].set(0)
+                        ptbl = ptbl.at[1, 0].set(dl)
+                        out = pallas_t1_decode(
+                            data, npz.reshape(1, 128),
+                            nbz.reshape(1, 128),
+                            jnp.asarray(oric[k0:k0 + 128]
+                                        .reshape(1, 128)),
+                            jnp.asarray(whc[k0:k0 + 128].T.copy()),
+                            ptbl,
+                            jnp.zeros((1, 128), jnp.int32),
+                            W, H, mbp, 1, False)
+                        m = out.transpose(2, 0, 1)
+                        mags.append(jnp.abs(m))
+                        negs.append(m < 0)
+                    bucket_out.append((jnp.concatenate(mags, axis=0),
+                                       jnp.concatenate(negs, axis=0)))
+                    continue
+                bby = _make_word_stager(jnp, jax, body_d, B)(
+                    meta[:, 0], meta[:, 1], L, False)
+                data16 = (bby[:, :L] << 8) | bby[:, 1:]
                 mag2, neg = t1_decode_batch(
                     data16, meta[:, 1], meta[:, 2], meta[:, 3],
                     jnp.asarray(oric), jnp.asarray(whc), W, H, mbp, fold)

@@ -885,15 +885,12 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                         [jobs[i] for i in dev_idx], dp.mesh)):
                     results[i] = r_
     elif use_jax:
-        import os as _os
-
-        import jax as _jax
+        from grok_tpu.ops.pallas_t1 import t1_pallas_enabled
         from grok_tpu.ops.t1_dec import decode_blocks as _dev_decode
         # the Pallas kernel decodes every Part-1 mode switch in-kernel
         # (BYPASS raw segments, TERMALL multi-segment, RESET, VSC,
         # SEGSYM); the XLA fallback handles the default style only
-        pallas_styled = bool(_os.environ.get("GROK_T1_PALLAS")) and \
-            _jax.default_backend() in ("tpu", "axon")
+        pallas_styled = t1_pallas_enabled()
         dev_idx = [i for i, j in enumerate(jobs)
                    if (j["style"] == 0 and len(j["seg_lens"]) <= 1)
                    or (pallas_styled and not j["style"] & CBLK_HT)]

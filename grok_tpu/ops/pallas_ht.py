@@ -127,21 +127,41 @@ VLC_DEC_PLANES, VLC_SYMB, VLC_HAS_EK = _vlc_dec_planes()
 
 
 def ht_block_eligible(job: dict) -> bool:
-    """Kernel path: single cleanup segment, valid framing, U+1 <= 25 bits
-    per MagSgn read (the staged word guarantees 25 valid bits).  Caches
-    the parsed header in job["_ht_hdr"] for the packer."""
-    if job["numpasses"] != 1:
-        return False
+    """Kernel path: valid framing, U+1 <= 25 bits per MagSgn read (the
+    staged word guarantees 25 valid bits).  Cleanup-only blocks take
+    the fast variant; 2/3-pass blocks (HT SigProp/MagRef refining plane
+    p-1, ht_planes encodes) take the REFINE variant — their raw stuffed
+    segments are un-stuffed host-side and read in-kernel.  Caches the
+    parsed header (+ clean refinement streams) in job["_ht_hdr"]."""
+    np_ = job["numpasses"]
     sl = job.get("seg_lens") or [len(job["data"])]
-    if len(sl) > 1:
+    if np_ not in (1, 2, 3) or len(sl) != np_:
         return False
     hdr = job.get("_ht_hdr")
     if hdr is None:
         hdr = parse_ht_header(job["data"], sl)
         if hdr is None:
             return False
+        if np_ > 1:
+            if hdr[0] == 0:
+                return False           # refinement needs p > 0
+            import numpy as _np
+
+            from grok_tpu.t1ht.wire import _unstuff_lsb
+            d = job["data"]
+            s0, s1 = sl[0], sl[0] + sl[1]
+            if s1 > len(d):
+                return False
+            sp = _unstuff_lsb(_np.frombuffer(d[s0:s1], _np.uint8))
+            mr = b""
+            if np_ >= 3:
+                s2 = s1 + sl[2]
+                if s2 > len(d):
+                    return False
+                mr = _unstuff_lsb(_np.frombuffer(d[s1:s2], _np.uint8))
+            hdr = hdr + (sp, mr)
         job["_ht_hdr"] = hdr
-    if max(len(hdr[1]), len(hdr[2]), len(hdr[3])) > MAX_STREAM:
+    if max(len(x) for x in hdr[1:]) > MAX_STREAM:
         return False
     return job["numbps"] - hdr[0] <= 24
 
@@ -206,7 +226,7 @@ def pack_ht_for_pallas(blocks: list[dict], S: int):
         if hdr is None:
             sl = b.get("seg_lens") or [len(b["data"])]
             hdr = parse_ht_header(b["data"], sl)
-        p, ms, mel, vlc = hdr
+        p, ms, mel, vlc = hdr[:4]
         mss.append(ms)
         mels.append(mel)
         vlcs.append(vlc)
@@ -227,7 +247,6 @@ def pack_ht_for_pallas(blocks: list[dict], S: int):
     return ms_d, mel_d, vlc_d, pv, wh, valid
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
                      W: int, H: int, S: int, interpret: bool = False):
     """Decode a batch of S*128 HT cleanup blocks with one Pallas kernel.
@@ -236,12 +255,39 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
     byte-pair staging tensors are built here on device.  Returns signed
     mag2 (H, W, [S,] LANES) int32 (negative = sign bit), with the Part-1
     half-bit below plane p (matches ht_decode_block)."""
+    z = np.zeros((S * LANES, 33), np.uint8)
+    return _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
+                          z, z, valid, W, H, S, interpret, False)
+
+
+def pallas_ht_decode_refine(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
+                            sp_raw, mr_raw, npv,
+                            W: int, H: int, S: int,
+                            interpret: bool = False):
+    """REFINE variant: cleanup + HT SigProp + HT MagRef in one kernel.
+
+    sp/mr_raw: clean (un-stuffed) LSB-first refinement streams per lane
+    (_pack_raw); npv: per-lane pass count (1..3).  Lanes with npv < 2
+    skip refinement (masked).  p > 0 required for refine lanes
+    (ht_block_eligible enforces)."""
+    return _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
+                          sp_raw, mr_raw, npv, W, H, S, interpret, True)
+
+
+@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13))
+def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
+                   sp_raw, mr_raw, npv,
+                   W: int, H: int, S: int, interpret: bool,
+                   refine: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     ms_d = device_pairs(ms_raw, S)
     mel_d = device_pairs(mel_raw, S)
     vlc_d = device_pairs(vlc_raw, S)
+    if refine:
+        sp_d = device_pairs(sp_raw, S)
+        mr_d = device_pairs(mr_raw, S)
 
     GH, GW = (H + 1) // 2, (W + 1) // 2
     arr_tail = (S, LANES) if S > 1 else (LANES,)
@@ -258,9 +304,16 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
     def iota_for(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * nd, 0)
 
-    def kernel(ms_ref, mel_ref, vlc_ref, p_ref, wh_ref, valid_ref,
-               lut_ref, out_ref, rho_ref, ms_st, mel_st, vlc_st,
-               ms_ba, mel_ba, vlc_ba, ms_mid, ms_mba):
+    def kernel(*refs):
+        if refine:
+            (ms_ref, mel_ref, vlc_ref, p_ref, wh_ref, valid_ref,
+             lut_ref, sp_ref, mr_ref, np_ref, out_ref, rho_ref,
+             ms_st, mel_st, vlc_st, ms_ba, mel_ba, vlc_ba, ms_mid,
+             ms_mba, sig_ref, rf_st, rf_ba) = refs
+        else:
+            (ms_ref, mel_ref, vlc_ref, p_ref, wh_ref, valid_ref,
+             lut_ref, out_ref, rho_ref, ms_st, mel_st, vlc_st,
+             ms_ba, mel_ba, vlc_ba, ms_mid, ms_mba) = refs
         if S == 1:
             p_l = p_ref[...]
             val_l = valid_ref[...]
@@ -294,9 +347,12 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
         lut = [lut_ref[j] for j in range(VLC_DEC_PLANES.shape[0])]
         wiota = iota_for(W)
         qiota = iota_for(GW + 2)
+        gset = {ms_ref.shape[0], mel_ref.shape[0], vlc_ref.shape[0]}
+        if refine:
+            gset |= {sp_ref.shape[0], mr_ref.shape[0]}
         giotas = {G: jax.lax.broadcasted_iota(
             jnp.int32, (G,) + (1,) * (nd + 1), 0)
-            for G in {ms_ref.shape[0], mel_ref.shape[0], vlc_ref.shape[0]}}
+            for G in gset}
         miota = jax.lax.broadcasted_iota(
             jnp.int32, (MIDG,) + (1,) * (nd + 1), 0)
 
@@ -552,26 +608,134 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
         jax.lax.fori_loop(0, NO, outer_body,
                           (zi, zi, zi, zi, zi, zi))
 
+        if refine:
+            # ---- HT SigProp + HT MagRef (plane p-1, 4-row stripe scan,
+            # raw clean bits) — matches t1ht.scalar.ht_decode_block ----
+            np_l = np_ref[...]
+            bp_l = p_l - 1
+            half_bp = jnp.where(bp_l > 0, one << bp_l, 0)
+            mag_new = (one << (bp_l + 1)) + half_bp
+            w2iota = iota_for(W + 2)
+            # state grid: 0 none, 1 cleanup-sig, 2 sigprop-sig (MagRef
+            # refines only the cleanup-sig samples)
+            sig_ref[...] = jnp.zeros((H + 2, W + 2) + arr_tail, jnp.int32)
+            core = out_ref[...]
+            sig_ref[1:H + 1, 1:W + 1] = (core != 0).astype(jnp.int32)
+            rf_st[...] = jnp.zeros((64,) + arr_tail, jnp.int32)
+            rf_ba[...] = jnp.zeros(lane_sh, jnp.int32)
+
+            def sig3(r, x):
+                v = (sig_ref[r, pl.ds(x, 3)] != 0).astype(jnp.int32)
+                return jnp.sum(v, axis=0, keepdims=kd) if S == 1 \
+                    else jnp.sum(v.reshape(3, S, LANES), axis=0)
+
+            def sigc(r, x1):
+                v = sig_ref[r, pl.ds(x1, 1)]
+                return v if S == 1 else jnp.sum(v, axis=0)
+
+            def vcur(y, x):
+                v = out_ref[y, pl.ds(x, 1)]
+                return v if S == 1 else jnp.sum(v, axis=0)
+
+            NC2 = max(H // 4, 1) * W
+            K2 = 16
+            while NC2 % K2:
+                K2 //= 2
+
+            def sp_col(col, bp):
+                x = col % W
+                y0 = (col // W) * 4
+                for dy in range(4):
+                    y = y0 + dy            # H is pow2 >= 4: stripes exact
+                    act = (val_l == 1) & (np_l >= 2) & (x < wv) & \
+                        ((y0 + dy) < hv) & (p_l > 0)
+                    ctr = sigc(y + 1, x + 1)
+                    n9 = sig3(y, x) + sig3(y + 1, x) + sig3(y + 2, x)
+                    cand = act & (ctr == 0) & (n9 > 0)
+                    w2 = bits_at(rf_st[...], rf_ba[...], bp)
+                    bit = w2 & 1
+                    sgn = (w2 >> 1) & 1
+                    newsig = cand & (bit == 1)
+                    bp = bp + jnp.where(newsig, 2,
+                                        jnp.where(cand, 1, 0))
+                    mv = jnp.where(sgn == 1, -mag_new, mag_new)
+                    row = out_ref[y]
+                    out_ref[y] = jnp.where((wiota == x) & newsig, mv,
+                                           row)
+                    rowg = sig_ref[y + 1]
+                    sig_ref[y + 1] = jnp.where(
+                        (w2iota == x + 1) & newsig, 2, rowg)
+                return bp
+
+            def sp_group(o, bp):
+                st_, ba_ = stage_load(sp_ref, bp >> 3)
+                rf_st[...] = st_
+                rf_ba[...] = ba_
+                return jax.lax.fori_loop(o * K2, o * K2 + K2, sp_col, bp)
+
+            jax.lax.fori_loop(0, NC2 // K2, sp_group,
+                              jnp.zeros(lane_sh, jnp.int32))
+
+            def mr_col(col, bp):
+                x = col % W
+                y0 = (col // W) * 4
+                for dy in range(4):
+                    y = y0 + dy
+                    act = (val_l == 1) & (np_l >= 3) & (x < wv) & \
+                        ((y0 + dy) < hv) & (p_l > 0)
+                    cond = act & (sigc(y + 1, x + 1) == 1)
+                    w2 = bits_at(rf_st[...], rf_ba[...], bp)
+                    bit = w2 & 1
+                    bp = bp + cond.astype(jnp.int32)
+                    cur = vcur(y, x)
+                    av = jnp.abs(cur)
+                    vq = (av - half) >> p1
+                    nm = ((vq << 1) | bit) << p_l
+                    nm = nm + half_bp
+                    nm = jnp.where(cur < 0, -nm, nm)
+                    row = out_ref[y]
+                    out_ref[y] = jnp.where((wiota == x) & cond, nm, row)
+                return bp
+
+            def mr_group(o, bp):
+                st_, ba_ = stage_load(mr_ref, bp >> 3)
+                rf_st[...] = st_
+                rf_ba[...] = ba_
+                return jax.lax.fori_loop(o * K2, o * K2 + K2, mr_col, bp)
+
+            jax.lax.fori_loop(0, NC2 // K2, mr_group,
+                              jnp.zeros(lane_sh, jnp.int32))
+
     lut_in = jnp.asarray(VLC_DEC_PLANES.reshape(
         (VLC_DEC_PLANES.shape[0], 32, 1, 1)))
+    scratch = [
+        pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # rho+eb
+        pltpu.VMEM((64,) + arr_tail, jnp.int32),             # ms win
+        pltpu.VMEM((64,) + arr_tail, jnp.int32),             # mel win
+        pltpu.VMEM((96,) + arr_tail, jnp.int32),             # vlc win
+        pltpu.VMEM(lane_sh, jnp.int32),                      # ms base
+        pltpu.VMEM(lane_sh, jnp.int32),                      # mel base
+        pltpu.VMEM(lane_sh, jnp.int32),                      # vlc base
+        pltpu.VMEM((MIDG, 32) + arr_tail, jnp.int32),        # ms mid
+        pltpu.VMEM(lane_sh, jnp.int32),                      # mid base
+    ]
+    ins = [ms_d, mel_d, vlc_d, pv, wh, valid, lut_in]
+    if refine:
+        scratch += [
+            pltpu.VMEM((H + 2, W + 2) + arr_tail, jnp.int32),  # sig grid
+            pltpu.VMEM((64,) + arr_tail, jnp.int32),           # rf win
+            pltpu.VMEM(lane_sh, jnp.int32),                    # rf base
+        ]
+        ins = [ms_d, mel_d, vlc_d, pv, wh, valid, lut_in,
+               sp_d, mr_d, npv]
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((H, W) + arr_tail, jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ins),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # rho+eb
-            pltpu.VMEM((64,) + arr_tail, jnp.int32),             # ms win
-            pltpu.VMEM((64,) + arr_tail, jnp.int32),             # mel win
-            pltpu.VMEM((96,) + arr_tail, jnp.int32),             # vlc win
-            pltpu.VMEM(lane_sh, jnp.int32),                      # ms base
-            pltpu.VMEM(lane_sh, jnp.int32),                      # mel base
-            pltpu.VMEM(lane_sh, jnp.int32),                      # vlc base
-            pltpu.VMEM((MIDG, 32) + arr_tail, jnp.int32),        # ms mid
-            pltpu.VMEM(lane_sh, jnp.int32),                      # mid base
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(ms_d, mel_d, vlc_d, pv, wh, valid, lut_in)
+    )(*ins)
     return out
 
 
@@ -633,15 +797,18 @@ def decode_ht_blocks(blocks: list[dict], interpret: bool = False):
     Returns per-block (mag2 int64 (h, w), neg bool) like ht_decode_block.
     Callers pre-filter with ht_block_eligible."""
     results: list = [None] * len(blocks)
-    buckets: dict[tuple[int, int], list[int]] = {}
+    buckets: dict[tuple, list[int]] = {}
     for i, b in enumerate(blocks):
         if "_ht_hdr" not in b:
-            b["_ht_hdr"] = parse_ht_header(
-                b["data"], b.get("seg_lens") or [len(b["data"])])
-        key = (_pow2_at_least(b["w"]), _pow2_at_least(b["h"]))
+            ok = ht_block_eligible(b)   # fills b["_ht_hdr"]
+            if not ok:
+                raise ValueError("ineligible HT block reached the "
+                                 "device path")
+        key = (_pow2_at_least(b["w"]), _pow2_at_least(b["h"]),
+               b["numpasses"] > 1)
         buckets.setdefault(key, []).append(i)
-    for (W, H), idxs in buckets.items():
-        mx = max(max(len(s) for s in blocks[i]["_ht_hdr"][1:4])
+    for (W, H, refine), idxs in buckets.items():
+        mx = max(max(len(x) for x in blocks[i]["_ht_hdr"][1:])
                  for i in idxs)
         S = sublanes_for_count(len(idxs), sublanes_for_ht(W, H, mx))
         step = S * LANES
@@ -649,10 +816,29 @@ def decode_ht_blocks(blocks: list[dict], interpret: bool = False):
             chunk = idxs[kchunk:kchunk + step]
             ms_d, mel_d, vlc_d, pv, wh, valid = pack_ht_for_pallas(
                 [blocks[i] for i in chunk], S)
-            out = pallas_ht_decode(
-                jnp.asarray(ms_d), jnp.asarray(mel_d), jnp.asarray(vlc_d),
-                jnp.asarray(pv), jnp.asarray(wh), jnp.asarray(valid),
-                W, H, S, interpret)
+            if refine:
+                NL = S * LANES
+                sp_d = _pack_raw([blocks[i]["_ht_hdr"][4]
+                                  for i in chunk], S)
+                mr_d = _pack_raw([blocks[i]["_ht_hdr"][5]
+                                  for i in chunk], S)
+                npv = np.zeros((NL,), np.int32)
+                for j, i in enumerate(chunk):
+                    npv[j] = blocks[i]["numpasses"]
+                npv = npv.reshape(S, LANES) if S > 1 \
+                    else npv.reshape(1, LANES)
+                out = pallas_ht_decode_refine(
+                    jnp.asarray(ms_d), jnp.asarray(mel_d),
+                    jnp.asarray(vlc_d), jnp.asarray(pv),
+                    jnp.asarray(wh), jnp.asarray(valid),
+                    jnp.asarray(sp_d), jnp.asarray(mr_d),
+                    jnp.asarray(npv), W, H, S, interpret)
+            else:
+                out = pallas_ht_decode(
+                    jnp.asarray(ms_d), jnp.asarray(mel_d),
+                    jnp.asarray(vlc_d), jnp.asarray(pv),
+                    jnp.asarray(wh), jnp.asarray(valid),
+                    W, H, S, interpret)
             out = np.asarray(out)
             for j, i in enumerate(chunk):
                 b = blocks[i]

@@ -854,9 +854,13 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
         from grok_tpu.ops.pallas_ht import (ht_block_eligible,
                                             ht_pallas_enabled)
         if ht_pallas_enabled():
+            # the FUSED program's ht bucket is cleanup-only; multi-pass
+            # (SigProp/MagRef) blocks take the per-block device route
+            # below through the REFINE kernel variant
             all_eligible = all(
                 (j["style"] == 0 and len(j["seg_lens"]) <= 1)
-                or (j["style"] & CBLK_HT and ht_block_eligible(j))
+                or (j["style"] & CBLK_HT and j["numpasses"] == 1
+                    and ht_block_eligible(j))
                 for j in jobs)
     if use_jax and jobs and all_eligible and not geo.rgn and not use_mesh:
         # fused device path: T1 + dequant + band assembly + inverse DWT +
@@ -899,7 +903,8 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
             for i, r_ in zip(dev_idx, dev_res):
                 results[i] = r_
     if use_jax and any_ht and not dp.strict:
-        from grok_tpu.ops.pallas_ht import (decode_ht_blocks,
+        from grok_tpu.ops.pallas_ht import (_ht_interpret,
+                                            decode_ht_blocks,
                                             ht_block_eligible,
                                             ht_pallas_enabled)
         if ht_pallas_enabled():
@@ -909,7 +914,8 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
             if ht_idx:
                 with trace("t1_ht_pallas", blocks=len(ht_idx)):
                     for i, r_ in zip(ht_idx, decode_ht_blocks(
-                            [jobs[i] for i in ht_idx])):
+                            [jobs[i] for i in ht_idx],
+                            interpret=_ht_interpret())):
                         results[i] = r_
     use_native = dp.backend in ("native", "jax")
     if use_native:

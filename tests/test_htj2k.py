@@ -125,6 +125,24 @@ class TestHTRefinementPasses:
         out = decompress(data).to_array()
         assert np.array_equal(out, img)
 
+    def test_ht_planes_device_decode(self, monkeypatch):
+        """ht_planes streams ride the DEVICE decode path (the Pallas
+        REFINE kernel variant, interpret mode here), lossless at p=1."""
+        monkeypatch.setenv("GROK_HT_PALLAS", "1")
+        monkeypatch.setenv("GROK_PALLAS_INTERPRET", "1")
+        img = synthetic_image(48, 48, 1, seed=25)
+        data = compress(img, CompressParams(ht=True, num_resolutions=2,
+                                            cblk_w_exp=4, cblk_h_exp=4,
+                                            ht_planes=1))
+        import grok_tpu.t1ht as t1ht_pkg
+
+        def bomb(*a, **k):
+            raise AssertionError("scalar HT fallback used")
+        monkeypatch.setattr(t1ht_pkg, "ht_decode_block", bomb)
+        out = decompress(data, DecompressParams(backend="jax",
+                                                strict=False)).to_array()
+        assert np.array_equal(out, img)
+
     def test_ht_planes_improves_rate_targeted_psnr(self):
         """The measured basis for keeping cleanup-only as the default
         (device path) while offering ht_planes for lossy host encodes:

@@ -94,6 +94,35 @@ def test_encoder_interpret_byte_identical():
         assert abs(got.passes[0].dist - ref.passes[0].dist) < 1e-6
 
 
+def test_decoder_interpret_refine_passes():
+    """The REFINE kernel variant: HT SigProp + MagRef (ht_planes
+    streams, p in 1..3) decode bit-exact vs the scalar coder, mixed
+    with cleanup-only lanes in the same batch via bucketing."""
+    from grok_tpu.ops.pallas_ht import decode_ht_blocks
+    rng = np.random.default_rng(23)
+    jobs, refs = [], []
+    for i, (w, h, pp) in enumerate([(8, 8, 1), (7, 5, 2), (8, 6, 3),
+                                    (12, 9, 2), (8, 8, 0)]):
+        mag = np.abs(rng.normal(0, [60, 300, 1000, 90, 40][i],
+                                (h, w))).astype(np.int64)
+        mag[rng.random((h, w)) < 0.4] = 0
+        mag[0, 0] = max(int(mag[0, 0]), 7)
+        neg = (rng.random((h, w)) < 0.5) & (mag > 0)
+        enc = ht_encode_block(mag, neg, i % 4, p=pp)
+        job = dict(data=enc.data, seg_lens=enc.seg_lens,
+                   numpasses=len(enc.seg_lens), numbps=enc.numbps,
+                   orient=i % 4, w=w, h=h)
+        assert ht_block_eligible(job), (i, pp)
+        jobs.append(job)
+        refs.append(ht_decode_block(enc.data, enc.seg_lens,
+                                    len(enc.seg_lens), enc.numbps,
+                                    i % 4, w, h))
+    res = decode_ht_blocks(jobs, interpret=True)
+    for i, ((m, n), (rm, rn)) in enumerate(zip(res, refs)):
+        assert np.array_equal(m, rm), f"block {i} mag"
+        assert np.array_equal(n, rn), f"block {i} neg"
+
+
 def test_decoder_interpret_multi_outer_blocks():
     """NQ=32 quads -> two outer staging blocks on the DECODE side:
     exercises the MagSgn mid refresh from the full stream buffer, the

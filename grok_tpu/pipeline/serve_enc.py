@@ -408,7 +408,13 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
     fn = _build_encode_fn(sig_n)
     launches = fn(tuple(comps))
 
-    # download the per-lane stats: ONE (11, NL) D2H per launch
+    # download the per-lane stats: ONE (11, NL) D2H per launch, all
+    # copies issued before the first blocks (overlapped)
+    for b in launches:
+        try:
+            b[3].copy_to_host_async()
+        except AttributeError:
+            pass
     stats_h = [np.asarray(b[3]) for b in launches]
     bits_h = [st[0:3] for st in stats_h]
     nbps_h = [st[3] for st in stats_h]
@@ -424,17 +430,33 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
 
     from grok_tpu import native
     from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
+
+    # the PP analog (SURVEY.md §2.1): enqueue EVERY launch's compaction
+    # program and start its D2H before assembling any bytes, so the
+    # device work and the compressed-byte downloads overlap the host's
+    # C wire assembly + Tier-2 of earlier launches
+    words_d = []
+    for li, (bits, nbps) in enumerate(zip(bits_h, nbps_h)):
+        seg_li = np.where(
+            nbps > 0, ((bits[0] + 7) >> 3) + ((bits[1] + 7) >> 3)
+            + ((bits[2] + 7) >> 3), 0)
+        T = max(512, -(-int(seg_li.sum()) // 512) * 512)
+        w = _build_compact_fn(T)(
+            launches[li][0], launches[li][1], launches[li][2],
+            launches[li][3][0:3], launches[li][3][3])
+        try:
+            w.copy_to_host_async()
+        except AttributeError:
+            pass
+        words_d.append(w)
+
     encs: list = []
     for li, (bits, nbps) in enumerate(zip(bits_h, nbps_h)):
         msb = (bits[0] + 7) >> 3
         melb = (bits[1] + 7) >> 3
         vlcb = (bits[2] + 7) >> 3
         seg = np.where(nbps > 0, msb + melb + vlcb, 0)
-        total = int(seg.sum())
-        T = max(512, -(-total // 512) * 512)
-        words = np.asarray(_build_compact_fn(T)(
-            launches[li][0], launches[li][1], launches[li][2],
-            launches[li][3][0:3], launches[li][3][3]))
+        words = np.asarray(words_d[li])
         byts = words.astype("<u4").view(np.uint8)
         starts = np.cumsum(seg) - seg
         n_here = min(N * B - li * NL, NL)

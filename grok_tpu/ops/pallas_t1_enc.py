@@ -56,10 +56,23 @@ def pallas_t1_encode(mneg, orient, numbps,
     npass_max = 3 * maxbp
     R8 = -(-npass_max // 8) * 8
     mq_tbl = jnp.asarray(_MQ_PACKED).reshape(47, 1)
+    # write-side mid hierarchy (round 3, mirrors the decoder): the
+    # O(G) full-buffer restage runs once per KG-column group through a
+    # MIDG-granule mid scratch; per-column restages touch mid only.
+    # Coverage: KG * 26 B worst emission + 31 B skew + 64 B window must
+    # fit 32*MIDG.  The 64x64 config has < 128 KB of scoped-VMEM
+    # headroom (measured OOM with even MIDG=8), so it keeps the legacy
+    # direct restage; smaller blocks get the hierarchy.
+    USE_MID = H * W < 64 * 64
+    MIDG = 16 if USE_MID else 1
+    NC = n_stripes * W
+    KG = 8
+    while NC % KG:
+        KG //= 2
 
     def kernel(mneg_ref, ori_ref, nbps_ref, mqtbl_ref,
                out_ref, len_ref, rates_ref, sigtype_ref,
-               sig_ref, stage_ref, base_ref):
+               sig_ref, stage_ref, base_ref, mid_ref, mba_ref):
         ori = ori_ref[...]
         nbps = nbps_ref[...]
 
@@ -69,27 +82,72 @@ def pallas_t1_encode(mneg, orient, numbps,
         sig_ref[...] = jnp.zeros((H + 2, W + 2, LANES), jnp.int32)
         stage_ref[...] = jnp.zeros((64, LANES), jnp.int32)
         base_ref[...] = jnp.zeros((1, LANES), jnp.int32)
+        mid_ref[...] = jnp.zeros((MIDG, 32, LANES), jnp.int32)
+        mba_ref[...] = jnp.zeros((1, LANES), jnp.int32)
 
         giota = jax.lax.broadcasted_iota(jnp.int32, (G, 1, 1), 0)
+        miota = jax.lax.broadcasted_iota(jnp.int32, (MIDG, 1, 1), 0)
         siota = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
         tiota = jax.lax.broadcasted_iota(jnp.int32, (47, 1), 0)
         riota = jax.lax.broadcasted_iota(jnp.int32, (R8, 1), 0)
         wiota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
         wiota2 = jax.lax.broadcasted_iota(jnp.int32, (W + 2, 1), 0)
 
-        # -- staged output window ------------------------------------------
-        # stage_ref holds bytes [base, base+64) for every lane; base is
-        # carried as a register.  restage(): scatter the stage back into
-        # out_ref (one-hot over granules), then reload at bp's granule.
-        def restage(bp):
+        # -- staged output window + mid hierarchy --------------------------
+        # stage_ref holds bytes [base, base+64) for every lane; the
+        # per-column restage() scatters into / reloads from the MIDG-
+        # granule mid scratch (O(MIDG)); mid retires into the full
+        # buffer and re-centers once per KG-column group (O(G)).  MQ
+        # carries mutate already-emitted bytes, so mid->full is a
+        # REPLACE (not the HT encoder's append-only OR) — mid always
+        # holds the authoritative content of its granules.
+        def win_to_mid():
+            rel = (base_ref[...] >> 5) - (mba_ref[...] >> 5)
+            d = mid_ref[...]
+            sel0 = (miota == rel[None, :, :]).astype(jnp.int32)
+            sel1 = (miota == (rel + 1)[None, :, :]).astype(jnp.int32)
+            d = jnp.where(sel0 == 1, stage_ref[0:32, :][None], d)
+            d = jnp.where(sel1 == 1, stage_ref[32:64, :][None], d)
+            mid_ref[...] = d
+
+        def win_from_mid(bp):
+            rel = (bp >> 5) - (mba_ref[...] >> 5)
+            d = mid_ref[...]
+            lo = jnp.sum(d * (miota == rel[None, :, :]).astype(jnp.int32),
+                         axis=0)
+            hi = jnp.sum(
+                d * (miota == (rel + 1)[None, :, :]).astype(jnp.int32),
+                axis=0)
+            stage_ref[...] = jnp.concatenate([lo, hi], axis=0)
+            base_ref[...] = (bp >> 5) << 5
+
+        def mid_to_full():
+            mg = mba_ref[...] >> 5
+            mid = mid_ref[...]
+            d = out_ref[...]
+            for j in range(MIDG):
+                selj = (giota == (mg + j)[None, :, :]).astype(jnp.int32)
+                d = jnp.where(selj == 1, mid[j][None], d)
+            out_ref[...] = d
+
+        def mid_shift(bp):
+            mg_new = bp >> 5
+            dg = mg_new - (mba_ref[...] >> 5)
+            mid = mid_ref[...]
+            parts = []
+            for j in range(MIDG):
+                sj = (miota == (dg + j)[None, :, :]).astype(jnp.int32)
+                parts.append(jnp.sum(mid * sj, axis=0))
+            mid_ref[...] = jnp.stack(parts, axis=0)
+            mba_ref[...] = mg_new << 5
+
+        def restage_direct(bp):
             g_old = base_ref[...] >> 5
             sel0 = (giota == g_old[None, :, :]).astype(jnp.int32)
             sel1 = (giota == (g_old + 1)[None, :, :]).astype(jnp.int32)
             d = out_ref[...]
-            lo = stage_ref[0:32, :][None, :, :]
-            hi = stage_ref[32:64, :][None, :, :]
-            d = jnp.where(sel0 == 1, lo, d)
-            d = jnp.where(sel1 == 1, hi, d)
+            d = jnp.where(sel0 == 1, stage_ref[0:32, :][None], d)
+            d = jnp.where(sel1 == 1, stage_ref[32:64, :][None], d)
             out_ref[...] = d
             g_new = bp >> 5
             s0 = (giota == g_new[None, :, :]).astype(jnp.int32)
@@ -98,6 +156,23 @@ def pallas_t1_encode(mneg, orient, numbps,
             hi2 = jnp.sum(d * s1, axis=0)
             stage_ref[...] = jnp.concatenate([lo2, hi2], axis=0)
             base_ref[...] = g_new << 5
+
+        def restage(bp):
+            if not USE_MID:
+                restage_direct(bp)
+                return
+            win_to_mid()
+            win_from_mid(bp)
+
+        def regroup(bp):
+            """KG-column group boundary: retire mid into the full
+            buffer and re-center it on bp's granule."""
+            if not USE_MID:
+                return
+            win_to_mid()
+            mid_to_full()
+            mid_shift(bp)
+            win_from_mid(bp)
 
         def out_get(bp):
             sel = (siota == (bp - base_ref[...])).astype(jnp.int32)
@@ -388,7 +463,12 @@ def pallas_t1_encode(mneg, orient, numbps,
                 for dy in range(4):
                     mqs = spp_step(col, dy, bp, mqs)
                 return mqs
-            mqs = jax.lax.fori_loop(0, n_stripes * W, spp_col, mqs)
+
+            def spp_group(o, mqs):
+                regroup(mqs[0][3])
+                return jax.lax.fori_loop(o * KG, o * KG + KG, spp_col,
+                                         mqs)
+            mqs = jax.lax.fori_loop(0, NC // KG, spp_group, mqs)
             record(3 * k_lane - 2, mqs)
 
             def mrp_col(col, mqs):
@@ -396,7 +476,12 @@ def pallas_t1_encode(mneg, orient, numbps,
                 for dy in range(4):
                     mqs = mrp_step(col, dy, bp, mqs)
                 return mqs
-            mqs = jax.lax.fori_loop(0, n_stripes * W, mrp_col, mqs)
+
+            def mrp_group(o, mqs):
+                regroup(mqs[0][3])
+                return jax.lax.fori_loop(o * KG, o * KG + KG, mrp_col,
+                                         mqs)
+            mqs = jax.lax.fori_loop(0, NC // KG, mrp_group, mqs)
             record(3 * k_lane - 1, mqs)
 
             z = nbps * 0
@@ -411,7 +496,12 @@ def pallas_t1_encode(mneg, orient, numbps,
                 for j in range(6, 11):
                     carry = cln_step(col, j, bp, carry)
                 return carry
-            carry = jax.lax.fori_loop(0, n_stripes * W, cln_col,
+
+            def cln_group(o, carry):
+                regroup(carry[0][0][3])
+                return jax.lax.fori_loop(o * KG, o * KG + KG, cln_col,
+                                         carry)
+            carry = jax.lax.fori_loop(0, NC // KG, cln_group,
                                       (mqs, z, z, z, z))
             mqs = carry[0]
             record(3 * k_lane, mqs)
@@ -436,7 +526,11 @@ def pallas_t1_encode(mneg, orient, numbps,
         a, c3, ct3, bp3 = st
         last = out_get(bp3)
         bp4 = jnp.where(active & (last != 0xFF), bp3 + 1, bp3)
-        restage(bp4)                  # final flush of the stage
+        if USE_MID:
+            win_to_mid()
+            mid_to_full()             # final flush: window -> mid -> full
+        else:
+            restage_direct(bp4)
         len_ref[...] = jnp.maximum(bp4 - 1, 0)
 
     from jax.experimental import pallas as pl
@@ -455,6 +549,8 @@ def pallas_t1_encode(mneg, orient, numbps,
             pltpu.VMEM((H + 2, W + 2, LANES), jnp.int32),
             pltpu.VMEM((64, LANES), jnp.int32),
             pltpu.VMEM((1, LANES), jnp.int32),
+            pltpu.VMEM((MIDG, 32, LANES), jnp.int32),    # write mid
+            pltpu.VMEM((1, LANES), jnp.int32),           # mid base
         ],
         interpret=interpret,
     )(mneg, orient, numbps, mq_tbl)

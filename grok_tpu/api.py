@@ -148,10 +148,8 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
     hdr = _build_main_header(image, params)
     siz = hdr.siz
 
-    raw_bytes = sum((siz.xsiz - siz.xosiz) * (siz.ysiz - siz.yosiz)
-                    * c.prec / 8.0
-                    / (c.dx * c.dy) for c in hdr.comps)
-    total_pixels = (siz.xsiz - siz.xosiz) * (siz.ysiz - siz.yosiz)
+    from grok_tpu.t2.rate import layer_budget_consts
+    _budget_consts = layer_budget_consts(hdr, params)
 
     mct_norms = None
     if hdr.cod.mct:
@@ -160,10 +158,6 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
         import numpy as _np
         mct_norms = mct_component_norms(
             True, custom_inv=_np.linalg.inv(hdr.custom_mct))
-
-    # provisional main header size (TLM slot added later if requested)
-    mh_probe = _main_header_bytes(hdr, params, None)
-    header_overhead = len(mh_probe) + siz.num_tiles * 14 + 2
 
     tiles_out: list[bytes] = []
     tlm_entries: list[tuple[int, int]] = []
@@ -177,18 +171,10 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
                             sublevel=params.sublevel)
     if errs:
         raise ValueError("profile violations: " + "; ".join(errs))
+    from grok_tpu.t2.rate import layer_targets_for_tile
     for t in range(siz.num_tiles):
         geo = tile_pipe.TileGeometry.build(hdr, t)
-        frac = (geo.rect.w * geo.rect.h) / max(total_pixels, 1)
-        targets: list[float | None] = []
-        for l in range(params.num_layers):
-            # ratio <= 1 means "all remaining passes" (lossless intent),
-            # matching the reference tools' -r 1 convention
-            if params.rates and params.rates[l] > 1:
-                budget = raw_bytes / params.rates[l] - header_overhead
-                targets.append(max(budget, 100.0) * frac)
-            else:
-                targets.append(None)
+        targets = layer_targets_for_tile(_budget_consts, geo.rect, params)
         quality_targets = None
         if params.fixed_quality and params.quality:
             # PSNR target -> required cumulative weighted-squared-error

@@ -804,8 +804,13 @@ def decode_ht_blocks(blocks: list[dict], interpret: bool = False):
             if not ok:
                 raise ValueError("ineligible HT block reached the "
                                  "device path")
-        key = (_pow2_at_least(b["w"]), _pow2_at_least(b["h"]),
-               b["numpasses"] > 1)
+        refine = b["numpasses"] > 1
+        Hb = _pow2_at_least(b["h"])
+        if refine:
+            # the refine stripe loops walk full 4-row stripes (masked
+            # values, UNmasked indices): pad tiny blocks to H >= 4
+            Hb = max(Hb, 4)
+        key = (_pow2_at_least(b["w"]), Hb, refine)
         buckets.setdefault(key, []).append(i)
     for (W, H, refine), idxs in buckets.items():
         mx = max(max(len(x) for x in blocks[i]["_ht_hdr"][1:])

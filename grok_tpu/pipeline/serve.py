@@ -252,10 +252,13 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
         from grok_tpu.pipeline.tile import band_window
         geo = plan.geo
         wins = np.empty((len(plan.band_info), 4), np.int64)
+        subs = {}
         for bi, (c, r, orient, nl) in enumerate(plan.band_info):
-            dx, dy = geo.subsampling[c]
-            sub = Rect(*dp.window).intersect(geo.rect).ceil_scale(dx, dy)
-            w = band_window(sub, nl, r, orient)
+            if c not in subs:
+                dx, dy = geo.subsampling[c]
+                subs[c] = Rect(*dp.window).intersect(geo.rect) \
+                    .ceil_scale(dx, dy)
+            w = band_window(subs[c], nl, r, orient)
             wins[bi] = (w.x0, w.y0, w.x1, w.y1)
         wb = wins[plan.blk_band]
         br = plan.blk_rect
@@ -394,8 +397,13 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
             # scan's FF / 0x7F counts); quantized so programs reuse
             dmax = max(max(int(r[6][5]), 4 + int(r[6][6]))
                        for r in chunk)
+            need_d = -(-dmax // 8) + 1
+            if need_d > 64:
+                # pathological stuffing density: the shift-candidate
+                # repack would silently truncate — per-block fallback
+                return None
             Dm = 1
-            while Dm < -(-dmax // 8) + 1 and Dm < 64:
+            while Dm < need_d:
                 Dm *= 2
             meta = np.zeros((S * LANES, 5), np.int32)
             blocks_sig = []

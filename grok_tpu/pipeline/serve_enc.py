@@ -519,26 +519,13 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
 
 
 def _layer_targets(hdr, geo, params):
-    """Cumulative per-layer byte budgets for this tile, op-for-op as
-    api.compress computes them (byte-identity with the host path)."""
+    """Per-tile layer byte budgets via the SAME helpers api.compress
+    uses (t2.rate) — the two paths cannot diverge."""
     if not (params.rates and any(r > 1 for r in params.rates)):
         return [None] * params.num_layers
-    from grok_tpu.api import _main_header_bytes
-    siz = hdr.siz
-    raw_bytes = sum((siz.xsiz - siz.xosiz) * (siz.ysiz - siz.yosiz)
-                    * c.prec / 8.0 / (c.dx * c.dy) for c in hdr.comps)
-    total_pixels = (siz.xsiz - siz.xosiz) * (siz.ysiz - siz.yosiz)
-    mh_probe = _main_header_bytes(hdr, params, None)
-    header_overhead = len(mh_probe) + siz.num_tiles * 14 + 2
-    frac = (geo.rect.w * geo.rect.h) / max(total_pixels, 1)
-    targets: list[float | None] = []
-    for l in range(params.num_layers):
-        if params.rates and params.rates[l] > 1:
-            budget = raw_bytes / params.rates[l] - header_overhead
-            targets.append(max(budget, 100.0) * frac)
-        else:
-            targets.append(None)
-    return targets
+    from grok_tpu.t2.rate import layer_budget_consts, layer_targets_for_tile
+    return layer_targets_for_tile(layer_budget_consts(hdr, params),
+                                  geo.rect, params)
 
 
 def _hdr_key(hdr):

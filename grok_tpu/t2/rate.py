@@ -259,3 +259,34 @@ def allocate_layers_quality(hulls: list[Hull], num_layers: int,
             layer_cum[b].append(chosen[b])
         prev = chosen
     return layer_cum
+
+
+def layer_budget_consts(hdr, params) -> tuple:
+    """Whole-image constants for per-tile layer byte budgets: computed
+    ONCE and shared by api.compress and the fused serving encoder so
+    the two paths can never diverge (stream byte-identity depends on
+    identical PCRD targets)."""
+    from grok_tpu.api import _main_header_bytes
+    siz = hdr.siz
+    raw_bytes = sum((siz.xsiz - siz.xosiz) * (siz.ysiz - siz.yosiz)
+                    * c.prec / 8.0 / (c.dx * c.dy) for c in hdr.comps)
+    total_pixels = (siz.xsiz - siz.xosiz) * (siz.ysiz - siz.yosiz)
+    mh_probe = _main_header_bytes(hdr, params, None)
+    header_overhead = len(mh_probe) + siz.num_tiles * 14 + 2
+    return raw_bytes, total_pixels, header_overhead
+
+
+def layer_targets_for_tile(consts: tuple, tile_rect, params) -> list:
+    """Cumulative per-layer byte budgets for one tile (None = all
+    remaining passes; ratio <= 1 means lossless intent, matching the
+    reference tools' -r 1 convention)."""
+    raw_bytes, total_pixels, header_overhead = consts
+    frac = (tile_rect.w * tile_rect.h) / max(total_pixels, 1)
+    targets: list = []
+    for l in range(params.num_layers):
+        if params.rates and params.rates[l] > 1:
+            budget = raw_bytes / params.rates[l] - header_overhead
+            targets.append(max(budget, 100.0) * frac)
+        else:
+            targets.append(None)
+    return targets

@@ -101,9 +101,12 @@ def test_decoder_interpret_refine_passes():
     from grok_tpu.ops.pallas_ht import decode_ht_blocks
     rng = np.random.default_rng(23)
     jobs, refs = [], []
+    # heights 1-2 exercise the H >= 4 refine-bucket pad (the stripe
+    # loops index full 4-row stripes)
     for i, (w, h, pp) in enumerate([(8, 8, 1), (7, 5, 2), (8, 6, 3),
-                                    (12, 9, 2), (8, 8, 0)]):
-        mag = np.abs(rng.normal(0, [60, 300, 1000, 90, 40][i],
+                                    (12, 9, 2), (8, 8, 0), (8, 2, 1),
+                                    (6, 1, 2)]):
+        mag = np.abs(rng.normal(0, [60, 300, 1000, 90, 40, 70, 80][i],
                                 (h, w))).astype(np.int64)
         mag[rng.random((h, w)) < 0.4] = 0
         mag[0, 0] = max(int(mag[0, 0]), 7)

@@ -166,13 +166,13 @@ def ht_block_eligible(job: dict) -> bool:
     return job["numbps"] - hdr[0] <= 24
 
 
-# Longest per-lane stream the kernel accepts.  The staged-window design
-# re-reads the whole (G, 32, lanes) buffer at every refresh, so G is both
-# a VMEM-pressure and a Mosaic-compile bound — G > ~128 sends compiles
-# off a cliff (reproduced: G=256 hangs).  Oversized blocks fall back to
-# the scalar path; encoders that want the device path use smaller
-# code-blocks (32x32 keeps lossless 8bpp streams ~1 KB).
-MAX_STREAM = 128 * 32 - 8
+# Longest per-lane stream the kernel accepts.  Round-2's G > ~128
+# Mosaic-compile cliff was the per-quad full-buffer staging; with the
+# granule hierarchy (full -> mid -> window) a G=208 dense 64x64 batch
+# compiles in ~9 s and runs bit-exact, so the cap now covers dense
+# 64x64 lossless streams (~8 KB/lane).  Oversized blocks still fall
+# back to the scalar path.
+MAX_STREAM = 256 * 32 - 8
 
 
 def _quant_len(maxlen: int) -> int:

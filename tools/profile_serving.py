@@ -102,6 +102,7 @@ def main():
             return fn(arrs, body_d)
         return wrapped
     dev._build_decode_fn = tap_build
+    serve._PLANS.clear()   # the fast path caches fn on the plan
     out = sv.try_decode_serving(cs, hdr, 0, th, body, dp)
     dev._build_decode_fn = real_build
     fn = real_build(captured["sig"])

@@ -528,6 +528,13 @@ def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
             vlc_bp = vlc_bp + jnp.where(vread, ln, 0)
 
             # -- UVLC exponent offset u (coded only when u_off = 1) --------
+            # NOTE: this decode (and the encode kernel's mirror) omits
+            # the 13-bit escape form for u >= 36 (5-bit suffix == 31,
+            # tables.uvlc_decode implements it).  Safe ONLY because
+            # serving eligibility enforces numbps - p <= 24 (so u <= 24):
+            # ht_block_eligible / serve.py's numbps-p check.  If that
+            # bound is ever raised past 32, teach both kernels the
+            # escape or streams with u >= 36 will silently mis-decode.
             umask = vread & ((sym & 0x10) != 0)
             w8 = bits_at(vlc_stage, vlc_base, vlc_bp)
             b0 = w8 & 1

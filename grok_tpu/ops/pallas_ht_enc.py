@@ -666,10 +666,17 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
                 res = native.ht_assemble_batch(
                     buf, offs[0], bcnts[0], offs[1], bcnts[1],
                     offs[2], bcnts[2], np.zeros(nb, np.int32))
-                out_b, olens = res
-                opos = np.cumsum(olens) - olens
-                segs = [bytes(out_b[int(o):int(o + l)])
-                        for o, l in zip(opos, olens)]
+                if res is None:
+                    # assembler capacity overflow (unreachable for
+                    # in-cap blocks): fall through to the scalar
+                    # assembler rather than crash on the unpack
+                    use_c = False
+                    from grok_tpu.t1ht.scalar import assemble_cleanup
+                else:
+                    out_b, olens = res
+                    opos = np.cumsum(olens) - olens
+                    segs = [bytes(out_b[int(o):int(o + l)])
+                            for o, l in zip(opos, olens)]
             else:
                 from grok_tpu.t1ht.scalar import assemble_cleanup
             for j, i in enumerate(chunk):

@@ -21,9 +21,11 @@ no zero-padded staging buffers ever cross the host link (which is the
 bottleneck on tunneled hosts and still the largest non-kernel cost on
 local-attached TPU).
 
-Scope: single-tile, full-frame (no window/reduce/layer-cap), HT
-cleanup-only streams — exactly the serving shape.  Anything else returns
-None and the caller falls back to the general path.
+Scope: single-tile streams with main-header coding styles (no per-tile
+COD/QCD overrides, POC, or PPM/PPT), one codeword segment per block.
+Window, reduce, and max_layers ARE served (plans are cached per reduce;
+window/layer caps mask blocks per call).  Anything else returns None
+and the caller falls back to the general path.
 
 Reference parity: the reference's analog is the plugin batch decode
 surface [grok: src/lib/core/plugin/, grk_plugin_batch_decompress] where

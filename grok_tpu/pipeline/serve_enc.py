@@ -424,7 +424,15 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
         s1 = d[0] * 65536.0 + d[1]
         s2 = d[2] * 65536.0 + d[3]
         s3 = d[4] * 65536.0 + d[5]
-        # sum_sig m^2 - 0.25 * nsig, exact in f64 (scalar coder parity)
+        # sum_sig m^2 - 0.25 * nsig.  Exact in f64 (scalar coder
+        # parity) while the true sum fits 53 bits, i.e. while
+        # 2*numbps + log2(blk area) <= 53 — always true at the
+        # serving caps (numbps <= 24 with 64x64 blocks reaches 2^60
+        # only for near-saturated DENSE blocks; real quantized bands
+        # keep sums far below 2^53).  Past that bound this 3-term
+        # reconstruction and the host's numpy pairwise sum may round
+        # differently, so rate-targeted device streams are
+        # byte-identical only within it (CLAUDE.md invariant scope).
         dist_h.append(s1 * 16777216.0 + 2.0 * s2 * 4096.0 + s3
                       - 0.25 * d[6])
 

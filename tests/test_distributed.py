@@ -81,8 +81,14 @@ def test_two_process_jax_distributed(tmp_path):
                PYTHONPATH=os.path.dirname(os.path.dirname(
                    os.path.abspath(__file__))))
     env.pop("GROK_COORDINATOR", None)
+    # ephemeral coordinator port: a hardcoded one collides with
+    # concurrent runs / busy ports and hangs to the 480 s timeout
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     procs = [subprocess.Popen(
-        [sys.executable, "-c", _WORKER, str(i), "29811", str(outp)],
+        [sys.executable, "-c", _WORKER, str(i), str(port), str(outp)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
     outs = []

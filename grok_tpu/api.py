@@ -137,6 +137,12 @@ def _main_header_bytes(hdr: MainHeader, params: CompressParams,
         out += struct.pack(">HH", j2k.PPM, len(payload) + 2) + payload
     if params.comment:
         out += j2k.write_com(params.comment)
+    if params.ht_planes:
+        # ht_planes >= 1 extension: the global HT cleanup plane P is
+        # signalled ONCE here (the segments stay standard-framed);
+        # decoders compute the per-block plane min(P, numbps-1)
+        # (t1ht/scalar.py derive_p).  Standard readers skip the COM.
+        out += j2k.write_com("GRKTPU_HTP=%d" % params.ht_planes)
     return bytes(out)
 
 

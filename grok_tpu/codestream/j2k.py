@@ -134,6 +134,19 @@ class MainHeader:
     ppm: bytes | None = None
     main_header_end: int = 0
 
+    def ht_planes_ext(self) -> int:
+        """Global HT cleanup-plane extension P (0 = standard framing):
+        ht_planes >= 1 encodes signal P once as a COM marker
+        'GRKTPU_HTP=<P>'; the per-block plane is then min(P, numbps-1)
+        (t1ht/scalar.py derive_p).  Standard readers skip the COM."""
+        for _reg, data in self.comments:
+            if data.startswith(b"GRKTPU_HTP="):
+                try:
+                    return max(0, int(data[11:]))
+                except ValueError:
+                    return 0
+        return 0
+
     @property
     def numcomps(self) -> int:
         return len(self.comps)

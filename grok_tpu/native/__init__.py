@@ -482,10 +482,10 @@ def _u8p(arr):
 def ht_scan2(body: bytes, off: np.ndarray, lens: np.ndarray):
     """Scan + split HT cleanup segments into clean sub-streams.
 
-    Returns (out7 (n, 7) int32 [p, ms_off, ms_len, mel_off, mel_len,
-    vlc_off, vlc_len], digest uint8 array) — offsets index the digest;
-    p = -1 marks invalid framing.  None if the digest overflowed (never
-    for well-formed input: capacity is 3*len + 16 per block)."""
+    Returns (out7 (n, 7) int32 [ok, ms_off, ms_len, suf_off, suf_len,
+    n_ff, n_7f], digest uint8 array) — offsets index the digest; ok = 0
+    for a valid framing, -1 otherwise.  None if the digest overflowed
+    (never for well-formed input: capacity is 3*len + 16 per block)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native runtime not available")
@@ -532,7 +532,7 @@ def ht_assemble_batch(buf: np.ndarray, ms_off, ms_bits, mel_off, mel_bits,
     return out, olens
 
 
-def ht_assemble(p: int, ms, msbits: int, mel, melbits: int,
+def ht_assemble(ms, msbits: int, mel, melbits: int,
                 vlc, vlcbits: int) -> bytes:
     """Single-segment clean -> wire assembly (C mirror of
     t1ht.scalar.assemble_cleanup)."""
@@ -543,7 +543,7 @@ def ht_assemble(p: int, ms, msbits: int, mel, melbits: int,
         np.zeros(1, np.uint8)])
     o1, o2 = len(ms), len(ms) + len(mel)
     res = ht_assemble_batch(buf, [0], [msbits], [o1], [melbits],
-                            [o2], [vlcbits], [p])
+                            [o2], [vlcbits], [0])
     if res is None:
         raise ValueError("HT cleanup suffix too long")
     out, olens = res

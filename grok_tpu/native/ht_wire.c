@@ -129,8 +129,7 @@ static long long vlc_back(const uint8_t *buf, long long nbits,
 /* Assemble one wire cleanup segment from clean streams; returns the
  * segment length, or -1 on scup overflow / -2 on capacity overflow.
  * Mirrors t1ht.scalar.assemble_cleanup byte for byte. */
-static long long assemble_one(int p,
-                              const uint8_t *ms, long long msbits,
+static long long assemble_one(const uint8_t *ms, long long msbits,
                               const uint8_t *mel, long long melbits,
                               const uint8_t *vlc, long long vlcbits,
                               uint8_t *out, long long cap,
@@ -139,7 +138,7 @@ static long long assemble_one(int p,
     long long worst = 1 + msbits / 7 + melbits / 7 + vlcbits / 7 + 16;
     if (worst > cap)
         return -2;
-    long long ms_n = stuff_lsb(ms, msbits, out + 1);
+    long long ms_n = stuff_lsb(ms, msbits, out);
     uint8_t *melw = tmp;
     long long mel_n = stuff_msb(mel, melbits, melw);
     uint8_t *vb = tmp + mel_n;
@@ -168,13 +167,12 @@ static long long assemble_one(int p,
     }
     int first_suffix = mel_n ? melw[0]
                      : (pad ? 0x00 : (vn ? vb[vn - 1] : b_l2));
-    if (ms_n && out[ms_n] == 0xFF && first_suffix > 0x8F)
-        out[1 + ms_n++] = 0x00;
+    if (ms_n && out[ms_n - 1] == 0xFF && first_suffix > 0x8F)
+        out[ms_n++] = 0x00;
 
-    long long pos = 1 + ms_n;
+    long long pos = ms_n;
     if (pos + scup > cap)
         return -2;
-    out[0] = (uint8_t)p;
     memcpy(out + pos, melw, (size_t)mel_n);
     pos += mel_n;
     memset(out + pos, 0, (size_t)pad);
@@ -212,8 +210,7 @@ int grk_ht_assemble_batch(const uint8_t *buf,
             if (!tmp)
                 return 1;
         }
-        long long r = assemble_one(pvals[k],
-                                   buf + ms_off[k], ms_bits[k],
+        long long r = assemble_one(buf + ms_off[k], ms_bits[k],
                                    buf + mel_off[k], mel_bits[k],
                                    buf + vlc_off[k], vlc_bits[k],
                                    out + pos, ocap - pos, tmp);
@@ -235,10 +232,10 @@ int grk_ht_assemble_batch(const uint8_t *buf,
  * copy the raw SUFFIX (MEL+VLC+Scup region) verbatim after it — the
  * suffix is un-stuffed ON DEVICE (pipeline/device.py) so its bytes
  * cross the host link exactly once.  out7[i*7 + 0..6] =
- * (p, ms_off, ms_len, suf_off, suf_len, 0, 0); p = -1 if the framing
- * is invalid.  Returns 0, or 1 if digest capacity dcap would overflow
- * (caller sizes dcap >= sum(2*len + 24)).  *dused gets the digest
- * bytes written. */
+ * (ok, ms_off, ms_len, suf_off, suf_len, n_ff, n_7f); ok = 0 for a
+ * valid framing, -1 otherwise.  Returns 0, or 1 if digest capacity
+ * dcap would overflow (caller sizes dcap >= sum(2*len + 24)).  *dused
+ * gets the digest bytes written. */
 int grk_ht_scan2(const uint8_t *body, long long blen,
                  const long long *off, const int *len, int n,
                  int *out7, uint8_t *digest, long long dcap,
@@ -251,12 +248,11 @@ int grk_ht_scan2(const uint8_t *body, long long blen,
         int *r = out7 + 7 * (long long)i;
         r[0] = -1;
         r[1] = r[2] = r[3] = r[4] = r[5] = r[6] = 0;
-        if (o < 0 || L < 4 || o + L > blen)
+        if (o < 0 || L < 2 || o + L > blen)
             continue;
         const uint8_t *seg = body + o;
-        int p = seg[0];
         int scup = (seg[L - 1] << 4) | (seg[L - 2] & 0xF);
-        if (scup < 2 || scup > L - 1 || p > 63)
+        if (scup < 2 || scup > L)
             continue;
         long long suf = L - scup;
         if (d + 2 * L + 24 > dcap)
@@ -265,7 +261,7 @@ int grk_ht_scan2(const uint8_t *body, long long blen,
         /* MagSgn: forward LSB-first, 7 payload bits after 0xFF */
         sink_t s = { digest + d, 0, 0, 0 };
         int prev_ff = 0;
-        for (long long j = 1; j < suf; j++) {
+        for (long long j = 0; j < suf; j++) {
             int b = seg[j];
             if (prev_ff)
                 sink_bits(&s, (uint32_t)(b & 0x7F), 7);
@@ -291,7 +287,7 @@ int grk_ht_scan2(const uint8_t *body, long long blen,
         r[5] = nff;
         r[6] = n7f;
         d += scup;
-        r[0] = p;
+        r[0] = 0;
     }
     *dused = d;
     return 0;

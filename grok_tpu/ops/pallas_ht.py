@@ -80,12 +80,14 @@ def _ht_interpret() -> bool:
 
 
 def parse_ht_header(data: bytes, seg_lens):
-    """Split a wire cleanup segment into clean (p, magsgn, mel, vlc)
+    """Split a wire cleanup segment into clean (magsgn, mel, vlc)
     LSB-first streams or None if the framing is invalid (the un-stuffed
-    mirror of t1ht.scalar.ht_decode_block's readers)."""
+    mirror of t1ht.scalar.ht_decode_block's readers).  The cleanup
+    plane is NOT in the segment — callers derive it from the pass
+    count / the ht_planes COM extension (t1ht.scalar.derive_p)."""
     from grok_tpu.t1ht.wire import split_cleanup
     L = seg_lens[0] if seg_lens else len(data)
-    if L < 4:
+    if L < 2:
         return None
     return split_cleanup(data, L)
 
@@ -132,18 +134,22 @@ def ht_block_eligible(job: dict) -> bool:
     the fast variant; 2/3-pass blocks (HT SigProp/MagRef refining plane
     p-1, ht_planes encodes) take the REFINE variant — their raw stuffed
     segments are un-stuffed host-side and read in-kernel.  Caches the
-    parsed header (+ clean refinement streams) in job["_ht_hdr"]."""
+    parsed header (+ clean refinement streams) in job["_ht_hdr"] and
+    the derived cleanup plane in job["ht_p"]."""
     np_ = job["numpasses"]
     sl = job.get("seg_lens") or [len(job["data"])]
     if np_ not in (1, 2, 3) or len(sl) != np_:
         return False
+    if "ht_p" not in job:
+        from grok_tpu.t1ht.scalar import derive_p
+        job["ht_p"] = derive_p(np_, job["numbps"], None)
     hdr = job.get("_ht_hdr")
     if hdr is None:
         hdr = parse_ht_header(job["data"], sl)
         if hdr is None:
             return False
         if np_ > 1:
-            if hdr[0] == 0:
+            if job["ht_p"] == 0:
                 return False           # refinement needs p > 0
             import numpy as _np
 
@@ -161,9 +167,9 @@ def ht_block_eligible(job: dict) -> bool:
                 mr = _unstuff_lsb(_np.frombuffer(d[s1:s2], _np.uint8))
             hdr = hdr + (sp, mr)
         job["_ht_hdr"] = hdr
-    if max(len(x) for x in hdr[1:]) > MAX_STREAM:
+    if max(len(x) for x in hdr) > MAX_STREAM:
         return False
-    return job["numbps"] - hdr[0] <= 24
+    return job["numbps"] - job["ht_p"] <= 24
 
 
 # Longest per-lane stream the kernel accepts.  Round-2's G > ~128
@@ -226,11 +232,11 @@ def pack_ht_for_pallas(blocks: list[dict], S: int):
         if hdr is None:
             sl = b.get("seg_lens") or [len(b["data"])]
             hdr = parse_ht_header(b["data"], sl)
-        p, ms, mel, vlc = hdr[:4]
+        ms, mel, vlc = hdr[:3]
         mss.append(ms)
         mels.append(mel)
         vlcs.append(vlc)
-        pv[j] = p
+        pv[j] = b.get("ht_p", 0)
         wh[0, j] = b["w"]
         wh[1, j] = b["h"]
         valid[j] = 1
@@ -294,12 +300,15 @@ def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
     nd = len(arr_tail)
     lane_sh = (S, LANES) if S > 1 else (1, LANES)
     kd = S == 1
-    NQ = GH * GW
-    K = min(16, NQ)           # NQ is a pow2 product: K always divides it
-    assert NQ % K == 0, (W, H)   # callers bucket W/H to powers of two
-    NO = NQ // K
-    MIDG = 10                 # MagSgn mid granules: 31 B skew + 16 quads
-                              # * 12.5 B + 2-granule window <= 10 * 32 B
+    GWP = max(GW // 2, 1)     # quad PAIRS per row (GW == 1: lone quads)
+    HAS2 = GW >= 2            # static: a second quad exists in the pair
+    NQP = GH * GWP
+    K = min(8, NQP)           # pairs per inner block = 16 quads: the
+                              # staging budgets match the pre-pair kernel
+    assert NQP % K == 0, (W, H)  # callers bucket W/H to powers of two
+    NO = NQP // K
+    MIDG = 10                 # MagSgn mid granules: 31 B skew + 8 pairs
+                              # * 25 B + 2-granule window <= 10 * 32 B
 
     def iota_for(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * nd, 0)
@@ -448,49 +457,20 @@ def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
         p1 = p_l + 1
         symmask = (1 << VLC_SYMB) - 1
 
-        def quad_body(t, carry):
-            ms_bp, mel_bp, vlc_bp, k, run, pend = carry
-            g = t // GW
-            qx = t - g * GW
-            act = (val_l == 1) & (g < gh_l) & (qx < gw_l)
-
-            # MagSgn window slides up to 12.5 B/quad: reload from mid
-            # (O(MIDG)); MEL/VLC windows absorb K quads of growth and
-            # refresh at the outer boundary only.
-            ms_win_refresh(ms_bp >> 3)
-            ms_stage = ms_st[...]
-            ms_base = ms_ba[...]
-            mel_stage = mel_st[...]
-            mel_base = mel_ba[...]
-            vlc_stage = vlc_st[...]
-            vlc_base = vlc_ba[...]
-
-            # sample-level context: right column of the left quad,
-            # bottom row of the quad above, bottom-left of above-right
-            # (tables.quad_ctx)
-            left = row_read(rho_ref, g + 1, qx) & 0xF
-            top_p = row_read(rho_ref, g, qx + 1)
-            top = top_p & 0xF
-            topr = row_read(rho_ref, g, qx + 2) & 0xF
-            c = ((left & 0b1100) != 0).astype(jnp.int32) | \
-                (((top & 0b1010) != 0).astype(jnp.int32) << 1) | \
-                (((topr & 0b0010) != 0).astype(jnp.int32) << 2)
-            is_c0 = c == 0
-
-            # -- MEL event (only context-0 quads consume) ------------------
-            # spec polarity: a 1-bit closes a full run of T zero-events; a
-            # 0-bit is a miss followed by e MSB-first partial-run bits
-            mel_mask = act & is_c0
-            owed = mel_mask & (run > 0)
-            pnd = mel_mask & ~owed & (pend == 1)
-            need = mel_mask & ~owed & ~pnd
+        def mel_event(mask, k, run, pend, mel_bp):
+            """One MEL event for `mask` lanes -> (ev, k, run, pend, bp).
+            Spec polarity: a 1-bit closes a full run of T zero-events; a
+            0-bit is a miss followed by e MSB-first partial-run bits."""
+            owed = mask & (run > 0)
+            pnd = mask & ~owed & (pend == 1)
+            need = mask & ~owed & ~pnd
             e = jnp.where(k >= 12, 5,
                           jnp.where(k >= 11, 4,
                                     jnp.where(k >= 9, 3,
                                               jnp.where(k >= 6, 2,
                                                         jnp.where(k >= 3, 1,
                                                                   0)))))
-            w6 = bits_at(mel_stage, mel_base, mel_bp)
+            w6 = bits_at(mel_st[...], mel_ba[...], mel_bp)
             bit0 = w6 & 1
             x5 = (w6 >> 1) & 31
             r5 = ((x5 & 1) << 4) | ((x5 & 2) << 2) | (x5 & 4) | \
@@ -509,12 +489,25 @@ def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
                                                 rfld - 1, run)))
             pend = jnp.where(pnd, 0,
                              jnp.where(miss_path & (rfld > 0), 1, pend))
+            return ev, k, run, pend, mel_bp
 
-            # -- CxtVLC symbol via the bit-sliced LUT ----------------------
-            c0_sig = mel_mask & (ev == 1)
-            cn = act & ~is_c0
-            vread = c0_sig | cn
-            w7 = bits_at(vlc_stage, vlc_base, vlc_bp) & 0x7F
+        def quad_sym(g, qx, act, left, mstate, vlc_bp):
+            """MEL significance event (context-0 quads) + CxtVLC symbol
+            of one quad.  left: the left-neighbour rho as a VALUE (the
+            pair partner's rho is not in the scratch yet).  Returns
+            (sym, top_p, mstate, vlc_bp)."""
+            k, run, pend, mel_bp = mstate
+            top_p = row_read(rho_ref, g, qx + 1)
+            top = top_p & 0xF
+            topr = row_read(rho_ref, g, qx + 2) & 0xF
+            c = ((left & 0b1100) != 0).astype(jnp.int32) | \
+                (((top & 0b1010) != 0).astype(jnp.int32) << 1) | \
+                (((topr & 0b0010) != 0).astype(jnp.int32) << 2)
+            is_c0 = c == 0
+            ev, k, run, pend, mel_bp = mel_event(act & is_c0, k, run,
+                                                 pend, mel_bp)
+            vread = (act & is_c0 & (ev == 1)) | (act & ~is_c0)
+            w7 = bits_at(vlc_st[...], vlc_ba[...], vlc_bp) & 0x7F
             hi = (c << 2) | (w7 >> 5)
             lo = w7 & 31
             sel32 = (hiota32 == hi[None]).astype(jnp.int32)
@@ -524,49 +517,72 @@ def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
                 entry = entry | (((word >> lo) & 1) << j)
             sym = jnp.where(vread, entry & symmask, 0)
             ln = (entry >> VLC_SYMB) & 7
-            rho = sym & 0xF
             vlc_bp = vlc_bp + jnp.where(vread, ln, 0)
+            return sym, top_p, (k, run, pend, mel_bp), vlc_bp
 
-            # -- UVLC exponent offset u (coded only when u_off = 1) --------
-            # NOTE: this decode (and the encode kernel's mirror) omits
-            # the 13-bit escape form for u >= 36 (5-bit suffix == 31,
-            # tables.uvlc_decode implements it).  Safe ONLY because
-            # serving eligibility enforces numbps - p <= 24 (so u <= 24):
-            # ht_block_eligible / serve.py's numbps-p check.  If that
-            # bound is ever raised past 32, teach both kernels the
-            # escape or streams with u >= 36 will silently mis-decode.
-            umask = vread & ((sym & 0x10) != 0)
-            w8 = bits_at(vlc_stage, vlc_base, vlc_bp)
-            b0 = w8 & 1
-            b1 = (w8 >> 1) & 1
-            b2 = (w8 >> 2) & 1
-            u = jnp.where(b0 == 0, 1,
-                          jnp.where(b1 == 0, 2,
-                                    jnp.where(b2 == 0, 3 + ((w8 >> 3) & 1),
-                                              5 + ((w8 >> 3) & 31))))
-            ulen = jnp.where(b0 == 0, 1,
+        def pclass(wv):
+            """UVLC prefix class at bit 0 of wv: (len, base, sfx_len)."""
+            b0 = wv & 1
+            b1 = (wv >> 1) & 1
+            b2 = (wv >> 2) & 1
+            ln = jnp.where(b0 == 0, 1, jnp.where(b1 == 0, 2, 3))
+            base = jnp.where(b0 == 0, 1,
                              jnp.where(b1 == 0, 2,
-                                       jnp.where(b2 == 0, 4, 8)))
-            vlc_bp = vlc_bp + jnp.where(umask, ulen, 0)
+                                       jnp.where(b2 == 0, 3, 5)))
+            sl = jnp.where(b0 == 0, 0,
+                           jnp.where(b1 == 0, 0,
+                                     jnp.where(b2 == 0, 1, 5)))
+            return ln, base, sl
 
-            # -- exponent bound U = kappa + u ------------------------------
+        def uvlc_pair(initial, evu, off0, off1, vlc_bp):
+            """Pair-coupled UVLC (t1ht.scalar._read_u_pair): interleaved
+            prefixes then suffixes when both u_off = 1; the initial-row
+            MEL event evu adds 2 to both u; when clear, a 3-bit first
+            prefix implies u1 <= 2 coded in ONE bit.  Single-u_off modes
+            fall out of the same formula with the other side's lengths
+            zeroed.  NOTE: omits the 13-bit escape (u >= 36, 5-bit
+            suffix == 31, tables.uvlc_parts) — safe ONLY because serving
+            eligibility enforces numbps - p <= 24 (so u <= 24):
+            ht_block_eligible / serve.py's numbps-p check.  If that
+            bound is ever raised past 32, teach both kernels the escape
+            or streams with u >= 36 will silently mis-decode."""
+            w = bits_at(vlc_st[...], vlc_ba[...], vlc_bp)
+            both = off0 & off1
+            l0c, base0, sl0c = pclass(w)
+            el0 = jnp.where(off0, l0c, 0)
+            w1 = w >> el0
+            quirk = initial & both & (evu == 0) & (l0c == 3)
+            l1c, base1c, sl1c = pclass(w1)
+            base1 = jnp.where(quirk, (w1 & 1) + 1, base1c)
+            el1 = jnp.where(off1, jnp.where(quirk, 1, l1c), 0)
+            esl0 = jnp.where(off0, sl0c, 0)
+            esl1 = jnp.where(off1, jnp.where(quirk, 0, sl1c), 0)
+            sfx0 = (w >> (el0 + el1)) & ((one << esl0) - 1)
+            sfx1 = (w >> (el0 + el1 + esl0)) & ((one << esl1) - 1)
+            add = jnp.where(initial & both & (evu == 1), 2, 0)
+            u0 = jnp.where(off0, base0 + sfx0 + add, 0)
+            u1 = jnp.where(off1, base1 + sfx1 + add, 0)
+            return u0, u1, vlc_bp + el0 + el1 + esl0 + esl1
+
+        def magsgn_quad(sym, top_p, u, act_q, ms_bp):
+            """Four maskable MagSgn reads of U - eps_k bits; returns
+            (svals, smasks, rho|ebot<<4 state word, ms_bp)."""
+            rho = sym & 0xF
             eb_above = top_p >> 4
             multi = (rho & (rho - 1)) != 0
             kappa = jnp.where(multi, jnp.maximum(1, eb_above - 1), 1)
             # valid streams have U <= numbps - p + 1 <= 25 (eligibility);
             # the clamp only bounds shift widths on corrupt streams
-            U = jnp.minimum(kappa + jnp.where(umask, u, 0), 25)
+            U = jnp.minimum(kappa + u, 25)
             ek = sym >> 5
-
-            # -- MagSgn: 4 maskable reads of U - eps_k bits ----------------
             svals = []
             smasks = []
-            ebot = jnp.zeros_like(c)
+            ebot = jnp.zeros_like(U)
             for i in range(4):
-                m_i = act & (((rho >> i) & 1) == 1)
+                m_i = act_q & (((rho >> i) & 1) == 1)
                 k_i = (ek >> i) & 1
                 m = U - k_i
-                w = bits_at(ms_stage, ms_base, ms_bp)
+                w = bits_at(ms_st[...], ms_ba[...], ms_bp)
                 full = (w & ((one << m) - 1)) | (k_i << (U - 1))
                 ms_bp = ms_bp + jnp.where(m_i, m, 0)
                 vi = (full >> 1) + 1
@@ -577,12 +593,9 @@ def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
                 if i & 1:
                     ebot = jnp.maximum(
                         ebot, jnp.where(m_i, bitlen(full), 0))
+            return svals, smasks, rho | (ebot << 4), ms_bp
 
-            # -- state + output writes -------------------------------------
-            rowr = rho_ref[g + 1]
-            rho_ref[g + 1] = jnp.where((qiota == qx + 1) & act,
-                                       rho | (ebot << 4), rowr)
-
+        def write_quad(g, qx, svals, smasks):
             in_y1 = (2 * g + 1) < hv
             in_x1 = (2 * qx + 1) < wv
             # quad scan order n0=(0,0) n1=(1,0) n2=(0,1) n3=(1,1)
@@ -598,6 +611,58 @@ def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
             sel3 = (wiota == 2 * qx + 1) & (smasks[3] & in_y1 & in_x1)
             out_ref[y1] = jnp.where(sel1, svals[1],
                                     jnp.where(sel3, svals[3], row1))
+
+        def pair_body(t, carry):
+            ms_bp, mel_bp, vlc_bp, k, run, pend = carry
+            g = t // GWP
+            qp = t - g * GWP
+            qx0 = 2 * qp
+            qx1 = 2 * qp + 1
+            initial = g == 0
+            act0 = (val_l == 1) & (g < gh_l) & (qx0 < gw_l)
+            act1 = (val_l == 1) & (g < gh_l) & (qx1 < gw_l)
+
+            # MagSgn window slides up to 25 B/pair: reload from mid
+            # (O(MIDG)); MEL/VLC windows absorb K pairs of growth and
+            # refresh at the outer boundary only.
+            ms_win_refresh(ms_bp >> 3)
+
+            left0 = row_read(rho_ref, g + 1, qx0) & 0xF
+            sym0, top0, mst, vlc_bp = quad_sym(
+                g, qx0, act0, left0, (k, run, pend, mel_bp), vlc_bp)
+            rho0 = sym0 & 0xF
+            if HAS2:
+                sym1, top1, mst, vlc_bp = quad_sym(
+                    g, qx1, act1, rho0, mst, vlc_bp)
+            else:
+                sym1 = jnp.zeros_like(sym0)
+                top1 = sym1
+            off0 = (sym0 & 0x10) != 0
+            off1 = (sym1 & 0x10) != 0
+            k, run, pend, mel_bp = mst
+            if HAS2:
+                # initial-row-pair MEL event (both u_off = 1 only)
+                evu, k, run, pend, mel_bp = mel_event(
+                    act0 & initial & off0 & off1, k, run, pend, mel_bp)
+            else:
+                evu = jnp.zeros_like(sym0)
+            u0, u1, vlc_bp = uvlc_pair(initial, evu, off0, off1, vlc_bp)
+
+            svals0, smasks0, st0, ms_bp = magsgn_quad(sym0, top0, u0,
+                                                      act0, ms_bp)
+            if HAS2:
+                svals1, smasks1, st1, ms_bp = magsgn_quad(sym1, top1, u1,
+                                                          act1, ms_bp)
+
+            # -- state + output writes -------------------------------------
+            rowr = rho_ref[g + 1]
+            rowr = jnp.where((qiota == qx0 + 1) & act0, st0, rowr)
+            if HAS2:
+                rowr = jnp.where((qiota == qx1 + 1) & act1, st1, rowr)
+            rho_ref[g + 1] = rowr
+            write_quad(g, qx0, svals0, smasks0)
+            if HAS2:
+                write_quad(g, qx1, svals1, smasks1)
             return (ms_bp, mel_bp, vlc_bp, k, run, pend)
 
         def outer_body(o, carry):
@@ -609,7 +674,7 @@ def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
             st, ba = stage_load3(vlc_ref, vlc_bp >> 3)
             vlc_st[...] = st
             vlc_ba[...] = ba
-            return jax.lax.fori_loop(o * K, o * K + K, quad_body, carry)
+            return jax.lax.fori_loop(o * K, o * K + K, pair_body, carry)
 
         zi = jnp.zeros(lane_sh, jnp.int32)
         jax.lax.fori_loop(0, NO, outer_body,
@@ -820,7 +885,7 @@ def decode_ht_blocks(blocks: list[dict], interpret: bool = False):
         key = (_pow2_at_least(b["w"]), Hb, refine)
         buckets.setdefault(key, []).append(i)
     for (W, H, refine), idxs in buckets.items():
-        mx = max(max(len(x) for x in blocks[i]["_ht_hdr"][1:])
+        mx = max(max(len(x) for x in blocks[i]["_ht_hdr"])
                  for i in idxs)
         S = sublanes_for_count(len(idxs), sublanes_for_ht(W, H, mx))
         step = S * LANES
@@ -830,9 +895,9 @@ def decode_ht_blocks(blocks: list[dict], interpret: bool = False):
                 [blocks[i] for i in chunk], S)
             if refine:
                 NL = S * LANES
-                sp_d = _pack_raw([blocks[i]["_ht_hdr"][4]
+                sp_d = _pack_raw([blocks[i]["_ht_hdr"][3]
                                   for i in chunk], S)
-                mr_d = _pack_raw([blocks[i]["_ht_hdr"][5]
+                mr_d = _pack_raw([blocks[i]["_ht_hdr"][4]
                                   for i in chunk], S)
                 npv = np.zeros((NL,), np.int32)
                 for j, i in enumerate(chunk):

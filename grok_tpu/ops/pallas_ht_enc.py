@@ -101,12 +101,15 @@ def pallas_ht_encode(mneg, pv, wh, valid,
     def iota_for(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * nd, 0)
 
-    NQ = GH * GW
-    K = min(16, NQ)           # NQ is a pow2 product: K always divides it
-    assert NQ % K == 0, (W, H)   # callers bucket W/H to powers of two
-    NO = NQ // K
-    MIDG = 10                 # MagSgn mid granules: 31 B skew + 16 quads
-                              # * 12.5 B + 2-granule window <= 10 * 32 B
+    GWP = max(GW // 2, 1)     # quad PAIRS per row (GW == 1: lone quads)
+    HAS2 = GW >= 2            # static: a second quad exists in the pair
+    NQP = GH * GWP
+    K = min(8, NQP)           # pairs per inner block = 16 quads: the
+                              # staging budgets match the pre-pair kernel
+    assert NQP % K == 0, (W, H)  # callers bucket W/H to powers of two
+    NO = NQP // K
+    MIDG = 10                 # MagSgn mid granules: 31 B skew + 8 pairs
+                              # * 25 B + 2-granule window <= 10 * 32 B
 
     def kernel(mneg_ref, p_ref, wh_ref, valid_ref, lut_ref,
                ms_ref, mel_ref, vlc_ref,
@@ -321,19 +324,34 @@ def pallas_ht_encode(mneg, pv, wh, valid,
                 v = jnp.where(big, v >> kbit, v)
             return n + jnp.where(v >= 1, 1, 0)
 
-        def quad_body(t, carry):
-            (ms_bp, mel_bp, vlc_bp, k, run) = carry
-            g = t // GW
-            qx = t - g * GW
-            act = (val_l == 1) & (g < gh_l) & (qx < gw_l)
+        def mel_emit(ev1, ev0, k, run, word, nb):
+            """Append one MEL event to a fused bit word.  ev1: event-1
+            lanes; ev0: zero-event lanes (disjoint).  Spec polarity: a
+            completed full run emits a 1-bit; a miss emits a 0-bit + e
+            MSB-first partial-run bits."""
+            e = jnp.where(k >= 12, 5,
+                          jnp.where(k >= 11, 4,
+                                    jnp.where(k >= 9, 3,
+                                              jnp.where(k >= 6, 2,
+                                                        jnp.where(k >= 3, 1,
+                                                                  0)))))
+            run_n = jnp.where(ev0, run + 1, run)
+            full = ev0 & (run_n == (one << e))
+            r5 = ((run & 1) << 4) | ((run & 2) << 2) | (run & 4) | \
+                ((run & 8) >> 2) | ((run >> 4) & 1)
+            w_ev = jnp.where(ev1, (r5 >> (5 - e)) << 1,
+                             jnp.where(full, 1, 0))
+            n_ev = jnp.where(ev1, 1 + e, jnp.where(full, 1, 0))
+            word = word | (w_ev << nb)
+            nb = nb + n_ev
+            k = jnp.where(full, jnp.minimum(k + 1, 12),
+                          jnp.where(ev1, jnp.maximum(k - 1, 0), k))
+            run = jnp.where(full | ev1, 0, run_n)
+            return k, run, word, nb
 
-            # MagSgn window slides up to 12.5 B/quad: flush + rebase it
-            # against the mid scratch (O(MIDG)); MEL/VLC windows absorb
-            # a full inner block of K quads and restage at outer level.
-            ms_win_to_mid()
-            ms_win_rebase(ms_bp >> 3)
-
-            # quad samples (scan order n0=(0,0) n1=(1,0) n2=(0,1) n3)
+        def quad_stats(g, qx, act):
+            """Sample gather + significance/exponent state of one quad:
+            (rho, vbits, sig, Es, U, u, ebot)."""
             y0 = 2 * g
             y1 = jnp.minimum(2 * g + 1, H - 1)
             x0 = 2 * qx
@@ -351,44 +369,6 @@ def pallas_ht_encode(mneg, pv, wh, valid,
                 sg.append(raw[i] & 1)
                 sig.append((v > 0).astype(jnp.int32))
             rho = sig[0] | (sig[1] << 1) | (sig[2] << 2) | (sig[3] << 3)
-
-            # sample-level context (tables.quad_ctx)
-            left = rho_read(g + 1, qx) & 0xF
-            top_p = rho_read(g, qx + 1)
-            top = top_p & 0xF
-            topr = rho_read(g, qx + 2) & 0xF
-            c = ((left & 0b1100) != 0).astype(jnp.int32) | \
-                (((top & 0b1010) != 0).astype(jnp.int32) << 1) | \
-                (((topr & 0b0010) != 0).astype(jnp.int32) << 2)
-            is_c0 = c == 0
-
-            # -- MEL event for context-0 quads -----------------------------
-            # spec polarity: a completed full run emits a 1-bit; a miss
-            # emits a 0-bit + e MSB-first partial-run bits
-            mel_mask = act & is_c0
-            e = jnp.where(k >= 12, 5,
-                          jnp.where(k >= 11, 4,
-                                    jnp.where(k >= 9, 3,
-                                              jnp.where(k >= 6, 2,
-                                                        jnp.where(k >= 3, 1,
-                                                                  0)))))
-            ev1 = mel_mask & (rho != 0)
-            ev0 = mel_mask & (rho == 0)
-            run_n = jnp.where(ev0, run + 1, run)
-            full = ev0 & (run_n == (one << e))
-            r5 = ((run & 1) << 4) | ((run & 2) << 2) | (run & 4) | \
-                ((run & 8) >> 2) | ((run >> 4) & 1)
-            w_mel = jnp.where(ev1, (r5 >> (5 - e)) << 1,
-                              jnp.where(full, 1, 0))
-            n_mel = jnp.where(ev1, 1 + e, jnp.where(full, 1, 0))
-            or_bits(mel_st, mel_ba, mel_bp, w_mel,
-                    (ev1 | full) & (w_mel != 0))
-            mel_bp = mel_bp + n_mel
-            k = jnp.where(full, jnp.minimum(k + 1, 12),
-                          jnp.where(ev1, jnp.maximum(k - 1, 0), k))
-            run = jnp.where(full | ev1, 0, run_n)
-
-            # -- exponents + the vertical predictor ------------------------
             # v_n = ((mu-1) << 1) | sign for significant samples
             vbits = []
             for i in range(4):
@@ -397,17 +377,20 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             Es = [bitlen(v) for v in vbits]
             Emax = jnp.maximum(jnp.maximum(Es[0], Es[1]),
                                jnp.maximum(Es[2], Es[3]))
+            top_p = rho_read(g, qx + 1)
             eb_above = top_p >> 4
             multi = (rho & (rho - 1)) != 0
             kappa = jnp.where(multi, jnp.maximum(1, eb_above - 1), 1)
             U = jnp.maximum(kappa, Emax)
             u = U - kappa
-            u_off = (u > 0).astype(jnp.int32)
+            ebot = jnp.maximum(
+                jnp.where(sig[1] == 1, Es[1], 0),
+                jnp.where(sig[3] == 1, Es[3], 0))
+            return rho, vbits, sig, U, u, ebot
 
-            # -- CxtVLC (rho, u_off) via the bit-sliced encode LUT ---------
-            c0_sig = mel_mask & (rho != 0)
-            cn = act & ~is_c0
-            vwrite = c0_sig | cn
+        def cxt_entry(c, u_off, rho):
+            """CxtVLC (rho, u_off) codeword via the bit-sliced LUT:
+            (bits, len)."""
             sym = (u_off << 4) | rho
             idx = (c << 5) | sym
             hi = idx >> 5
@@ -417,29 +400,33 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             for j, cj in enumerate(lut):
                 word = jnp.sum(cj * sel8, axis=0)
                 entry = entry | (((word >> lo) & 1) << j)
-            w_vlc = entry & 0x7F
-            n_vlc = (entry >> 7) & 7
+            return entry & 0x7F, (entry >> 7) & 7
 
-            # -- UVLC of u = U - kappa, fused into the same write ----------
-            umask = vwrite & (u_off == 1)
-            w_u = jnp.where(u == 1, 0,
-                            jnp.where(u == 2, 0b01,
-                                      jnp.where(u <= 4,
-                                                0b011 | ((u - 3) << 3),
-                                                0b111 | ((u - 5) << 3))))
-            n_u = jnp.where(u == 1, 1,
-                            jnp.where(u == 2, 2,
-                                      jnp.where(u <= 4, 4, 8)))
-            w_all = w_vlc | jnp.where(umask, w_u << n_vlc, 0)
-            or_bits(vlc_st, vlc_ba, vlc_bp, w_all, vwrite & (w_all != 0))
-            vlc_bp = vlc_bp + jnp.where(vwrite, n_vlc, 0) \
-                + jnp.where(umask, n_u, 0)
+        def ctx_of(left, g, qx):
+            top = rho_read(g, qx + 1) & 0xF
+            topr = rho_read(g, qx + 2) & 0xF
+            return ((left & 0b1100) != 0).astype(jnp.int32) | \
+                (((top & 0b1010) != 0).astype(jnp.int32) << 1) | \
+                (((topr & 0b0010) != 0).astype(jnp.int32) << 2)
 
-            # -- MagSgn: the quad's four fields (<= 100 bits) packed into
-            # four 32-bit words and written with ONE window RMW ------------
-            ebot = jnp.zeros_like(c)
-            words = [jnp.zeros_like(c) for _ in range(4)]
-            total = jnp.zeros_like(c)
+        def uparts(u):
+            """Vectorized tables.uvlc_parts (no escape: numbps <= 24 on
+            the device path keeps u <= 24): (pfx_len, pfx_bits, sfx_len,
+            sfx_bits)."""
+            pl_ = jnp.where(u == 1, 1, jnp.where(u == 2, 2, 3))
+            pb = jnp.where(u == 1, 0,
+                           jnp.where(u == 2, 0b01,
+                                     jnp.where(u <= 4, 0b011, 0b111)))
+            sl = jnp.where(u <= 2, 0, jnp.where(u <= 4, 1, 5))
+            sb = jnp.where(u <= 2, 0,
+                           jnp.where(u <= 4, u - 3, u - 5))
+            return pl_, pb, sl, sb
+
+        def magsgn_emit(rho, vbits, sig, U, act, Es_unused, ms_bp):
+            """The quad's four MagSgn fields (<= 100 bits) packed into
+            four 32-bit words and written with ONE window RMW."""
+            words = [jnp.zeros_like(U) for _ in range(4)]
+            total = jnp.zeros_like(U)
             for i in range(4):
                 m_i = act & (sig[i] == 1)
                 vi = jnp.where(m_i, vbits[i], 0)
@@ -450,22 +437,121 @@ def pallas_ht_encode(mneg, pv, wh, valid,
                 hi = jnp.where(sft == 0, 0,
                                (vi >> bs) & ((one << sft) - 1))
                 for j in range(4):
-                    zj = jnp.zeros_like(c)
+                    zj = jnp.zeros_like(U)
                     words[j] = words[j] | jnp.where(wi == j, lo, zj) \
                         | jnp.where(wi + 1 == j, hi, zj)
                 total = total + jnp.where(m_i, U, 0)
-                if i & 1:
-                    ebot = jnp.maximum(ebot, jnp.where(m_i, Es[i], 0))
             or_bits128(ms_st, ms_ba, ms_bp, words, act & (rho != 0))
-            ms_bp = ms_bp + total
+            return ms_bp + total
 
+        def pair_body(t, carry):
+            (ms_bp, mel_bp, vlc_bp, k, run) = carry
+            g = t // GWP
+            qp = t - g * GWP
+            qx0 = 2 * qp
+            qx1 = 2 * qp + 1
+            initial = g == 0
+            act0 = (val_l == 1) & (g < gh_l) & (qx0 < gw_l)
+            act1 = (val_l == 1) & (g < gh_l) & (qx1 < gw_l)
+
+            # MagSgn window slides up to 25 B/pair: flush + rebase it
+            # against the mid scratch (O(MIDG)); MEL/VLC windows absorb
+            # a full inner block of K pairs and restage at outer level.
+            ms_win_to_mid()
+            ms_win_rebase(ms_bp >> 3)
+
+            rho0, vb0, sig0, U0, u0, eb0 = quad_stats(g, qx0, act0)
+            left0 = rho_read(g + 1, qx0) & 0xF
+            c0 = ctx_of(left0, g, qx0)
+            uoff0 = act0 & (u0 > 0)
+            if HAS2:
+                rho1, vb1, sig1, U1, u1, eb1 = quad_stats(g, qx1, act1)
+                c1 = ctx_of(rho0, g, qx1)
+                uoff1 = act1 & (u1 > 0)
+            else:
+                rho1 = jnp.zeros_like(rho0)
+                uoff1 = act1 & False
+
+            # -- MEL events (sig q0, sig q1, initial-pair u event) fused
+            # into ONE window write --------------------------------------
+            m0 = act0 & (c0 == 0)
+            wm = jnp.zeros_like(rho0)
+            nm = jnp.zeros_like(rho0)
+            k, run, wm, nm = mel_emit(m0 & (rho0 != 0), m0 & (rho0 == 0),
+                                      k, run, wm, nm)
+            if HAS2:
+                m1 = act1 & (c1 == 0)
+                k, run, wm, nm = mel_emit(m1 & (rho1 != 0),
+                                          m1 & (rho1 == 0), k, run, wm, nm)
+                both = uoff0 & uoff1
+                mu = act0 & initial & both
+                big = mu & (u0 > 2) & (u1 > 2)
+                k, run, wm, nm = mel_emit(big, mu & ~big, k, run, wm, nm)
+            else:
+                both = uoff0 & False
+                big = both
+            or_bits(mel_st, mel_ba, mel_bp, wm, nm > 0)
+            mel_bp = mel_bp + nm
+
+            # -- CxtVLC codewords of both quads, ONE window write ---------
+            vw0 = (m0 & (rho0 != 0)) | (act0 & (c0 != 0))
+            w_v0, n_v0 = cxt_entry(c0, (u0 > 0).astype(jnp.int32), rho0)
+            en0 = jnp.where(vw0, n_v0, 0)
+            wv = jnp.where(vw0, w_v0, 0)
+            if HAS2:
+                vw1 = (m1 & (rho1 != 0)) | (act1 & (c1 != 0))
+                w_v1, n_v1 = cxt_entry(c1, (u1 > 0).astype(jnp.int32),
+                                       rho1)
+                en1 = jnp.where(vw1, n_v1, 0)
+                wv = wv | (jnp.where(vw1, w_v1, 0) << en0)
+            else:
+                en1 = jnp.zeros_like(en0)
+            or_bits(vlc_st, vlc_ba, vlc_bp, wv, wv != 0)
+            vlc_bp = vlc_bp + en0 + en1
+
+            # -- pair-coupled UVLC (t1ht.scalar._emit_u_pair), ONE write --
+            cu0 = u0 - jnp.where(big, 2, 0)
+            pl0, pb0, sl0, sb0 = uparts(cu0)
+            el0 = jnp.where(uoff0, pl0, 0)
+            epb0 = jnp.where(uoff0, pb0, 0)
+            esl0 = jnp.where(uoff0, sl0, 0)
+            esb0 = jnp.where(uoff0, sb0, 0)
+            if HAS2:
+                cu1 = u1 - jnp.where(big, 2, 0)
+                quirk = mu & ~big & (cu0 >= 3)
+                pl1, pb1, sl1, sb1 = uparts(cu1)
+                pl1 = jnp.where(quirk, 1, pl1)
+                pb1 = jnp.where(quirk, cu1 - 1, pb1)
+                sl1 = jnp.where(quirk, 0, sl1)
+                sb1 = jnp.where(quirk, 0, sb1)
+                el1 = jnp.where(uoff1, pl1, 0)
+                epb1 = jnp.where(uoff1, pb1, 0)
+                esl1 = jnp.where(uoff1, sl1, 0)
+                esb1 = jnp.where(uoff1, sb1, 0)
+            else:
+                el1 = esl1 = jnp.zeros_like(el0)
+                epb1 = esb1 = el1
+            wu = epb0 | (epb1 << el0) | (esb0 << (el0 + el1)) | \
+                (esb1 << (el0 + el1 + esl0))
+            nu = el0 + el1 + esl0 + esl1
+            or_bits(vlc_st, vlc_ba, vlc_bp, wu, wu != 0)
+            vlc_bp = vlc_bp + nu
+
+            # -- MagSgn + the packed (ebot << 4) | rho state row ----------
+            ms_bp = magsgn_emit(rho0, vb0, sig0, U0, act0, None, ms_bp)
             rowr = rho_ref[g + 1]
-            rho_ref[g + 1] = jnp.where((qiota == qx + 1) & act,
-                                       rho | (ebot << 4), rowr)
+            rowr = jnp.where((qiota == qx0 + 1) & act0,
+                             rho0 | (eb0 << 4), rowr)
+            if HAS2:
+                ms_bp = magsgn_emit(rho1, vb1, sig1, U1, act1, None,
+                                    ms_bp)
+                rowr = jnp.where((qiota == qx1 + 1) & act1,
+                                 rho1 | (eb1 << 4), rowr)
+            rho_ref[g + 1] = rowr
             return (ms_bp, mel_bp, vlc_bp, k, run)
 
         def outer_body(o, carry):
-            carry = jax.lax.fori_loop(o * K, o * K + K, quad_body, carry)
+            carry = jax.lax.fori_loop(o * K, o * K + K, pair_body, carry)
             (ms_bp, mel_bp, vlc_bp, _, _) = carry
             # retire mid into the full buffer, slide it to bp's granule,
             # and re-aim all three windows for the next K quads
@@ -609,7 +695,9 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
                 wh[0, j] = w
                 wh[1, j] = h
                 valid[j] = 1
-            LMEL = _cap_bytes(((W * H // 4) * 6) // 8 + 16)
+            # MEL worst case: 2 sig events + 1 initial-pair u event per
+            # pair, <= 6 bits each -> 9 bits/quad
+            LMEL = _cap_bytes(((W * H // 4) * 9) // 8 + 16)
             LVLC = _cap_bytes(((W * H // 4) * 15) // 8 + 16)
             if S > 1:
                 mneg_a = mneg.reshape(H, W, S, LANES)
@@ -693,7 +781,7 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
                     mel = lane_bytes(mel_w, j, -(-int(mel_bits) // 8))
                     vlc = lane_bytes(vlc_w, j, -(-int(vlc_bits) // 8))
                     cleanup = assemble_cleanup(
-                        0, (ms, int(ms_bits)), (mel, int(mel_bits)),
+                        (ms, int(ms_bits)), (mel, int(mel_bits)),
                         (vlc, int(vlc_bits)))
                 mag = np.asarray(b["mag"], np.int64)
                 numbps = nbps_all[i]

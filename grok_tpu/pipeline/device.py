@@ -433,7 +433,7 @@ def decode_tile_device(jobs, geo, dp) -> list[np.ndarray]:
                 if "_ht_hdr" not in j:
                     j["_ht_hdr"] = parse_ht_header(
                         j["data"], j.get("seg_lens") or [len(j["data"])])
-                mx = max(mx, max(len(s) for s in j["_ht_hdr"][1:4]))
+                mx = max(mx, max(len(s) for s in j["_ht_hdr"][:3]))
             S = sublanes_for_count(B, sublanes_for_ht(W, H, mx))
             # one HT launch per S*LANES chunk of the bucket
             for k in range(0, B, S * LANES):

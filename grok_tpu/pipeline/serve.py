@@ -68,6 +68,7 @@ class ServePlan:
     blk_rect: np.ndarray              # (n, 4) absolute band-coord rects
     blk_band: np.ndarray              # (n,) index into band_info
     band_info: list                   # (c, r, orient, nl) per band
+    ht_p_ext: int = 0                 # ht_planes COM extension (derive_p)
     fast: dict = field(default_factory=dict)   # lazy staging caches
 
 
@@ -200,7 +201,8 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
         sig_tail=tails, coder=coder, rok=np.asarray(rok_l, bool),
         comps_sig=tuple(comps_sig), mct_mode=mct_mode,
         blk_rect=np.asarray(blk_rect_l, np.int64).reshape(-1, 4),
-        blk_band=np.asarray(blk_band_l, np.int32), band_info=band_info)
+        blk_band=np.asarray(blk_band_l, np.int32), band_info=band_info,
+        ht_p_ext=hdr.ht_planes_ext())
 
 
 def _plan_for(cs: bytes, hdr, t: int, th,
@@ -443,6 +445,12 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
             scan, dig = res
             if (scan[:, 0] < 0).any():
                 return None
+            # per-block cleanup plane (t1ht.scalar.derive_p: serving is
+            # cleanup-only, so p = 0 unless the ht_planes COM extension
+            # is present); stored in scan column 0 (the validity flag)
+            # so both staging paths pick it up as meta[:, 4]
+            scan[:, 0] = np.minimum(plan.ht_p_ext,
+                                    np.maximum(numbps - 1, 0))
             if ((numbps - scan[:, 0]) > 24).any():
                 return None
             if int(scan[:, 2:5:2].max()) > MAX_STREAM:

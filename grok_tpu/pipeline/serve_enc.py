@@ -491,7 +491,6 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
                     segs.append(b"")
                     continue
                 segs.append(assemble_cleanup(
-                    0,
                     (bytes(byts[ms_off[lane]:mel_off[lane]]),
                      int(bits[0, lane])),
                     (bytes(byts[mel_off[lane]:vlc_off[lane]]),

@@ -616,6 +616,7 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
     th = tile_hdr or TileHeader()
     ctxs = geo.make_contexts()
     num_layers = geo.cod.num_layers
+    ht_p_ext = hdr.ht_planes_ext()
     if dp.max_layers:
         num_layers = min(num_layers, dp.max_layers)
 
@@ -830,14 +831,21 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                             body, dp.max_layers)
                         if npass <= 0:
                             continue
-                        jobs.append(dict(
+                        job = dict(
                             data=data, seg_lens=seg_lens, numpasses=npass,
                             numbps=mb - st.zb, orient=orient,
                             w=cb.rect.w, h=cb.rect.h,
                             style=cs.cblk_style, comp=c, res=rg.r,
                             band_i=band_i, rect=cb.rect,
                             bx=cb.rect.x0 - bg.rect.x0,
-                            by=cb.rect.y0 - bg.rect.y0))
+                            by=cb.rect.y0 - bg.rect.y0)
+                        if cs.cblk_style & CBLK_HT:
+                            # cleanup plane: standard rule from the pass
+                            # count, or the ht_planes COM extension
+                            from grok_tpu.t1ht.scalar import derive_p
+                            job["ht_p"] = derive_p(npass, mb - st.zb,
+                                                   ht_p_ext)
+                        jobs.append(job)
 
     use_mesh = dp.mesh is not None
     # the fused device path buckets blocks into <=64-px lane windows;
@@ -927,7 +935,8 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                 from grok_tpu.t1ht import ht_decode_block
                 results[i] = ht_decode_block(
                     j["data"], j["seg_lens"], j["numpasses"], j["numbps"],
-                    j["orient"], j["w"], j["h"], j["style"], dp.strict)
+                    j["orient"], j["w"], j["h"], j["style"], dp.strict,
+                    ht_planes=ht_p_ext)
             elif use_native:
                 results[i] = _native.decode_block(
                     j["data"], j["seg_lens"], j["numpasses"], j["numbps"],

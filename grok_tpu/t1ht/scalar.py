@@ -1,11 +1,9 @@
 """HTJ2K block coder, scalar reference model (ISO/IEC 15444-15 structure).
 
-Wire layout of the HT Cleanup segment (normative structure; the one
-extension is the leading plane byte `p`, used by this framework's lossy
-HT mode — standard HT streams would carry p = 0 implicitly):
+Wire layout of the HT Cleanup segment (standard framing — the full
+byte-layout audit vs ISO/IEC 15444-15 lives in docs/WIRE_AUDIT.md):
 
-    [0]                p      cleanup plane (extension byte, <= 63)
-    [1 .. L-Scup)      MagSgn stream: forward, LSB-first bits, 0xFF
+    [0 .. L-Scup)      MagSgn stream: forward, LSB-first bits, 0xFF
                        bit-stuffing (a byte after 0xFF carries 7 bits)
     [L-Scup .. L)      suffix: MEL stream growing FORWARD from L-Scup
                        (MSB-first bits, 0xFF stuffing) and the VLC
@@ -20,6 +18,13 @@ boundary padding in `assemble_cleanup`) guarantee no 0xFF byte is ever
 followed by a byte > 0x8F anywhere in the segment — no marker-code
 emulation inside packet bodies.
 
+The cleanup bitplane p is NOT in the segment (standard behavior): a
+1-pass block codes p = 0 and a 2/3-pass block codes p = 1 (the HT
+SigProp / HT MagRef passes refine plane p-1 = 0).  This framework's
+deeper-truncation extension (ht_planes >= 1) signals the global plane
+P once, in a COM marker (codestream/j2k.py); the per-block plane is
+then min(P, numbps-1), decoder-computable from the tag-tree numbps.
+
 Coding model per 2x2 quad (samples column-major n0=(0,0) n1=(1,0)
 n2=(0,1) n3=(1,1), offsets (dy,dx)); quantized magnitude mu_n >= 1 for
 significant samples, v_n = ((mu_n - 1) << 1) | sign_n, exponent
@@ -33,6 +38,12 @@ E_n = bitlength(v_n):
     kappa_q = tables.quad_kappa(rho, E_above) (E_above = max E_n over
     the bottom-row samples of the quad directly above); u_off = u_q > 0
     and u_q >= 1 is UVLC-coded
+  - quads are processed in PAIRS along each quad row; when both quads
+    of a pair have u_off = 1 the UVLC prefixes are interleaved (pfx0,
+    pfx1, sfx0, sfx1), and in the INITIAL row pair a MEL event codes
+    whether both u > 2 (then u-2 values are coded; otherwise a 3-bit
+    first prefix implies u1 <= 2, coded in one bit) — see
+    _emit_u_pair / _read_u_pair
   - MagSgn codes, per significant sample, m_n = U_q - eps_k(n) low bits
     of v_n; when eps_k(n) = 1 the decoder restores the known MSB at
     bit U_q - 1 (the EMB magnitude-bit suppression; default tables set
@@ -54,7 +65,7 @@ import numpy as np
 from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
 from grok_tpu.t1ht.mel import BitSink, MELDecoder, MELEncoder
 from grok_tpu.t1ht.tables import (VLC_DEC, VLC_ENC, quad_ctx, quad_kappa,
-                                  uvlc_decode, uvlc_encode)
+                                  uvlc_encode, uvlc_parts)
 
 # sample offsets within a quad, scan order (dy, dx)
 _QOFF = ((0, 0), (1, 0), (0, 1), (1, 1))
@@ -138,7 +149,7 @@ def _vlc_backward_bytes(buf: bytes, nbits: int) -> tuple[int, bytearray]:
     return nib, body
 
 
-def assemble_cleanup(p: int, ms: tuple[bytes, int], mel: tuple[bytes, int],
+def assemble_cleanup(ms: tuple[bytes, int], mel: tuple[bytes, int],
                      vlc: tuple[bytes, int]) -> bytes:
     """Build the wire cleanup segment from clean LSB-first bit streams.
 
@@ -171,19 +182,31 @@ def assemble_cleanup(p: int, ms: tuple[bytes, int], mel: tuple[bytes, int],
     first_suffix = suffix[0]
     if ms_w and ms_w[-1] == 0xFF and first_suffix > 0x8F:
         ms_w.append(0x00)
-    return bytes([p]) + bytes(ms_w) + suffix
+    return bytes(ms_w) + suffix
 
 
 def parse_cleanup(data, L: int):
-    """Split a wire cleanup segment: (p, ms_lo, ms_hi, suf_lo) byte
-    ranges within data, or None if the framing is invalid."""
-    if L > len(data) or L < 4:
+    """Split a wire cleanup segment: (ms_lo, ms_hi, suf_lo) byte ranges
+    within data, or None if the framing is invalid."""
+    if L > len(data) or L < 2:
         return None
-    p = data[0]
     scup = (data[L - 1] << 4) | (data[L - 2] & 0xF)
-    if scup < 2 or scup > L - 1 or p > 63:
+    if scup < 2 or scup > L:
         return None
-    return p, 1, L - scup, L - scup
+    return 0, L - scup, L - scup
+
+
+def derive_p(numpasses: int, numbps: int, ht_planes: int | None) -> int:
+    """Per-block cleanup plane.
+
+    Standard framing (ht_planes None/0): p = 1 when HT SigProp/MagRef
+    follow (numpasses >= 2), else 0.  With the ht_planes extension the
+    global plane P is signalled once (COM marker) and the per-block
+    plane is min(P, numbps-1) — the encoder clamp, decoder-computable
+    from the tag-tree numbps, so PCRD pass truncation stays decodable."""
+    if ht_planes:
+        return min(ht_planes, numbps - 1) if numbps > 1 else 0
+    return 1 if numpasses >= 2 else 0
 
 
 # --- wire bit readers --------------------------------------------------------
@@ -217,6 +240,42 @@ class _FwdReader:
         for i in range(n):
             v |= self.bit() << i
         return v
+
+
+def _emit_u_pair(vlc: BitSink, mel: MELEncoder, initial: bool,
+                 u0: int, off0: bool, u1: int, off1: bool):
+    """UVLC emission for one quad pair (u = U - kappa per quad; off =
+    u_off).  Both off: interleaved prefixes then suffixes (pfx0 pfx1
+    sfx0 sfx1, each suffix carrying its own escape extension).  In the
+    INITIAL row pair a MEL event codes (u0 > 2 and u1 > 2); when set,
+    u-2 values are coded; when clear, a 3-bit first prefix (u0 >= 3)
+    implies u1 <= 2, coded in ONE bit in the second prefix position."""
+    if off0 and off1:
+        if initial:
+            big = u0 > 2 and u1 > 2
+            mel.encode(1 if big else 0)
+            if big:
+                l0, p0, s0, sb0 = uvlc_parts(u0 - 2)
+                l1, p1, s1, sb1 = uvlc_parts(u1 - 2)
+            else:
+                l0, p0, s0, sb0 = uvlc_parts(u0)
+                if l0 == 3:              # u0 >= 3 => u1 <= 2: one bit
+                    l1, p1, s1, sb1 = 1, u1 - 1, 0, 0
+                else:
+                    l1, p1, s1, sb1 = uvlc_parts(u1)
+        else:
+            l0, p0, s0, sb0 = uvlc_parts(u0)
+            l1, p1, s1, sb1 = uvlc_parts(u1)
+        vlc.bits_lsb(p0, l0)
+        vlc.bits_lsb(p1, l1)
+        vlc.bits_lsb(sb0, s0)
+        vlc.bits_lsb(sb1, s1)
+    elif off0:
+        ln, code = uvlc_encode(u0)
+        vlc.bits_lsb(code, ln)
+    elif off1:
+        ln, code = uvlc_encode(u1)
+        vlc.bits_lsb(code, ln)
 
 
 class _VLCReader:
@@ -263,6 +322,54 @@ class _VLCReader:
         return v
 
 
+def _read_u_pair(vlc: "_VLCReader", mel: MELDecoder, initial: bool,
+                 off0: bool, off1: bool) -> tuple[int, int]:
+    """(u0, u1) — the decode mirror of _emit_u_pair."""
+    def pfx():
+        # (is 3-bit prefix, base, suffix length)
+        if vlc.bit() == 0:
+            return False, 1, 0
+        if vlc.bit() == 0:
+            return False, 2, 0
+        if vlc.bit() == 0:
+            return True, 3, 1
+        return True, 5, 5
+
+    def val(cls):
+        _l3, base, sl = cls
+        v = 0
+        for i in range(sl):
+            v |= vlc.bit() << i
+        if sl == 5 and v == 31:
+            e = 0
+            for i in range(5):
+                e |= vlc.bit() << i
+            return 36 + e
+        return base + v
+
+    if off0 and off1:
+        add = 0
+        if initial and mel.next_event() == 1:
+            add = 2
+            c0 = pfx()
+            c1 = pfx()
+        elif initial:
+            c0 = pfx()
+            if c0[0]:                    # u0 >= 3 => u1 <= 2: one bit
+                c1 = (False, vlc.bit() + 1, 0)
+            else:
+                c1 = pfx()
+        else:
+            c0 = pfx()
+            c1 = pfx()
+        return val(c0) + add, val(c1) + add
+    if off0:
+        return val(pfx()), 0
+    if off1:
+        return 0, val(pfx())
+    return 0, 0
+
+
 def _quad_grid(w: int, h: int):
     return (h + 1) // 2, (w + 1) // 2
 
@@ -298,77 +405,87 @@ def ht_encode_block(mag: np.ndarray, neg: np.ndarray, orient: int,
 
     rho_row = np.zeros((gh, gw), dtype=np.int32)
     ebot_row = np.zeros((gh, gw), dtype=np.int32)
-    for g in range(gh):
-        for qx in range(gw):
-            rho = 0
-            vals = []            # (sample index, v_n, E_n)
-            ebot = 0
-            for i, (dy, dx) in enumerate(_QOFF):
-                y, x = 2 * g + dy, 2 * qx + dx
-                if y < h and x < w and sig[y, x]:
-                    rho |= 1 << i
-                    v = ((int(vq[y, x]) - 1) << 1) | int(neg[y, x])
-                    e = _exp(v)
-                    vals.append((v, e))
-                    if i & 1:
-                        ebot = max(ebot, e)
-            rho_row[g, qx] = rho
-            ebot_row[g, qx] = ebot
-            rl = rho_row[g, qx - 1] if qx > 0 else 0
-            ra = rho_row[g - 1, qx] if g > 0 else 0
-            rar = rho_row[g - 1, qx + 1] if (g > 0 and qx + 1 < gw) else 0
-            c = quad_ctx(rl, ra, rar)
-            if c == 0:
-                mel.encode(1 if rho else 0)
-                if rho == 0:
-                    continue
-            kappa = quad_kappa(rho, int(ebot_row[g - 1, qx]) if g else 0)
+
+    def code_quad(g: int, qx: int) -> tuple[int, bool]:
+        """MEL significance event + CxtVLC codeword + MagSgn payload of
+        one quad; returns (u, u_off) for the pair's deferred UVLC."""
+        rho = 0
+        vals = []            # (v_n, E_n) per significant sample
+        ebot = 0
+        for i, (dy, dx) in enumerate(_QOFF):
+            y, x = 2 * g + dy, 2 * qx + dx
+            if y < h and x < w and sig[y, x]:
+                rho |= 1 << i
+                v = ((int(vq[y, x]) - 1) << 1) | int(neg[y, x])
+                e = _exp(v)
+                vals.append((v, e))
+                if i & 1:
+                    ebot = max(ebot, e)
+        rho_row[g, qx] = rho
+        ebot_row[g, qx] = ebot
+        rl = rho_row[g, qx - 1] if qx > 0 else 0
+        ra = rho_row[g - 1, qx] if g > 0 else 0
+        rar = rho_row[g - 1, qx + 1] if (g > 0 and qx + 1 < gw) else 0
+        c = quad_ctx(rl, ra, rar)
+        if c == 0:
+            mel.encode(1 if rho else 0)
             if rho == 0:
-                if _TRACE_SYMS is not None:
-                    _TRACE_SYMS.append((c, 0))
-                ln, code = VLC_ENC[c][0]
-                vlc.bits_lsb(code, ln)
-                continue
-            u_act = max(e for _, e in vals)
-            U = max(kappa, u_act)
-            u = U - kappa
-            sym = ((1 if u else 0) << 4) | rho
-            # EMB: samples attaining the exponent bound have a known MSB
-            # (bit U-1 of v_n is 1); the table entry for (rho, u_off,
-            # eps_k) suppresses those bits when it exists, else fall
-            # back to the eps_k = 0 base entry (always present)
-            ek = 0
-            vi = 0
-            for i in range(4):
-                if (rho >> i) & 1:
-                    if vals[vi][1] == U:
-                        ek |= 1 << i
-                    vi += 1
+                return 0, False
+        kappa = quad_kappa(rho, int(ebot_row[g - 1, qx]) if g else 0)
+        if rho == 0:
             if _TRACE_SYMS is not None:
-                _TRACE_SYMS.append((c, (ek << 5) | sym))
-            enc_c = VLC_ENC[c]
-            if ek and (ek << 5) | sym in enc_c:
-                sym |= ek << 5
-            else:
-                ek = 0
-            ln, code = enc_c[sym]
+                _TRACE_SYMS.append((c, 0))
+            ln, code = VLC_ENC[c][0]
             vlc.bits_lsb(code, ln)
-            if u:
-                ln, code = uvlc_encode(u)
-                vlc.bits_lsb(code, ln)
-            vi = 0
-            for i in range(4):
-                if (rho >> i) & 1:
-                    v = vals[vi][0]
-                    vi += 1
-                    ms.bits_lsb(v, U - ((ek >> i) & 1))
+            return 0, False
+        u_act = max(e for _, e in vals)
+        U = max(kappa, u_act)
+        u = U - kappa
+        sym = ((1 if u else 0) << 4) | rho
+        # EMB: samples attaining the exponent bound have a known MSB
+        # (bit U-1 of v_n is 1); the table entry for (rho, u_off,
+        # eps_k) suppresses those bits when it exists, else fall
+        # back to the eps_k = 0 base entry (always present)
+        ek = 0
+        vi = 0
+        for i in range(4):
+            if (rho >> i) & 1:
+                if vals[vi][1] == U:
+                    ek |= 1 << i
+                vi += 1
+        if _TRACE_SYMS is not None:
+            _TRACE_SYMS.append((c, (ek << 5) | sym))
+        enc_c = VLC_ENC[c]
+        if ek and (ek << 5) | sym in enc_c:
+            sym |= ek << 5
+        else:
+            ek = 0
+        ln, code = enc_c[sym]
+        vlc.bits_lsb(code, ln)
+        vi = 0
+        for i in range(4):
+            if (rho >> i) & 1:
+                v = vals[vi][0]
+                vi += 1
+                ms.bits_lsb(v, U - ((ek >> i) & 1))
+        return u, u > 0
+
+    for g in range(gh):
+        for qp in range(0, gw, 2):
+            u0, off0 = code_quad(g, qp)
+            if qp + 1 < gw:
+                u1, off1 = code_quad(g, qp + 1)
+            else:
+                u1, off1 = 0, False
+            if off0 or off1:
+                _emit_u_pair(vlc, mel, g == 0, u0, off0, u1, off1)
 
     mel_b, mel_n = mel.finish()
     vlc_n = vlc.nbits
     vlc_b = vlc.finish()
     ms_n = ms.nbits
     ms_b = ms.finish()
-    cleanup = assemble_cleanup(p, (ms_b, ms_n), (mel_b, mel_n),
+    cleanup = assemble_cleanup((ms_b, ms_n), (mel_b, mel_n),
                                (vlc_b, vlc_n))
 
     # distortion bookkeeping (Part-1 half-bit reconstruction model)
@@ -455,11 +572,13 @@ def _encode_magref(mag, sig, bp, w, h):
 
 def ht_decode_block(data: bytes, seg_lens: list[int], numpasses: int,
                     numbps: int, orient: int, w: int, h: int,
-                    style: int = 0,
-                    strict: bool = False) -> tuple[np.ndarray, np.ndarray]:
+                    style: int = 0, strict: bool = False,
+                    ht_planes: int | None = None
+                    ) -> tuple[np.ndarray, np.ndarray]:
     """Decode one HT code-block; mirrors t1_scalar.decode_block's contract
     (returns mag2 = 2*value with the half-bit below the last decoded
-    plane, and the sign array)."""
+    plane, and the sign array).  The cleanup plane is derive_p(numpasses,
+    numbps, ht_planes) — not in the segment (standard framing)."""
     mag2 = np.zeros((h, w), dtype=np.int64)
     neg = np.zeros((h, w), dtype=bool)
     if numpasses <= 0 or numbps <= 0 or not data:
@@ -478,7 +597,8 @@ def ht_decode_block(data: bytes, seg_lens: list[int], numpasses: int,
         if strict:
             raise ValueError("HT cleanup: bad framing")
         return mag2, neg
-    p, ms_lo, ms_hi, suf_lo = hdr
+    ms_lo, ms_hi, suf_lo = hdr
+    p = derive_p(numpasses, numbps, ht_planes)
 
     ms = _FwdReader(data, ms_lo, ms_hi)
     mel = MELDecoder(data, suf_lo, L - 2)
@@ -489,44 +609,56 @@ def ht_decode_block(data: bytes, seg_lens: list[int], numpasses: int,
     rho_row = np.zeros((gh, gw), dtype=np.int32)
     ebot_row = np.zeros((gh, gw), dtype=np.int32)
     for g in range(gh):
-        for qx in range(gw):
-            rl = rho_row[g, qx - 1] if qx > 0 else 0
-            ra = rho_row[g - 1, qx] if g > 0 else 0
-            rar = rho_row[g - 1, qx + 1] if (g > 0 and qx + 1 < gw) else 0
-            c = quad_ctx(rl, ra, rar)
-            if c == 0 and mel.next_event() == 0:
-                continue
-            sym, ln = VLC_DEC[c][vlc.peek7()]
-            if sym < 0:
-                if strict:
-                    raise ValueError("HT cleanup: bad VLC code")
-                return mag2, neg
-            vlc.skip(ln)
-            rho = sym & 0xF
-            rho_row[g, qx] = rho
-            if rho == 0:
-                continue
-            kappa = quad_kappa(rho, int(ebot_row[g - 1, qx]) if g else 0)
-            U = kappa + (uvlc_decode(vlc.bit) if sym & 0x10 else 0)
-            if U > 40:
-                if strict:
-                    raise ValueError("HT cleanup: bad exponent bound")
-                return mag2, neg
-            ek = sym >> 5
-            ebot = 0
-            for i, (dy, dx) in enumerate(_QOFF):
-                if not (rho >> i) & 1:
+        for qp in range(0, gw, 2):
+            qinfo = []                        # (qx, sym) per pair quad
+            for qx in (qp, qp + 1):
+                if qx >= gw:
+                    break
+                rl = rho_row[g, qx - 1] if qx > 0 else 0
+                ra = rho_row[g - 1, qx] if g > 0 else 0
+                rar = rho_row[g - 1, qx + 1] \
+                    if (g > 0 and qx + 1 < gw) else 0
+                c = quad_ctx(rl, ra, rar)
+                if c == 0 and mel.next_event() == 0:
+                    qinfo.append((qx, 0))
                     continue
-                k = (ek >> i) & 1
-                full = ms.bits(U - k) | (k << (U - 1))
-                e = _exp(full)
-                if i & 1:
-                    ebot = max(ebot, e)
-                y, x = 2 * g + dy, 2 * qx + dx
-                if y < h and x < w:
-                    v[y, x] = (full >> 1) + 1
-                    neg[y, x] = bool(full & 1)
-            ebot_row[g, qx] = ebot
+                sym, ln = VLC_DEC[c][vlc.peek7()]
+                if sym < 0:
+                    if strict:
+                        raise ValueError("HT cleanup: bad VLC code")
+                    return mag2, neg
+                vlc.skip(ln)
+                rho_row[g, qx] = sym & 0xF
+                qinfo.append((qx, sym))
+            off0 = bool(qinfo[0][1] & 0x10)
+            off1 = len(qinfo) > 1 and bool(qinfo[1][1] & 0x10)
+            u0, u1 = _read_u_pair(vlc, mel, g == 0, off0, off1)
+            for (qx, sym), u in zip(qinfo, (u0, u1)):
+                rho = sym & 0xF
+                if rho == 0:
+                    continue
+                kappa = quad_kappa(rho,
+                                   int(ebot_row[g - 1, qx]) if g else 0)
+                U = kappa + u
+                if U > 40:
+                    if strict:
+                        raise ValueError("HT cleanup: bad exponent bound")
+                    return mag2, neg
+                ek = sym >> 5
+                ebot = 0
+                for i, (dy, dx) in enumerate(_QOFF):
+                    if not (rho >> i) & 1:
+                        continue
+                    k = (ek >> i) & 1
+                    full = ms.bits(U - k) | (k << (U - 1))
+                    e = _exp(full)
+                    if i & 1:
+                        ebot = max(ebot, e)
+                    y, x = 2 * g + dy, 2 * qx + dx
+                    if y < h and x < w:
+                        v[y, x] = (full >> 1) + 1
+                        neg[y, x] = bool(full & 1)
+                ebot_row[g, qx] = ebot
 
     sig = v > 0
     lp = np.full((h, w), int(p), dtype=np.int64)

@@ -64,20 +64,41 @@ def quad_kappa(rho: int, e_above: int) -> int:
 
 
 # --- UVLC ------------------------------------------------------------------
+#
+# Prefix classes (transmitted-first bit at bit 0):
+#   "0"            -> u = 1                    (1-bit prefix, no suffix)
+#   "1 0"          -> u = 2                    (2-bit prefix, no suffix)
+#   "1 1 0" + s1   -> u = 3 + s1               (3-bit prefix, 1 suffix bit)
+#   "1 1 1" + s5   -> u = 5 + s5  (s5 < 31)    (3-bit prefix, 5 suffix bits)
+#                     u = 36 + e5 (s5 == 31)   (+5 extension bits)
+#
+# Quads are UVLC-coded in PAIRS along each quad row (ISO/IEC 15444-15
+# structure): when both quads of a pair have u_off = 1 the two PREFIXES
+# are transmitted first, then the two suffixes (each suffix immediately
+# followed by its extension bits when present) — see
+# t1ht.scalar._emit_u_pair / _read_u_pair for the initial-row-pair MEL
+# event and the one-bit u1 special case.
+
+def uvlc_parts(u: int) -> tuple[int, int, int, int]:
+    """(pfx_len, pfx_bits, sfx_len, sfx_bits) for u >= 1; the suffix
+    carries the 5-bit escape extension for u >= 36 (sfx_len 10)."""
+    if u == 1:
+        return 1, 0b0, 0, 0
+    if u == 2:
+        return 2, 0b01, 0, 0
+    if u <= 4:
+        return 3, 0b011, 1, u - 3
+    if u <= 35:
+        return 3, 0b111, 5, u - 5
+    assert u <= 67, "u out of range"
+    return 3, 0b111, 10, 31 | ((u - 36) << 5)
+
 
 def uvlc_encode(u: int) -> tuple[int, int]:
-    """(length, bits) for u >= 1 (u = U_q - kappa_q when u_off = 1);
-    transmitted-first bit at bit 0."""
-    if u == 1:
-        return 1, 0b0
-    if u == 2:
-        return 2, 0b01
-    if u <= 4:
-        return 4, 0b011 | ((u - 3) << 3)
-    if u <= 35:
-        return 8, 0b111 | ((u - 5) << 3)
-    assert u <= 67, "u out of range"
-    return 13, 0b111 | (31 << 3) | ((u - 36) << 8)
+    """(length, bits) for a SINGLE u >= 1 (u = U_q - kappa_q when
+    u_off = 1 and the pair partner has u_off = 0)."""
+    pl, pb, sl, sb = uvlc_parts(u)
+    return pl + sl, pb | (sb << pl)
 
 
 def uvlc_decode(read_bit) -> int:

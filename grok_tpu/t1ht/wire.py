@@ -73,21 +73,20 @@ def _vlc_clean_fwd(data: np.ndarray, suf_lo: int, L: int) -> bytes:
 def split_cleanup(data, L: int):
     """Split a wire cleanup segment into clean sub-streams.
 
-    Returns (p, ms_clean, mel_clean, vlc_clean) bytes or None if the
+    Returns (ms_clean, mel_clean, vlc_clean) bytes or None if the
     framing is invalid.  mel/vlc are un-stuffed over the WHOLE suffix
     (their true boundary is implicit); un-stuffing is prefix-local, so
     each stream's real prefix is exact and consumers never read past
     their own content (encoder flush rules)."""
-    if L > len(data) or L < 4:
+    if L > len(data) or L < 2:
         return None
     arr = np.frombuffer(data, np.uint8, count=L) if not isinstance(
         data, np.ndarray) else np.asarray(data[:L], np.uint8)
-    p = int(arr[0])
     scup = (int(arr[L - 1]) << 4) | (int(arr[L - 2]) & 0xF)
-    if scup < 2 or scup > L - 1 or p > 63:
+    if scup < 2 or scup > L:
         return None
     suf_lo = L - scup
-    ms = _unstuff_lsb(arr[1:suf_lo])
+    ms = _unstuff_lsb(arr[:suf_lo])
     mel = _unstuff_msb(arr[suf_lo:L - 2])
     vlc = _vlc_clean_fwd(arr, suf_lo, L)
-    return p, ms, mel, vlc
+    return ms, mel, vlc

@@ -213,16 +213,19 @@ class TestBlockCoder:
         p = 2
         enc = ht_encode_block(mag, neg, 0, p=p)
         assert enc.numpasses == 3 and len(enc.seg_lens) == 3
-        # full 3-pass decode reaches plane p-1 exactly
+        # full 3-pass decode reaches plane p-1 exactly (p >= 2 comes
+        # from the ht_planes extension, not the segment: standard
+        # framing implies p = 1 for multi-pass blocks)
         mag2, ng = ht_decode_block(enc.data, enc.seg_lens, 3,
-                                   enc.numbps, 0, w, h)
+                                   enc.numbps, 0, w, h, ht_planes=p)
         v = np.abs(mag2) >> p            # drop the plane-(p-1) half bit
         # cleanup-significant samples are refined to plane p-1
         sig_cl = (mag >> p) > 0
         assert np.array_equal(v[sig_cl], (mag >> (p - 1))[sig_cl])
         # cleanup-only truncation decodes plane p
         m1, _ = ht_decode_block(enc.data[:enc.seg_lens[0]],
-                                enc.seg_lens[:1], 1, enc.numbps, 0, w, h)
+                                enc.seg_lens[:1], 1, enc.numbps, 0, w, h,
+                                ht_planes=p)
         v1 = np.abs(m1) >> (p + 1)
         assert np.array_equal(v1[sig_cl], (mag >> p)[sig_cl])
         # monotone improvement cleanup -> 3 passes

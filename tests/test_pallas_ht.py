@@ -66,12 +66,11 @@ def test_header_parse_roundtrip():
     rng = np.random.default_rng(2)
     job, _ = _make(rng, 8, 8, 50, 1)
     data, L = job["data"], job["seg_lens"][0]
-    p, ms, mel, vlc = parse_ht_header(data, job["seg_lens"])
-    assert p == data[0]
+    ms, mel, vlc = parse_ht_header(data, job["seg_lens"])
     # clean (un-stuffed) streams never exceed their wire regions; the
     # MEL/VLC boundary is implicit, so both unstuff the whole suffix
     scup = (data[L - 1] << 4) | (data[L - 2] & 0xF)
-    assert len(ms) <= L - scup - 1 + 1
+    assert len(ms) <= L - scup + 1
     assert len(mel) <= scup - 2 + 1 and len(vlc) <= scup - 1
 
 

@@ -77,18 +77,25 @@ def _vlc_enc_planes():
 VLC_ENC_PLANES = _vlc_enc_planes()
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def pallas_ht_encode(mneg, pv, wh, valid,
                      W: int, H: int, S: int,
                      LMS: int, LMEL: int, LVLC: int,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     refine: bool = False):
     """Encode a batch of S*128 HT cleanup blocks with one Pallas kernel.
 
     mneg: (H, W, [S,] LANES) int32 = (mag << 1) | neg.
     pv/valid: (1|S, LANES); wh: (2, [S,] LANES).
     LMS/LMEL/LVLC: per-lane output byte capacities (multiples of 32).
     Returns (ms, mel, vlc byte buffers as (G, 32, [S,] LANES) int32 with
-    one byte per entry, and bits (3, [S,] LANES) int32 bit counts)."""
+    one byte per entry, and bits (3, [S,] LANES) int32 bit counts).
+
+    refine=True (the ht_planes mode): lanes with p > 0 additionally emit
+    HT SigProp + HT MagRef clean bit streams for plane p-1 (raw stuffed
+    wire form is applied host-side, t1ht.scalar._finish_raw) — returns
+    two more byte buffers, a (5, ...) bits array, and the (H, W, ...)
+    SigProp new-significance grid (for host distortion bookkeeping)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -101,6 +108,10 @@ def pallas_ht_encode(mneg, pv, wh, valid,
     def iota_for(n):
         return jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * nd, 0)
 
+    # refine output capacities (clean bits: SigProp <= 2 bits/sample,
+    # MagRef <= 1), static from the bucket dims
+    LSP = _cap_bytes(W * H * 2 // 8 + 16)
+    LMR = _cap_bytes(W * H // 8 + 16)
     GWP = max(GW // 2, 1)     # quad PAIRS per row (GW == 1: lone quads)
     HAS2 = GW >= 2            # static: a second quad exists in the pair
     NQP = GH * GWP
@@ -111,11 +122,21 @@ def pallas_ht_encode(mneg, pv, wh, valid,
     MIDG = 10                 # MagSgn mid granules: 31 B skew + 8 pairs
                               # * 25 B + 2-granule window <= 10 * 32 B
 
-    def kernel(mneg_ref, p_ref, wh_ref, valid_ref, lut_ref,
-               ms_ref, mel_ref, vlc_ref,
-               msb_ref, melb_ref, vlcb_ref,
-               rho_ref, ms_st, mel_st, vlc_st,
-               ms_ba, mel_ba, vlc_ba, ms_mid, ms_mba):
+    def kernel(*refs):
+        if refine:
+            (mneg_ref, p_ref, wh_ref, valid_ref, lut_ref,
+             ms_ref, mel_ref, vlc_ref,
+             msb_ref, melb_ref, vlcb_ref,
+             sp_ref, mr_ref, spb_ref, mrb_ref, ns_ref,
+             rho_ref, ms_st, mel_st, vlc_st,
+             ms_ba, mel_ba, vlc_ba, ms_mid, ms_mba,
+             sig_ref, rf_st, rf_ba) = refs
+        else:
+            (mneg_ref, p_ref, wh_ref, valid_ref, lut_ref,
+             ms_ref, mel_ref, vlc_ref,
+             msb_ref, melb_ref, vlcb_ref,
+             rho_ref, ms_st, mel_st, vlc_st,
+             ms_ba, mel_ba, vlc_ba, ms_mid, ms_mba) = refs
         if S == 1:
             p_l = p_ref[...]
             val_l = valid_ref[...]
@@ -129,7 +150,10 @@ def pallas_ht_encode(mneg, pv, wh, valid,
         gw_l = (wv + 1) >> 1
         gh_l = (hv + 1) >> 1
 
-        for ref, Lb in ((ms_ref, LMS), (mel_ref, LMEL), (vlc_ref, LVLC)):
+        outz = [(ms_ref, LMS), (mel_ref, LMEL), (vlc_ref, LVLC)]
+        if refine:
+            outz += [(sp_ref, LSP), (mr_ref, LMR)]
+        for ref, Lb in outz:
             ref[...] = jnp.zeros((Lb // 32, 8) + arr_tail, jnp.int32)
         # one scratch grid holds BOTH per-quad states packed as
         # (ebot << 4) | rho (rho <= 15, ebot <= 25): zero extra VMEM,
@@ -146,9 +170,12 @@ def pallas_ht_encode(mneg, pv, wh, valid,
         hiota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
         lut = [lut_ref[j] for j in range(VLC_ENC_PLANES.shape[0])]
         qiota = iota_for(GW + 2)
+        gset = {LMS // 32, LMEL // 32, LVLC // 32}
+        if refine:
+            gset |= {LSP // 32, LMR // 32}
         giotas = {G: jax.lax.broadcasted_iota(
             jnp.int32, (G,) + (1,) * (nd + 1), 0)
-            for G in {LMS // 32, LMEL // 32, LVLC // 32}}
+            for G in gset}
         miota = jax.lax.broadcasted_iota(
             jnp.int32, (MIDG,) + (1,) * (nd + 1), 0)
         one = jnp.int32(1)
@@ -590,48 +617,170 @@ def pallas_ht_encode(mneg, pv, wh, valid,
         melb_ref[...] = mel_bp
         vlcb_ref[...] = vlc_bp
 
+        if refine:
+            # ---- HT SigProp + HT MagRef ENCODE (plane p-1, 4-row
+            # stripe scan, clean bits; the raw stuffed wire form is
+            # applied host-side) — mirrors t1ht.scalar._encode_sigprop
+            # / _encode_magref and the decode REFINE variant's loops --
+            rmask = (val_l == 1) & (p_l > 0)
+            bp_l = jnp.maximum(p_l - 1, 0)
+            w2iota = iota_for(W + 2)
+            sig_ref[...] = jnp.zeros((H + 2, W + 2) + arr_tail, jnp.int32)
+            # state: 0 none, 1 cleanup-significant, 2 SigProp-new
+            vq0 = (mneg_ref[...] >> 1) >> p_l
+            sig_ref[1:H + 1, 1:W + 1] = (vq0 > 0).astype(jnp.int32)
+            rf_st[...] = jnp.zeros((16,) + arr_tail, jnp.int32)
+            rf_ba[...] = jnp.zeros(lane_sh, jnp.int32)
+
+            def sigc(r, x1):
+                v = sig_ref[r, pl.ds(x1, 1)]
+                return v if S == 1 else jnp.sum(v, axis=0)
+
+            def sig3(r, x):
+                v = (sig_ref[r, pl.ds(x, 3)] != 0).astype(jnp.int32)
+                return jnp.sum(v, axis=0, keepdims=kd) if S == 1 \
+                    else jnp.sum(v.reshape(3, S, LANES), axis=0)
+
+            NC2 = max(H // 4, 1) * W
+            K2 = 16
+            while NC2 % K2:
+                K2 //= 2
+
+            def sp_col(col, bp):
+                x = col % W
+                y0 = (col // W) * 4
+                for dy in range(4):
+                    y = y0 + dy          # H is pow2 >= 4: stripes exact
+                    act = rmask & (x < wv) & (y < hv)
+                    ctr = sigc(y + 1, x + 1)
+                    n9 = sig3(y, x) + sig3(y + 1, x) + sig3(y + 2, x)
+                    cand = act & (ctr == 0) & (n9 > 0)
+                    s = sample(y, x)
+                    bit = ((s >> 1) >> bp_l) & 1
+                    ng = s & 1
+                    newsig = cand & (bit == 1)
+                    or_bits(rf_st, rf_ba, bp,
+                            jnp.where(newsig, 1 | (ng << 1), 0), newsig)
+                    bp = bp + jnp.where(newsig, 2,
+                                        jnp.where(cand, 1, 0))
+                    rowg = sig_ref[y + 1]
+                    sig_ref[y + 1] = jnp.where(
+                        (w2iota == x + 1) & newsig, 2, rowg)
+                return bp
+
+            def sp_group(o, bp):
+                restage(sp_ref, rf_st, rf_ba, bp >> 3)
+                return jax.lax.fori_loop(o * K2, o * K2 + K2, sp_col, bp)
+
+            zb = jnp.zeros(lane_sh, jnp.int32)
+            sp_bp = jax.lax.fori_loop(0, NC2 // K2, sp_group, zb)
+            restage(sp_ref, rf_st, rf_ba, sp_bp >> 3)   # final flush
+            spb_ref[...] = sp_bp
+
+            rf_st[...] = jnp.zeros((16,) + arr_tail, jnp.int32)
+            rf_ba[...] = jnp.zeros(lane_sh, jnp.int32)
+
+            def mr_col(col, bp):
+                x = col % W
+                y0 = (col // W) * 4
+                for dy in range(4):
+                    y = y0 + dy
+                    act = rmask & (x < wv) & (y < hv)
+                    cond = act & (sigc(y + 1, x + 1) == 1)
+                    s = sample(y, x)
+                    bit = ((s >> 1) >> bp_l) & 1
+                    or_bits(rf_st, rf_ba, bp, jnp.where(cond, bit, 0),
+                            cond & (bit == 1))
+                    bp = bp + cond.astype(jnp.int32)
+                return bp
+
+            def mr_group(o, bp):
+                restage(mr_ref, rf_st, rf_ba, bp >> 3)
+                return jax.lax.fori_loop(o * K2, o * K2 + K2, mr_col, bp)
+
+            mr_bp = jax.lax.fori_loop(0, NC2 // K2, mr_group, zb)
+            restage(mr_ref, rf_st, rf_ba, mr_bp >> 3)
+            mrb_ref[...] = mr_bp
+            ns_ref[...] = (sig_ref[1:H + 1, 1:W + 1] == 2) \
+                .astype(jnp.int32)
+
     lut_in = jnp.asarray(VLC_ENC_PLANES.reshape(
         (VLC_ENC_PLANES.shape[0], 8, 1, 1)))
+    out_shape = [
+        jax.ShapeDtypeStruct((LMS // 32, 8) + arr_tail, jnp.int32),
+        jax.ShapeDtypeStruct((LMEL // 32, 8) + arr_tail, jnp.int32),
+        jax.ShapeDtypeStruct((LVLC // 32, 8) + arr_tail, jnp.int32),
+        jax.ShapeDtypeStruct(lane_sh, jnp.int32),
+        jax.ShapeDtypeStruct(lane_sh, jnp.int32),
+        jax.ShapeDtypeStruct(lane_sh, jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # rho+eb
+        pltpu.VMEM((16,) + arr_tail, jnp.int32),             # ms stage
+        pltpu.VMEM((16,) + arr_tail, jnp.int32),             # mel stage
+        pltpu.VMEM((24,) + arr_tail, jnp.int32),             # vlc stage
+        pltpu.VMEM(lane_sh, jnp.int32),                      # ms base
+        pltpu.VMEM(lane_sh, jnp.int32),                      # mel base
+        pltpu.VMEM(lane_sh, jnp.int32),                      # vlc base
+        pltpu.VMEM((MIDG, 8) + arr_tail, jnp.int32),         # ms mid
+        pltpu.VMEM(lane_sh, jnp.int32),                      # mid base
+    ]
+    if refine:
+        out_shape += [
+            jax.ShapeDtypeStruct((LSP // 32, 8) + arr_tail, jnp.int32),
+            jax.ShapeDtypeStruct((LMR // 32, 8) + arr_tail, jnp.int32),
+            jax.ShapeDtypeStruct(lane_sh, jnp.int32),
+            jax.ShapeDtypeStruct(lane_sh, jnp.int32),
+            jax.ShapeDtypeStruct((H, W) + arr_tail, jnp.int32),
+        ]
+        scratch += [
+            pltpu.VMEM((H + 2, W + 2) + arr_tail, jnp.int32),  # sig grid
+            pltpu.VMEM((16,) + arr_tail, jnp.int32),           # rf win
+            pltpu.VMEM(lane_sh, jnp.int32),                    # rf base
+        ]
+    # refine outputs are ordered before the scratch slots in the
+    # kernel's ref list: (ms mel vlc msb melb vlcb [sp mr spb mrb ns])
     outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((LMS // 32, 8) + arr_tail, jnp.int32),
-            jax.ShapeDtypeStruct((LMEL // 32, 8) + arr_tail, jnp.int32),
-            jax.ShapeDtypeStruct((LVLC // 32, 8) + arr_tail, jnp.int32),
-            jax.ShapeDtypeStruct(lane_sh, jnp.int32),
-            jax.ShapeDtypeStruct(lane_sh, jnp.int32),
-            jax.ShapeDtypeStruct(lane_sh, jnp.int32),
-        ),
+        out_shape=tuple(out_shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6),
-        scratch_shapes=[
-            pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # rho+eb
-            pltpu.VMEM((16,) + arr_tail, jnp.int32),             # ms stage
-            pltpu.VMEM((16,) + arr_tail, jnp.int32),             # mel stage
-            pltpu.VMEM((24,) + arr_tail, jnp.int32),             # vlc stage
-            pltpu.VMEM(lane_sh, jnp.int32),                      # ms base
-            pltpu.VMEM(lane_sh, jnp.int32),                      # mel base
-            pltpu.VMEM(lane_sh, jnp.int32),                      # vlc base
-            pltpu.VMEM((MIDG, 8) + arr_tail, jnp.int32),         # ms mid
-            pltpu.VMEM(lane_sh, jnp.int32),                      # mid base
-        ],
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)]
+                        * len(out_shape)),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(mneg, pv, wh, valid, lut_in)
-    ms_b, mel_b, vlc_b, msb, melb, vlcb = outs
-    bits = jnp.stack([msb.reshape(lane_sh), melb.reshape(lane_sh),
-                      vlcb.reshape(lane_sh)], axis=0)
-    if S == 1:
-        bits = bits.reshape(3, LANES)
+    ms_b, mel_b, vlc_b, msb, melb, vlcb = outs[:6]
+    streams = [msb.reshape(lane_sh), melb.reshape(lane_sh),
+               vlcb.reshape(lane_sh)]
+
     # outputs are packed little-endian words already (word staging) —
     # flatten granules to one word axis for the host
     def flat_words(b):
         return b.reshape((b.shape[0] * 8,) + arr_tail)
+
+    if refine:
+        sp_b, mr_b, spb, mrb, ns = outs[6:]
+        streams += [spb.reshape(lane_sh), mrb.reshape(lane_sh)]
+        bits = jnp.stack(streams, axis=0)
+        if S == 1:
+            bits = bits.reshape(5, LANES)
+        return (flat_words(ms_b), flat_words(mel_b), flat_words(vlc_b),
+                flat_words(sp_b), flat_words(mr_b), bits, ns)
+    bits = jnp.stack(streams, axis=0)
+    if S == 1:
+        bits = bits.reshape(3, LANES)
     return flat_words(ms_b), flat_words(mel_b), flat_words(vlc_b), bits
 
 
-def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
+def encode_ht_blocks(blocks: list[dict], interpret: bool = False,
+                     ht_planes: int = 0):
     """Batched device HT encode; returns per-block EncodedBlock,
-    byte-identical to t1ht.scalar.ht_encode_block (p=0 cleanup).
+    byte-identical to t1ht.scalar.ht_encode_block.
+
+    ht_planes > 0: per-block cleanup plane min(ht_planes, numbps-1);
+    blocks with an effective p > 0 run the REFINE kernel variant and
+    emit cleanup + HT SigProp + HT MagRef (3 passes), like the scalar
+    coder's p > 0 mode.
 
     blocks: {mag, neg, orient, w, h}; blocks whose streams exceed the
     staged-window bound (numbps > 24) or with numbps == 0 are handled
@@ -643,15 +792,19 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
         # EMB tables: the device encoder codes eps_k = 0 only (module
         # docstring) — byte-identity demands the scalar coder
         from grok_tpu.t1ht.scalar import ht_encode_block
-        return [ht_encode_block(b["mag"], b["neg"], b["orient"])
+        return [ht_encode_block(b["mag"], b["neg"], b["orient"],
+                                p=ht_planes)
                 for b in blocks]
 
     results: list = [None] * len(blocks)
-    buckets: dict[tuple[int, int], list[int]] = {}
+    buckets: dict[tuple, list[int]] = {}
     nbps_all = []
+    p_all = []
     for i, b in enumerate(blocks):
         nbps = int(np.max(np.abs(b["mag"]))).bit_length()
         nbps_all.append(nbps)
+        p_eff = min(ht_planes, nbps - 1) if nbps > 1 else 0
+        p_all.append(p_eff)
         if nbps == 0:
             results[i] = EncodedBlock()
             continue
@@ -660,9 +813,9 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
             W <<= 1
         while H < b["h"]:
             H <<= 1
-        buckets.setdefault((W, H), []).append(i)
+        buckets.setdefault((W, H, p_eff > 0), []).append(i)
 
-    for (W, H), idxs in buckets.items():
+    for (W, H, refine), idxs in buckets.items():
         mx = max(nbps_all[i] for i in idxs)
         # capacity from the batch's real dynamic range; staging degrades
         # (and Mosaic compiles blow up) past ~128 granules per lane
@@ -672,7 +825,11 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
             for i in idxs:
                 b = blocks[i]
                 results[i] = ht_encode_block(b["mag"], b["neg"],
-                                             b["orient"])
+                                             b["orient"], p=ht_planes)
+            continue
+        if refine:
+            _encode_refine_bucket(blocks, idxs, nbps_all, p_all, W, H,
+                                  results, interpret)
             continue
         # ENCODE S stays strictly in {1, 8}: intermediate sublane counts
         # cost 20-40+ min of Mosaic compile on this kernel (CLAUDE.md).
@@ -796,6 +953,120 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False):
                                      term=True)],
                     seg_lens=[len(cleanup)], seg_passes=[1])
     return results
+
+
+def _lane_bytes_of(wbuf, j, nbytes, S):
+    if S > 1:
+        col = wbuf[:, j // LANES, j % LANES]
+    else:
+        col = wbuf[:, j]
+    by = np.empty(len(col) * 4, np.uint8)
+    by[0::4] = col & 0xFF
+    by[1::4] = (col >> 8) & 0xFF
+    by[2::4] = (col >> 16) & 0xFF
+    by[3::4] = (col >> 24) & 0xFF
+    return by[:nbytes].tobytes()
+
+
+def _encode_refine_bucket(blocks, idxs, nbps_all, p_all, W, H,
+                          results, interpret):
+    """REFINE-variant launches for one (W, H) bucket: cleanup + HT
+    SigProp + HT MagRef on device, byte-identical to the scalar coder's
+    p > 0 mode (pass metadata computed host-side from mag + the
+    kernel's new-significance grid)."""
+    from grok_tpu import native
+    from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
+    from grok_tpu.t1ht.scalar import _stuff_fwd_lsb, assemble_cleanup
+
+    def raw_wire(clean: bytes, nbits: int) -> bytes:
+        out = _stuff_fwd_lsb(clean, nbits)
+        if out and out[-1] == 0xFF:
+            out.append(0x00)
+        return bytes(out)
+
+    mx = max(nbps_all[i] for i in idxs)
+    LMS = _cap_bytes(W * H * (mx + 2) // 8 + 16)
+    LMEL = _cap_bytes(((W * H // 4) * 9) // 8 + 16)
+    LVLC = _cap_bytes(((W * H // 4) * 15) // 8 + 16)
+    S = 1
+    for kc in range(0, len(idxs), LANES):
+        chunk = idxs[kc:kc + LANES]
+        mneg = np.zeros((H, W, LANES), np.int32)
+        pv = np.zeros((LANES,), np.int32)
+        wh = np.ones((2, LANES), np.int32)
+        valid = np.zeros((LANES,), np.int32)
+        for j, i in enumerate(chunk):
+            b = blocks[i]
+            h, w = b["mag"].shape
+            mneg[:h, :w, j] = (np.asarray(b["mag"], np.int32) << 1) \
+                | np.asarray(b["neg"], np.int32)
+            wh[0, j] = w
+            wh[1, j] = h
+            valid[j] = 1
+            pv[j] = p_all[i]
+        import jax.numpy as jnp
+        ms_w, mel_w, vlc_w, sp_w, mr_w, bits, ns = pallas_ht_encode(
+            jnp.asarray(mneg), jnp.asarray(pv.reshape(1, LANES)),
+            jnp.asarray(wh), jnp.asarray(valid.reshape(1, LANES)),
+            W, H, 1, LMS, LMEL, LVLC, interpret, True)
+        ms_w = np.asarray(ms_w)
+        mel_w = np.asarray(mel_w)
+        vlc_w = np.asarray(vlc_w)
+        sp_w = np.asarray(sp_w)
+        mr_w = np.asarray(mr_w)
+        bits = np.asarray(bits)
+        ns = np.asarray(ns)
+        use_c = native.available()
+        for j, i in enumerate(chunk):
+            b = blocks[i]
+            p = p_all[i]
+            bl = bits[:, j]
+            ms = _lane_bytes_of(ms_w, j, -(-int(bl[0]) // 8), S)
+            mel = _lane_bytes_of(mel_w, j, -(-int(bl[1]) // 8), S)
+            vlc = _lane_bytes_of(vlc_w, j, -(-int(bl[2]) // 8), S)
+            if use_c:
+                cleanup = native.ht_assemble(ms, int(bl[0]), mel,
+                                             int(bl[1]), vlc, int(bl[2]))
+            else:
+                cleanup = assemble_cleanup((ms, int(bl[0])),
+                                           (mel, int(bl[1])),
+                                           (vlc, int(bl[2])))
+            sp_b = raw_wire(_lane_bytes_of(sp_w, j, -(-int(bl[3]) // 8),
+                                           S), int(bl[3]))
+            mr_b = raw_wire(_lane_bytes_of(mr_w, j, -(-int(bl[4]) // 8),
+                                           S), int(bl[4]))
+            h, w = b["mag"].shape
+            mag = np.asarray(b["mag"], np.int64)
+            new_sig = ns[:h, :w, j].astype(bool)
+            # pass metadata: exactly t1ht.scalar.ht_encode_block's model
+            vq = mag >> p
+            sig = vq > 0
+            m = mag.astype(np.float64)
+            rec = np.where(sig, (vq << p).astype(np.float64)
+                           + 0.5 * (1 << p), 0.0)
+            d_total = float((m ** 2).sum())
+            d_clean = d_total - float(((m - rec) ** 2).sum())
+            bp = p - 1
+            v1 = mag >> bp
+            rec_sp = rec.copy()
+            rec_sp[new_sig] = 1.5 * (1 << bp)
+            d_sp = d_total - float(((m - rec_sp) ** 2).sum())
+            rec_mr = rec_sp.copy()
+            rec_mr[sig] = (v1[sig] << bp).astype(np.float64) \
+                + 0.5 * (1 << bp)
+            d_mr = d_total - float(((m - rec_mr) ** 2).sum())
+            passes = [
+                PassInfo(rate=len(cleanup), dist=d_clean, term=True),
+                PassInfo(rate=len(cleanup) + len(sp_b), dist=d_sp,
+                         term=True),
+                PassInfo(rate=len(cleanup) + len(sp_b) + len(mr_b),
+                         dist=d_mr, term=True),
+            ]
+            results[i] = EncodedBlock(
+                data=cleanup + sp_b + mr_b, numbps=nbps_all[i],
+                passes=passes,
+                seg_lens=[len(cleanup), len(sp_b), len(mr_b)],
+                seg_passes=[1, 1, 1])
 
 
 def _cap_bytes(n: int) -> int:

@@ -329,12 +329,15 @@ def encode_tile(image: Image, geo: TileGeometry,
                   if j["style"] & CBLK_HT and encs[i] is None]
         if ht_idx:
             done = False
-            if backend == "jax" and not ht_planes:
-                from grok_tpu.ops.pallas_ht import ht_pallas_enabled
+            if backend == "jax":
+                from grok_tpu.ops.pallas_ht import (_ht_interpret,
+                                                    ht_pallas_enabled)
                 if ht_pallas_enabled():
                     from grok_tpu.ops.pallas_ht_enc import encode_ht_blocks
                     for i, e in zip(ht_idx, encode_ht_blocks(
-                            [ejobs[i] for i in ht_idx])):
+                            [ejobs[i] for i in ht_idx],
+                            interpret=_ht_interpret(),
+                            ht_planes=ht_planes)):
                         encs[i] = e
                     done = True
             if not done:

@@ -74,6 +74,31 @@ def test_header_parse_roundtrip():
     assert len(mel) <= scup - 2 + 1 and len(vlc) <= scup - 1
 
 
+def test_encoder_refine_interpret_byte_identical():
+    """REFINE encode variant (ht_planes > 0): cleanup + HT SigProp +
+    HT MagRef on device, byte-identical to the scalar coder incl. the
+    per-pass distortion metadata PCRD consumes."""
+    from grok_tpu.ops.pallas_ht_enc import encode_ht_blocks
+    rng = np.random.default_rng(17)
+    blocks, refs = [], []
+    for i, (w, h) in enumerate([(8, 8), (7, 5), (16, 12), (3, 9)]):
+        mag = np.abs(rng.normal(0, [40, 300, 7, 80][i],
+                                (h, w))).astype(np.int64)
+        mag[rng.random((h, w)) < 0.4] = 0
+        neg = (rng.random((h, w)) < 0.5) & (mag > 0)
+        mag[0, 0] = max(int(mag[0, 0]), 5)
+        blocks.append(dict(mag=mag, neg=neg, orient=i % 4, w=w, h=h))
+        refs.append(ht_encode_block(mag, neg, i % 4, p=2))
+    res = encode_ht_blocks(blocks, interpret=True, ht_planes=2)
+    for i, (got, ref) in enumerate(zip(res, refs)):
+        assert got.data == ref.data, f"block {i} bytes"
+        assert got.seg_lens == ref.seg_lens, f"block {i} seg_lens"
+        assert len(got.passes) == len(ref.passes)
+        for gp, rp in zip(got.passes, ref.passes):
+            assert gp.rate == rp.rate
+            assert abs(gp.dist - rp.dist) < 1e-6
+
+
 def test_encoder_interpret_byte_identical():
     from grok_tpu.ops.pallas_ht_enc import encode_ht_blocks
     rng = np.random.default_rng(3)

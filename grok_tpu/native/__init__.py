@@ -113,6 +113,10 @@ def _load():
             lib.grk_ht_assemble_batch.argtypes = [
                 u8p_, llp, llp, llp, llp, llp, llp,
                 ipp, ctypes.c_int, u8p_, ctypes.c_longlong, llp]
+            lib.grk_ht_raw_batch.restype = ctypes.c_int
+            lib.grk_ht_raw_batch.argtypes = [
+                u8p_, llp, llp, ctypes.c_int,
+                u8p_, ctypes.c_longlong, llp]
             u8p = ctypes.POINTER(ctypes.c_uint8)
             lib.grk_t2_emit.restype = ctypes.c_int
             lib.grk_t2_emit.argtypes = [
@@ -529,6 +533,28 @@ def ht_assemble_batch(buf: np.ndarray, ms_off, ms_bits, mel_off, mel_bits,
         _llp(olens))
     if rc:
         return None
+    return out, olens
+
+
+def ht_raw_batch(buf: np.ndarray, offs, bits):
+    """Stuff n raw (HT SigProp / HT MagRef) clean streams into wire
+    segments (0xFF stuffing + non-0xFF terminator), back-to-back.
+    Returns (out uint8 buffer, lens (n,) int64); byte-identical to
+    t1ht.scalar._finish_raw."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime not available")
+    n = len(offs)
+    offs = np.ascontiguousarray(offs, np.int64)
+    bits = np.ascontiguousarray(bits, np.int64)
+    buf = np.ascontiguousarray(buf, np.uint8)
+    ocap = int(bits.sum() // 7 + int(bits.sum() + 7) // 8 + 16 * n + 64)
+    out = np.zeros(ocap, np.uint8)
+    olens = np.zeros(n, np.int64)
+    rc = lib.grk_ht_raw_batch(_u8p(buf), _llp(offs), _llp(bits), n,
+                              _u8p(out), ocap, _llp(olens))
+    if rc:
+        raise ValueError("raw segment capacity overflow")
     return out, olens
 
 

@@ -225,6 +225,28 @@ int grk_ht_assemble_batch(const uint8_t *buf,
     return 0;
 }
 
+/* Stuff n raw (HT SigProp / HT MagRef) streams: clean LSB-first bits ->
+ * wire bytes with 0xFF stuffing and a guaranteed non-0xFF final byte
+ * (t1ht.scalar._finish_raw).  Streams are written back-to-back into
+ * out; olens[k] = wire length.  Returns 0, or 1 on capacity overflow. */
+int grk_ht_raw_batch(const uint8_t *buf, const long long *off,
+                     const long long *bits, int n,
+                     uint8_t *out, long long ocap, long long *olens)
+{
+    long long pos = 0;
+    for (int k = 0; k < n; k++) {
+        long long worst = bits[k] / 7 + 8;
+        if (pos + worst > ocap)
+            return 1;
+        long long m = stuff_lsb(buf + off[k], bits[k], out + pos);
+        if (m && out[pos + m - 1] == 0xFF)
+            out[pos + m++] = 0x00;
+        olens[k] = m;
+        pos += m;
+    }
+    return 0;
+}
+
 /* ---- wire -> clean (un-stuffing; pointwise in the wire bytes) ---------- */
 
 /* Scan n cleanup segments at body[off[i] .. off[i]+len[i]): un-stuff

@@ -75,10 +75,11 @@ def _build_encode_fn(sig):
     from grok_tpu.ops.pallas_ht import _ht_interpret
     from grok_tpu.ops.pallas_ht_enc import pallas_ht_encode
 
-    (N, ncomps, mct_mode, comps_sig, bucket_sig, blocks_sig) = sig
+    (N, ncomps, mct_mode, comps_sig, bucket_sig, blocks_sig, P) = sig
     (W, H, S, LMS, LMEL, LVLC, nlaunch) = bucket_sig
     NL = S * LANES
     NB = N * len(blocks_sig)
+    refine = P > 0
 
     @jax.jit
     def run(comps):
@@ -143,8 +144,11 @@ def _build_encode_fn(sig):
             mags = (mneg >> 1).reshape(-1, NL)
             mx = jnp.max(mags, axis=0)                  # (NL,)
             numbps = 32 - jax.lax.clz(mx)               # bit_length(mx)
-            pv = jnp.zeros((S, LANES), jnp.int32) if S > 1 else \
-                jnp.zeros((1, LANES), jnp.int32)
+            # per-lane cleanup plane: the encoder clamp min(P, numbps-1)
+            pl_v = jnp.minimum(P, jnp.maximum(numbps - 1, 0)) \
+                if refine else jnp.zeros((NL,), jnp.int32)
+            pv = pl_v.reshape(S, LANES) if S > 1 else \
+                pl_v.reshape(1, LANES)
             if S > 1:
                 mneg_a = mneg.reshape(H, W, S, LANES)
                 wh_a = jnp.asarray(whc.reshape(2, S, LANES))
@@ -153,14 +157,24 @@ def _build_encode_fn(sig):
                 mneg_a = mneg
                 wh_a = jnp.asarray(whc)
                 valid_a = jnp.asarray(vld.reshape(1, LANES))
-            ms_w, mel_w, vlc_w, bits = pallas_ht_encode(
+            enc_out = pallas_ht_encode(
                 mneg_a, pv, wh_a, valid_a, W, H, S, LMS, LMEL, LVLC,
-                _ht_interpret())
+                _ht_interpret(), refine)
+            if refine:
+                ms_w, mel_w, vlc_w, sp_w, mr_w, bits, ns = enc_out
+                nbits = 5
+            else:
+                ms_w, mel_w, vlc_w, bits = enc_out
+                sp_w = mr_w = None
+                nbits = 3
             if S > 1:
-                bits = bits.reshape(3, NL)
+                bits = bits.reshape(nbits, NL)
                 ms_w = ms_w.reshape(-1, NL)
                 mel_w = mel_w.reshape(-1, NL)
                 vlc_w = vlc_w.reshape(-1, NL)
+                if refine:
+                    sp_w = sp_w.reshape(-1, NL)
+                    mr_w = mr_w.reshape(-1, NL)
             # per-lane EXACT distortion components for PCRD, in int32
             # splits (mag <= 2^24: m^2 = t1*2^24 + 2*t2*2^12 + t3 with
             # 12-bit halves; chunked reduce + hi/lo carry keeps every
@@ -173,7 +187,7 @@ def _build_encode_fn(sig):
             HW = H * W
             ch = min(64, HW)
 
-            def exact_sum(x):
+            def exact_sum(x, ch=ch):
                 p0 = jnp.sum(x.reshape(HW // ch, ch, NL), axis=1)
                 return (jnp.sum(p0 >> 16, axis=0),
                         jnp.sum(p0 & 0xFFFF, axis=0))
@@ -185,47 +199,80 @@ def _build_encode_fn(sig):
             parts.append(jnp.sum((mag > 0).astype(jnp.int32)
                                  .reshape(HW, NL), axis=0))
             dstat = jnp.stack(parts, axis=0)            # (7, NL)
+            if refine:
+                # per-pass reconstruction residuals, exactly the scalar
+                # coder's model, in HALF-sample units so every value is
+                # an integer (rec carries 0.5*2^bp terms): E_x = sum
+                # (2m - 2rec_x)^2; the host divides by 4.  |R| <= 2^24
+                # -> 13-bit halves with 32-element chunks keep every
+                # partial below 2^31.
+                ch2 = min(32, HW)
+                pl_b = pl_v[None]                      # (1, NL)
+                mg = mag.reshape(HW, NL)
+                M = mg << 1
+                vq = mg >> pl_b
+                sig = vq > 0
+                REC_p = jnp.where(sig, (vq << (pl_b + 1)) + (1 << pl_b),
+                                  0)
+                bp = jnp.maximum(pl_b - 1, 0)
+                nsg = ns.reshape(HW, NL) > 0
+                REC_sp = jnp.where(nsg, 3 << bp, REC_p)
+                v1 = mg >> bp
+                REC_mr = jnp.where(sig, (v1 << (bp + 1)) + (1 << bp),
+                                   REC_sp)
+
+                def e_rows(REC):
+                    A = jnp.abs(M - REC)
+                    ahi = A >> 13
+                    alo = A & 8191
+                    rows = []
+                    for x in (ahi * ahi, ahi * alo, alo * alo):
+                        hi, lo = exact_sum(x, ch2)
+                        rows += [hi, lo]
+                    return rows
+
+                for REC in (REC_p, REC_sp, REC_mr):
+                    parts2 = e_rows(REC)
+                    dstat = jnp.concatenate(
+                        [dstat, jnp.stack(parts2, axis=0)], axis=0)
             # ONE stats tensor per launch: each separate D2H pays the
             # relay round-trip (~7 ms measured), so bits + numbps +
-            # dstat ride together as (11, NL)
+            # dstat ride together
             stats = jnp.concatenate(
                 [bits, (numbps * jnp.asarray(vld))[None], dstat], axis=0)
-            results.append((ms_w, mel_w, vlc_w, stats))
+            results.append((ms_w, mel_w, vlc_w, sp_w, mr_w, stats))
         return tuple(results)
 
     return run
 
 
 @lru_cache(maxsize=32)
-def _build_compact_fn(T: int):
+def _build_compact_fn(T: int, refine: bool = False):
     """Phase-C program: per-lane word buffers -> one dense byte stream of
-    T bytes (as T//4 int32 LE words).  Lane k contributes its three
-    CLEAN sub-streams back-to-back (ms | mel | vlc, byte-aligned); the
-    host then stuffs/interleaves them into wire segments with the C
+    T bytes (as T//4 int32 LE words).  Lane k contributes its CLEAN
+    sub-streams back-to-back (ms | mel | vlc [| sp | mr], byte-aligned);
+    the host then stuffs/interleaves them into wire segments with the C
     batch assembler (native.ht_assemble_batch — byte-identical to
-    t1ht.scalar.assemble_cleanup).  Lanes with numbps == 0 contribute
+    t1ht.scalar.assemble_cleanup) and, for refine lanes, the C raw
+    stuffer (native.ht_raw_batch).  Lanes with numbps == 0 contribute
     nothing.  Offsets are recomputed on device from the bit counts, so
     this program needs NO host inputs beyond the buffers."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def compact(ms_w, mel_w, vlc_w, bits, numbps):
+    def compact(bufs, bits, numbps):
         NL = bits.shape[1]
-        msb = (bits[0] + 7) >> 3
-        melb = (bits[1] + 7) >> 3
-        vlcb = (bits[2] + 7) >> 3
+        nbuf = len(bufs)
+        bcnt = [(bits[i] + 7) >> 3 for i in range(nbuf)]
         nzero = numbps > 0
-        seg = jnp.where(nzero, msb + melb + vlcb, 0)
+        seg = jnp.where(nzero, sum(bcnt), 0)
         cum = jnp.cumsum(seg)
         start = cum - seg
         k = jnp.arange(T, dtype=jnp.int32)
         lane = jnp.searchsorted(cum, k, side="right").astype(jnp.int32)
         lane_c = jnp.clip(lane, 0, NL - 1)
         r = k - start[lane_c]
-        msb_l = msb[lane_c]
-        melb_l = melb[lane_c]
-        vlcb_l = vlcb[lane_c]
 
         def word_byte(wbuf, q):
             flat = wbuf.reshape(-1)
@@ -233,13 +280,13 @@ def _build_compact_fn(T: int):
             w = flat[idx]
             return (w >> ((q & 3) * 8)) & 0xFF
 
-        mel_q = r - msb_l
-        vlc_q = r - msb_l - melb_l
-        val = jnp.where(r < msb_l, word_byte(ms_w, jnp.maximum(r, 0)), 0)
-        val = jnp.where((mel_q >= 0) & (mel_q < melb_l),
-                        word_byte(mel_w, jnp.maximum(mel_q, 0)), val)
-        val = jnp.where((vlc_q >= 0) & (vlc_q < vlcb_l),
-                        word_byte(vlc_w, jnp.maximum(vlc_q, 0)), val)
+        val = jnp.zeros((T,), jnp.int32)
+        off = jnp.zeros((NL,), jnp.int32)
+        for i in range(nbuf):
+            q = r - off[lane_c]
+            val = jnp.where((q >= 0) & (q < bcnt[i][lane_c]),
+                            word_byte(bufs[i], jnp.maximum(q, 0)), val)
+            off = off + bcnt[i]
         val = jnp.where(k < cum[NL - 1], val, 0)
         w4 = val.reshape(T // 4, 4)
         words = (w4[:, 0] | (w4[:, 1] << 8) | (w4[:, 2] << 16)
@@ -319,7 +366,9 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
     LMS = _cap_bytes(Wm * Hm * (mbmax + 2) // 8 + 16)
     if LMS > 128 * 32:
         return None
-    LMEL = _cap_bytes(((Wm * Hm // 4) * 6) // 8 + 16)
+    # MEL worst case: 2 sig events + 1 initial-pair u event per quad
+    # pair, <= 6 bits each -> 9 bits/quad
+    LMEL = _cap_bytes(((Wm * Hm // 4) * 9) // 8 + 16)
     LVLC = _cap_bytes(((Wm * Hm // 4) * 15) // 8 + 16)
     # S stays at the kernel's native sublane count (8, or 1 under VMEM
     # pressure): intermediate S values are novel Mosaic shapes that have
@@ -354,9 +403,9 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
     Returns a list of TileEncodeResult (one per frame) or None if the
     config is outside the serving shape."""
     if (params.mesh is not None or params.roi_rect is not None
-            or params.write_ppm or params.fixed_quality or pocs
-            or params.ht_planes):
+            or params.write_ppm or params.fixed_quality or pocs):
         return None
+    P = int(params.ht_planes or 0)
     from grok_tpu.ops.pallas_ht import VLC_HAS_EK, ht_pallas_enabled
     if not ht_pallas_enabled() or VLC_HAS_EK:
         # EMB tables: the device encoder codes eps_k = 0 only — fall
@@ -403,27 +452,35 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
     NL = S * LANES
     B = len(plan.lane_block)
     nlaunch = -(-(N * B) // NL)
+    refine = P > 0
+    nbits = 5 if refine else 3
     sig_n = (N, plan.sig[0], plan.sig[1], plan.sig[2],
-             (Wm, Hm, S, LMS, LMEL, LVLC, nlaunch), plan.sig[4])
+             (Wm, Hm, S, LMS, LMEL, LVLC, nlaunch), plan.sig[4], P)
     fn = _build_encode_fn(sig_n)
     launches = fn(tuple(comps))
 
-    # download the per-lane stats: ONE (11, NL) D2H per launch, all
-    # copies issued before the first blocks (overlapped)
+    # download the per-lane stats: ONE D2H per launch, all copies
+    # issued before the first blocks (overlapped)
     for b in launches:
         try:
-            b[3].copy_to_host_async()
+            b[5].copy_to_host_async()
         except AttributeError:
             pass
-    stats_h = [np.asarray(b[3]) for b in launches]
-    bits_h = [st[0:3] for st in stats_h]
-    nbps_h = [st[3] for st in stats_h]
+    stats_h = [np.asarray(b[5]) for b in launches]
+    bits_h = [st[0:nbits] for st in stats_h]
+    nbps_h = [st[nbits] for st in stats_h]
+    d0 = nbits + 1
+
+    def _split3(d, r0):
+        s1 = d[r0] * 65536.0 + d[r0 + 1]
+        s2 = d[r0 + 2] * 65536.0 + d[r0 + 3]
+        s3 = d[r0 + 4] * 65536.0 + d[r0 + 5]
+        return s1, s2, s3
+
     dist_h = []
     for st in stats_h:
-        d = st[4:11].astype(np.float64)
-        s1 = d[0] * 65536.0 + d[1]
-        s2 = d[2] * 65536.0 + d[3]
-        s3 = d[4] * 65536.0 + d[5]
+        d = st[d0:].astype(np.float64)
+        s1, s2, s3 = _split3(d, 0)
         # sum_sig m^2 - 0.25 * nsig.  Exact in f64 (scalar coder
         # parity) while the true sum fits 53 bits, i.e. while
         # 2*numbps + log2(blk area) <= 53 — always true at the
@@ -433,8 +490,19 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
         # reconstruction and the host's numpy pairwise sum may round
         # differently, so rate-targeted device streams are
         # byte-identical only within it (CLAUDE.md invariant scope).
-        dist_h.append(s1 * 16777216.0 + 2.0 * s2 * 4096.0 + s3
-                      - 0.25 * d[6])
+        d_total = s1 * 16777216.0 + 2.0 * s2 * 4096.0 + s3
+        if not refine:
+            dist_h.append(d_total - 0.25 * d[6])
+            continue
+        # refine: per-pass residual sums E_x in half-sample units
+        # (e1*2^26 + 2*e2*2^13 + e3), d_x = d_total - E_x / 4 — the
+        # scalar coder's exact pass model (same 53-bit f64 scope)
+        row = []
+        for r0 in (7, 13, 19):
+            e1, e2, e3 = _split3(d, r0)
+            E = e1 * 67108864.0 + 2.0 * e2 * 8192.0 + e3
+            row.append(d_total - 0.25 * E)
+        dist_h.append(np.stack(row, axis=0))    # (3, NL)
 
     from grok_tpu import native
     from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
@@ -446,12 +514,14 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
     words_d = []
     for li, (bits, nbps) in enumerate(zip(bits_h, nbps_h)):
         seg_li = np.where(
-            nbps > 0, ((bits[0] + 7) >> 3) + ((bits[1] + 7) >> 3)
-            + ((bits[2] + 7) >> 3), 0)
+            nbps > 0,
+            sum((bits[i] + 7) >> 3 for i in range(nbits)), 0)
         T = max(512, -(-int(seg_li.sum()) // 512) * 512)
-        w = _build_compact_fn(T)(
-            launches[li][0], launches[li][1], launches[li][2],
-            launches[li][3][0:3], launches[li][3][3])
+        bufs = launches[li][0:3] + (launches[li][3], launches[li][4]) \
+            if refine else launches[li][0:3]
+        w = _build_compact_fn(T, refine)(
+            tuple(bufs), launches[li][5][0:nbits],
+            launches[li][5][nbits])
         try:
             w.copy_to_host_async()
         except AttributeError:
@@ -460,10 +530,8 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
 
     encs: list = []
     for li, (bits, nbps) in enumerate(zip(bits_h, nbps_h)):
-        msb = (bits[0] + 7) >> 3
-        melb = (bits[1] + 7) >> 3
-        vlcb = (bits[2] + 7) >> 3
-        seg = np.where(nbps > 0, msb + melb + vlcb, 0)
+        bcnt = [(bits[i] + 7) >> 3 for i in range(nbits)]
+        seg = np.where(nbps > 0, sum(bcnt), 0)
         words = np.asarray(words_d[li])
         byts = words.astype("<u4").view(np.uint8)
         starts = np.cumsum(seg) - seg
@@ -471,8 +539,8 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
         # stuff + interleave the clean streams into wire segments
         pvals = np.where(nbps[:n_here] > 0, 0, -1).astype(np.int32)
         ms_off = starts[:n_here]
-        mel_off = ms_off + msb[:n_here]
-        vlc_off = mel_off + melb[:n_here]
+        mel_off = ms_off + bcnt[0][:n_here]
+        vlc_off = mel_off + bcnt[1][:n_here]
         if native.available():
             res = native.ht_assemble_batch(
                 byts, ms_off, bits[0, :n_here], mel_off, bits[1, :n_here],
@@ -496,7 +564,36 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
                     (bytes(byts[mel_off[lane]:vlc_off[lane]]),
                      int(bits[1, lane])),
                     (bytes(byts[vlc_off[lane]:vlc_off[lane]
-                                + vlcb[lane]]), int(bits[2, lane]))))
+                                + bcnt[2][lane]]), int(bits[2, lane]))))
+        if refine:
+            sp_off = vlc_off + bcnt[2][:n_here]
+            mr_off = sp_off + bcnt[3][:n_here]
+            if native.available():
+                spw, spl = native.ht_raw_batch(byts, sp_off,
+                                               bits[3, :n_here])
+                mrw, mrl = native.ht_raw_batch(byts, mr_off,
+                                               bits[4, :n_here])
+                spp = np.cumsum(spl) - spl
+                mrp = np.cumsum(mrl) - mrl
+                sp_segs = [bytes(spw[int(o):int(o + l)])
+                           for o, l in zip(spp, spl)]
+                mr_segs = [bytes(mrw[int(o):int(o + l)])
+                           for o, l in zip(mrp, mrl)]
+            else:
+                from grok_tpu.t1ht.scalar import _stuff_fwd_lsb
+
+                def raw_wire(b, n):
+                    w_ = _stuff_fwd_lsb(b, n)
+                    if w_ and w_[-1] == 0xFF:
+                        w_.append(0x00)
+                    return bytes(w_)
+
+                sp_segs = [raw_wire(bytes(byts[sp_off[k]:mr_off[k]]),
+                                    int(bits[3, k]))
+                           for k in range(n_here)]
+                mr_segs = [raw_wire(
+                    bytes(byts[mr_off[k]:mr_off[k] + bcnt[4][k]]),
+                    int(bits[4, k])) for k in range(n_here)]
         dl = dist_h[li]
         for lane in range(n_here):
             if nbps[lane] == 0:
@@ -504,10 +601,26 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
                 continue
             data = segs[lane]
             sl = len(data)
+            p_eff = min(P, int(nbps[lane]) - 1) if refine else 0
+            if p_eff > 0:
+                sp_b = sp_segs[lane]
+                mr_b = mr_segs[lane]
+                encs.append(EncodedBlock(
+                    data=data + sp_b + mr_b, numbps=int(nbps[lane]),
+                    passes=[
+                        PassInfo(rate=sl, dist=float(dl[0, lane]),
+                                 term=True),
+                        PassInfo(rate=sl + len(sp_b),
+                                 dist=float(dl[1, lane]), term=True),
+                        PassInfo(rate=sl + len(sp_b) + len(mr_b),
+                                 dist=float(dl[2, lane]), term=True)],
+                    seg_lens=[sl, len(sp_b), len(mr_b)],
+                    seg_passes=[1, 1, 1]))
+                continue
+            dclean = float(dl[0, lane]) if refine else float(dl[lane])
             encs.append(EncodedBlock(
                 data=data, numbps=int(nbps[lane]),
-                passes=[PassInfo(rate=sl, dist=float(dl[lane]),
-                                 term=True)],
+                passes=[PassInfo(rate=sl, dist=dclean, term=True)],
                 seg_lens=[sl], seg_passes=[1]))
 
     # Tier-2 + rate control over the device-coded blocks: the same

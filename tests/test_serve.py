@@ -24,6 +24,44 @@ def _serve_decode(data):
     return decompress_device(data)
 
 
+def test_serving_encode_ht_planes_byte_identical():
+    """ht_planes > 0 stays on the fused serving ENCODE path (REFINE
+    kernel variant + device per-pass distortion stats), byte-identical
+    to the scalar host coder, plain and rate-targeted multi-layer."""
+    from grok_tpu.pipeline import serve_enc
+    taken = []
+    orig = serve_enc.try_encode_serving_batch
+
+    def probe(images, hdr, t, params, pocs):
+        r = orig(images, hdr, t, params, pocs)
+        taken.append(r is not None)
+        return r
+
+    serve_enc.try_encode_serving_batch, saved = probe, orig
+    try:
+        img = synthetic_image(128, 96, 1, seed=3)
+        kw = dict(ht=True, num_resolutions=3, ht_planes=2,
+                  cblk_w_exp=5, cblk_h_exp=5)
+        dev = compress(img, CompressParams(backend="jax", **kw))
+        host = compress(img, CompressParams(backend="scalar", **kw))
+        assert taken == [True] and dev == host
+        taken.clear()
+        rt = compress(img, CompressParams(backend="jax",
+                                          rates=[8.0, 2.0],
+                                          num_layers=2, **kw))
+        rth = compress(img, CompressParams(backend="scalar",
+                                           rates=[8.0, 2.0],
+                                           num_layers=2, **kw))
+        assert taken == [True] and rt == rth
+        out = decompress(dev).components[0].data
+        err = np.abs(out.astype(np.int64) - img.astype(np.int64))
+        # plane-1 truncation: coefficient error <= 3, spread a little
+        # by the inverse DWT (measured max 5 on this image)
+        assert int(err.max()) <= 8 and float(err.mean()) < 2.0
+    finally:
+        serve_enc.try_encode_serving_batch = saved
+
+
 def test_serving_lossless_bit_exact_and_plan_cached():
     from grok_tpu.pipeline import serve
     serve._PLANS.clear()

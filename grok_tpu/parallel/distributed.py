@@ -155,3 +155,132 @@ def compress_distributed(image_or_array, params=None) -> bytes | None:
         if params.write_tlm else None
     mh = _main_header_bytes(hdr, params, tlm)
     return mh + b"".join(tiles_out) + struct.pack(">H", j2k.EOC)
+
+
+def decompress_distributed(data: bytes, dparams=None):
+    """Process-sharded tile DECODE: each process decodes tiles
+    t % nprocs == pid; the decoded component planes gather to process 0,
+    which assembles and postprocesses the full Image (returns None on
+    other processes).  The decode mirror of compress_distributed — the
+    reference's headline direction (BASELINE.json north_star) sharded
+    over processes.
+
+    Single-process this equals api.decompress bit-for-bit (tested).
+    Scope: whole-image decode (reduce / max_layers / strict supported;
+    window, tile_index and component subsets are single-stream features
+    — use decompress()).
+    """
+    import struct
+    from dataclasses import replace
+
+    import jax
+    import numpy as np
+
+    from grok_tpu.api import DecompressParams, _locate_codestream
+    from grok_tpu.codestream import j2k
+    from grok_tpu.codestream.j2k import TileHeader
+    from grok_tpu.pipeline import tile as tile_pipe
+
+    dp = dparams or DecompressParams()
+    if dp.window is not None or dp.tile_index is not None \
+            or dp.components is not None:
+        raise ValueError("distributed decode: window/tile/component "
+                         "subsets are single-stream features: use "
+                         "decompress()")
+    if dp.strict is None:
+        dp = replace(dp, strict=True)
+    pid, nprocs = jax.process_index(), jax.process_count()
+
+    cs, meta = _locate_codestream(data, permissive=not dp.strict)
+    hdr = j2k.read_main_header(cs)
+    parts = j2k.read_tile_parts(cs, hdr, strict=dp.strict)
+    by_tile: dict[int, list] = {}
+    for p in parts:
+        by_tile.setdefault(p.tile_index, []).append(p)
+
+    # local shard: decode owned tiles, serialize (t, per-comp planes)
+    local = bytearray()
+    for t in sorted(by_tile):
+        if t % nprocs != pid:
+            continue
+        th = TileHeader()
+        chunks = []
+        for p in sorted(by_tile[t], key=lambda p: p.part_index):
+            j2k.read_tile_part_header(cs, p, hdr, th)
+            chunks.append(cs[p.data_start:p.data_end])
+        body = b"".join(chunks)
+        geo = tile_pipe.TileGeometry.build(hdr, t, th)
+        comp_arrays = tile_pipe.decode_tile(body, geo, hdr, th, dp)
+        rec = bytearray(struct.pack(">I", t))
+        for c in range(hdr.numcomps):
+            arr = np.ascontiguousarray(comp_arrays[c], np.int32)
+            rec += struct.pack(">II", arr.shape[0], arr.shape[1])
+            rec += arr.tobytes()
+        local += struct.pack(">I", len(rec)) + rec
+
+    gathered = gather_bytes_to_host0(bytes(local))
+    if pid != 0:
+        return None
+
+    # host 0: scatter the gathered planes into the full-image arrays and
+    # finish exactly like api.decompress (origins, DC grid, postproc)
+    g = hdr.siz.normalized()
+    scale = 1 << dp.reduce if dp.reduce else 1
+    out_arrays: list[np.ndarray] = []
+    origins: list[tuple[int, int]] = []
+    for c, ci in enumerate(hdr.comps):
+        x0 = -(-g.xosiz // ci.dx)
+        y0 = -(-g.yosiz // ci.dy)
+        x1 = -(-g.xsiz // ci.dx)
+        y1 = -(-g.ysiz // ci.dy)
+        rx0, ry0 = -(-x0 // scale), -(-y0 // scale)
+        rx1, ry1 = -(-x1 // scale), -(-y1 // scale)
+        out_arrays.append(np.zeros((ry1 - ry0, rx1 - rx0), np.int32))
+        origins.append((rx0, ry0))
+
+    seen = set()
+    for blob in gathered:
+        pos = 0
+        while pos < len(blob):
+            (ln,) = struct.unpack_from(">I", blob, pos)
+            pos += 4
+            rec = blob[pos:pos + ln]
+            pos += ln
+            (t,) = struct.unpack_from(">I", rec, 0)
+            seen.add(t)
+            rpos = 4
+            geo = tile_pipe.TileGeometry.build(hdr, t)
+            for c in range(hdr.numcomps):
+                h, w = struct.unpack_from(">II", rec, rpos)
+                rpos += 8
+                arr = np.frombuffer(rec, np.int32, count=h * w,
+                                    offset=rpos).reshape(h, w)
+                rpos += 4 * h * w
+                nl = geo.styles[c].num_resolutions - 1
+                eff = min(dp.reduce, nl) if dp.reduce else 0
+                rect = geo.comp_rects[c].ceil_scale(1 << eff, 1 << eff)
+                ox, oy = origins[c]
+                out_arrays[c][rect.y0 - oy:rect.y1 - oy,
+                              rect.x0 - ox:rect.x1 - ox] = \
+                    arr[:rect.h, :rect.w]
+    missing = [t for t in sorted(by_tile) if t not in seen]
+    if missing:
+        raise RuntimeError(f"distributed decode lost tiles {missing[:8]}")
+
+    from grok_tpu.core.image import ColorSpace, Component, Image
+    img_x0, img_y0 = -(-g.xosiz // scale), -(-g.yosiz // scale)
+    img_x1, img_y1 = -(-g.xsiz // scale), -(-g.ysiz // scale)
+    comps = []
+    for c, ci in enumerate(hdr.comps):
+        comps.append(Component(data=out_arrays[c], dx=ci.dx * scale,
+                               dy=ci.dy * scale, prec=ci.prec,
+                               sgnd=ci.sgnd))
+    color = meta.color_space if meta is not None else (
+        ColorSpace.GRAY if len(comps) == 1 else ColorSpace.SRGB)
+    img = Image(components=comps, x0=img_x0, y0=img_y0,
+                x1=img_x1, y1=img_y1, color_space=color)
+    if meta is not None:
+        img.icc_profile = meta.icc_profile
+        img.capture_resolution = meta.capture_resolution
+    from grok_tpu.pipeline.postproc import postprocess
+    return postprocess(img, meta, dp)

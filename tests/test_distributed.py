@@ -66,6 +66,16 @@ _WORKER = textwrap.dedent("""
         open(outp, "wb").write(data)
     else:
         assert data is None
+    # process-sharded DECODE of the same stream: both processes decode
+    # their tiles, host 0 assembles; non-host-0 gets None
+    data = gather_bytes_to_host0(data if pid == 0 else b"")[0]
+    from grok_tpu.parallel.distributed import decompress_distributed
+    out = decompress_distributed(data)
+    if pid == 0:
+        import numpy as np
+        np.save(outp + ".npy", out.to_array())
+    else:
+        assert out is None
 """)
 
 
@@ -99,4 +109,33 @@ def test_two_process_jax_distributed(tmp_path):
     img = synthetic_image(200, 168, 1, seed=11)
     cp = CompressParams(tile_w=64, tile_h=64, num_resolutions=3,
                         write_tlm=True)
-    assert outp.read_bytes() == compress(img, cp), outs
+    data = compress(img, cp)
+    assert outp.read_bytes() == data, outs
+    # 2-process sharded decode matches the single-process decoder
+    from grok_tpu import decompress
+    got = np.load(str(outp) + ".npy")
+    assert np.array_equal(got, decompress(data).to_array()), outs
+
+
+def test_decompress_distributed_single_process_matches():
+    from grok_tpu import decompress
+    from grok_tpu.core.params import DecompressParams
+    from grok_tpu.parallel.distributed import decompress_distributed
+    img = synthetic_image(160, 128, 3, seed=2)
+    cp = CompressParams(num_resolutions=3, tile_w=64, tile_h=64)
+    cs = compress(img, cp)
+    assert np.array_equal(decompress_distributed(cs).to_array(),
+                          decompress(cs).to_array())
+    dpr = DecompressParams(reduce=1)
+    assert np.array_equal(decompress_distributed(cs, dpr).to_array(),
+                          decompress(cs, dpr).to_array())
+
+
+def test_decompress_distributed_rejects_subset_modes():
+    import pytest
+    from grok_tpu.core.params import DecompressParams
+    from grok_tpu.parallel.distributed import decompress_distributed
+    cs = compress(synthetic_image(64, 64, 1, seed=1),
+                  CompressParams(num_resolutions=2))
+    with pytest.raises(ValueError):
+        decompress_distributed(cs, DecompressParams(window=(0, 0, 8, 8)))

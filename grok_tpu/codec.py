@@ -32,9 +32,15 @@ class Decompressor:
         img  = dec.decompress()              # everything (one-shot path)
     """
 
-    def __init__(self, data, params: DecompressParams | None = None):
+    def __init__(self, data, params: DecompressParams | None = None,
+                 cache_tiles: int = 16):
         """data: a bytes-like codestream/JP2, or a filesystem path (the
-        file is memory-mapped, not read)."""
+        file is memory-mapped, not read).
+
+        cache_tiles: decoded-tile LRU capacity — bounds peak memory for
+        gigapixel streaming (BASELINE configs[3]); 0 disables caching,
+        None is unbounded (the pre-round-4 behavior)."""
+        self.cache_tiles = cache_tiles
         self.params = params or DecompressParams()
         if self.params.strict is None:
             self.params = replace(self.params, strict=True)
@@ -69,9 +75,11 @@ class Decompressor:
                 self.params.window)
 
     def decompress_tile(self, t: int) -> list[np.ndarray]:
-        """Decode one tile (cached); returns per-component arrays."""
+        """Decode one tile (LRU-cached); returns per-component arrays."""
         key = self._cache_key(t)
         if key in self._cache:
+            # refresh LRU recency
+            self._cache[key] = self._cache.pop(key)
             return self._cache[key]
         if t not in self._by_tile:
             raise j2k.CodestreamError(f"tile {t} not present")
@@ -83,7 +91,24 @@ class Decompressor:
         geo = tile_pipe.TileGeometry.build(self._hdr, t, th)
         out = tile_pipe.decode_tile(b"".join(chunks), geo, self._hdr, th,
                                     self.params)
-        self._cache[key] = out
+        if self._cs is self._mm and hasattr(self._mm, "madvise"):
+            # gigapixel streaming (raw .j2k over mmap): drop the tile's
+            # now-consumed pages so resident set stays bounded by the
+            # LRU cache, not by the codestream size (pages are clean;
+            # re-faulted on a future random access).  JP2 inputs copy
+            # the codestream out of the boxes, so offsets only map when
+            # the codestream IS the mapping.
+            pg = mmap.PAGESIZE
+            for p in self._by_tile[t]:
+                lo = p.data_start // pg * pg
+                ln = min((p.data_end - lo + pg - 1) // pg * pg,
+                         len(self._mm) - lo)
+                self._mm.madvise(mmap.MADV_DONTNEED, lo, ln)
+        if self.cache_tiles is None or self.cache_tiles > 0:
+            while self.cache_tiles is not None \
+                    and len(self._cache) >= self.cache_tiles:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[key] = out
         return out
 
     def decompress(self) -> Image:

@@ -8,6 +8,16 @@ the same discipline as the decoder's staged reads, and for the same
 Mosaic reasons (no lax.cond joins; every traced vector >= 2D; int32
 masks — see CLAUDE.md and ops/pallas_t1.py).
 
+Round 4: the write side is QUAD-PACKED (4 bytes per int32, LE — the
+encode mirror of the decoder's quad staging): the staged window is
+(16, LANES) packed words and a whole renorm's byte traffic (up to 3
+chained byteouts: carry RMW + emit each) rides ONE window span load +
+in-register byte selects + one masked span store, instead of up to 9
+one-hot scans of a 64-row byte window.  Packing also shrinks the
+output buffer and the mid-granule scratch 4x, which is what lets the
+64x64 config run the mid hierarchy inside the 16 MB VMEM budget
+(round 3 measured <128 KB headroom at byte-per-row layout).
+
 Contract matches ops/t1_enc.t1_encode_batch (default code-block style,
 single segment): returns byte buffers + conservative per-pass rate
 watermarks + the significance-type map; the host wrapper reconstructs
@@ -44,7 +54,10 @@ def pallas_t1_encode(mneg, orient, numbps,
     The refined-before test derives from mneg in-kernel
     (msb > bp+1  <=>  mag >= 1 << (bp+2)); the per-position visited
     flag lives in bit 2 of the significance scratch.
-    Returns (out (G, 32, LANES) int32 bytes, lengths (1, LANES),
+    Returns (out (G, 8, LANES) int32 QUAD-PACKED bytes (LE: byte
+             32*g + 4*r + k of lane j at bits [8k, 8k+8) of
+             out[g, r, j] — unpack with unpack_out_bytes),
+             lengths (1, LANES),
              rates (R8, LANES) watermarks [R8 = 3*maxbp padded to 8],
              sigtype (H, W, LANES) int32).
     """
@@ -60,11 +73,10 @@ def pallas_t1_encode(mneg, orient, numbps,
     # O(G) full-buffer restage runs once per KG-column group through a
     # MIDG-granule mid scratch; per-column restages touch mid only.
     # Coverage: KG * 26 B worst emission + 31 B skew + 64 B window must
-    # fit 32*MIDG.  The 64x64 config has < 128 KB of scoped-VMEM
-    # headroom (measured OOM with even MIDG=8), so it keeps the legacy
-    # direct restage; smaller blocks get the hierarchy.
-    USE_MID = H * W < 64 * 64
-    MIDG = 16 if USE_MID else 1
+    # fit 32*MIDG = 512 B.  Quad-packing (round 4) shrank out+mid 4x,
+    # so the hierarchy now fits every block size up to 64x64.
+    USE_MID = True
+    MIDG = 16
     NC = n_stripes * W
     KG = 8
     while NC % KG:
@@ -76,38 +88,39 @@ def pallas_t1_encode(mneg, orient, numbps,
         ori = ori_ref[...]
         nbps = nbps_ref[...]
 
-        out_ref[...] = jnp.zeros((G, 32, LANES), jnp.int32)
+        out_ref[...] = jnp.zeros((G, 8, LANES), jnp.int32)
         rates_ref[...] = jnp.zeros((R8, LANES), jnp.int32)
         sigtype_ref[...] = jnp.zeros((H, W, LANES), jnp.int32)
         sig_ref[...] = jnp.zeros((H + 2, W + 2, LANES), jnp.int32)
-        stage_ref[...] = jnp.zeros((64, LANES), jnp.int32)
+        stage_ref[...] = jnp.zeros((16, LANES), jnp.int32)
         base_ref[...] = jnp.zeros((1, LANES), jnp.int32)
-        mid_ref[...] = jnp.zeros((MIDG, 32, LANES), jnp.int32)
+        mid_ref[...] = jnp.zeros((MIDG, 8, LANES), jnp.int32)
         mba_ref[...] = jnp.zeros((1, LANES), jnp.int32)
 
         giota = jax.lax.broadcasted_iota(jnp.int32, (G, 1, 1), 0)
         miota = jax.lax.broadcasted_iota(jnp.int32, (MIDG, 1, 1), 0)
-        siota = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
+        siota = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
         tiota = jax.lax.broadcasted_iota(jnp.int32, (47, 1), 0)
         riota = jax.lax.broadcasted_iota(jnp.int32, (R8, 1), 0)
         wiota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
         wiota2 = jax.lax.broadcasted_iota(jnp.int32, (W + 2, 1), 0)
 
         # -- staged output window + mid hierarchy --------------------------
-        # stage_ref holds bytes [base, base+64) for every lane; the
-        # per-column restage() scatters into / reloads from the MIDG-
-        # granule mid scratch (O(MIDG)); mid retires into the full
-        # buffer and re-centers once per KG-column group (O(G)).  MQ
-        # carries mutate already-emitted bytes, so mid->full is a
-        # REPLACE (not the HT encoder's append-only OR) — mid always
-        # holds the authoritative content of its granules.
+        # stage_ref holds bytes [base, base+64) for every lane as 16
+        # quad-packed words; the per-column restage() scatters into /
+        # reloads from the MIDG-granule mid scratch (O(MIDG)); mid
+        # retires into the full buffer and re-centers once per
+        # KG-column group (O(G)).  MQ carries mutate already-emitted
+        # bytes, so mid->full is a REPLACE (not the HT encoder's
+        # append-only OR) — mid always holds the authoritative content
+        # of its granules.
         def win_to_mid():
             rel = (base_ref[...] >> 5) - (mba_ref[...] >> 5)
             d = mid_ref[...]
             sel0 = (miota == rel[None, :, :]).astype(jnp.int32)
             sel1 = (miota == (rel + 1)[None, :, :]).astype(jnp.int32)
-            d = jnp.where(sel0 == 1, stage_ref[0:32, :][None], d)
-            d = jnp.where(sel1 == 1, stage_ref[32:64, :][None], d)
+            d = jnp.where(sel0 == 1, stage_ref[0:8, :][None], d)
+            d = jnp.where(sel1 == 1, stage_ref[8:16, :][None], d)
             mid_ref[...] = d
 
         def win_from_mid(bp):
@@ -146,8 +159,8 @@ def pallas_t1_encode(mneg, orient, numbps,
             sel0 = (giota == g_old[None, :, :]).astype(jnp.int32)
             sel1 = (giota == (g_old + 1)[None, :, :]).astype(jnp.int32)
             d = out_ref[...]
-            d = jnp.where(sel0 == 1, stage_ref[0:32, :][None], d)
-            d = jnp.where(sel1 == 1, stage_ref[32:64, :][None], d)
+            d = jnp.where(sel0 == 1, stage_ref[0:8, :][None], d)
+            d = jnp.where(sel1 == 1, stage_ref[8:16, :][None], d)
             out_ref[...] = d
             g_new = bp >> 5
             s0 = (giota == g_new[None, :, :]).astype(jnp.int32)
@@ -175,22 +188,60 @@ def pallas_t1_encode(mneg, orient, numbps,
             win_from_mid(bp)
 
         def out_get(bp):
-            sel = (siota == (bp - base_ref[...])).astype(jnp.int32)
-            return jnp.sum(stage_ref[...] * sel, axis=0, keepdims=True)
+            r = (bp - base_ref[...]) >> 2
+            sel = (siota == r).astype(jnp.int32)
+            w = jnp.sum(stage_ref[...] * sel, axis=0, keepdims=True)
+            return jax.lax.shift_right_logical(w, (bp & 3) << 3) & 0xFF
 
-        def out_set(bp, val, m):
-            sel = (siota == (bp - base_ref[...])) & m
-            stage_ref[...] = jnp.where(sel, val, stage_ref[...])
+        # -- span window traffic (round 4) ----------------------------------
+        # One renorm touches bytes [bp0, bp0+3] only (3 chained
+        # byteouts: carry RMW at bp then emit at bp+1 each).  Load that
+        # span as one int32 (two adjacent packed rows, per-lane
+        # aligned), mutate it in-register, store it back once — the
+        # encode mirror of the decoder's bytein_w quad reads.
+        def span_load(bp0):
+            r0 = (bp0 - base_ref[...]) >> 2
+            st = stage_ref[...]
+            sel0 = (siota == r0).astype(jnp.int32)
+            sel1 = (siota == (r0 + 1)).astype(jnp.int32)
+            w0 = jnp.sum(st * sel0, axis=0, keepdims=True)
+            w1 = jnp.sum(st * sel1, axis=0, keepdims=True)
+            sh = (bp0 & 3) << 3
+            lo = jax.lax.shift_right_logical(w0, sh)
+            hi = jnp.where(sh == 0, 0,
+                           jnp.left_shift(w1, (32 - sh) & 31))
+            return lo | hi
+
+        def span_store(bp0, span):
+            r0 = (bp0 - base_ref[...]) >> 2
+            sh = (bp0 & 3) << 3
+            ones = jnp.full_like(sh, -1)
+            st = stage_ref[...]
+            m0 = jnp.left_shift(ones, sh)
+            new0 = jnp.left_shift(span, sh)
+            sel0 = siota == r0
+            st = jnp.where(sel0, (st & ~m0) | (new0 & m0), st)
+            shr = (32 - sh) & 31
+            m1 = jnp.where(sh == 0, 0,
+                           jax.lax.shift_right_logical(ones, shr))
+            new1 = jax.lax.shift_right_logical(span, shr)
+            sel1 = siota == (r0 + 1)
+            st = jnp.where(sel1, (st & ~m1) | (new1 & m1), st)
+            stage_ref[...] = st
 
         # -- MQ encoder (C.2.5/6/8), all (1, LANES) int32 ------------------
-        def byteout(st, m):
+        def byteout_span(st, m, span, bp0):
             a, c, ct, bp = st
-            cur = out_get(bp)
+            sh = (bp - bp0) << 3
+            cur = jax.lax.shift_right_logical(span, sh) & 0xFF
             is_ff = (cur == 0xFF).astype(jnp.int32)
             nocarry = (c < 0x8000000).astype(jnp.int32)
             mi = m.astype(jnp.int32)
             carry = mi * (1 - is_ff) * (1 - nocarry)
-            out_set(bp, cur + 1, carry == 1)
+            # carry RMW: cur != 0xFF here, so +1 never crosses a byte
+            span = jnp.where(carry == 1,
+                             span + jnp.left_shift(jnp.ones_like(sh), sh),
+                             span)
             cur2 = jnp.where(carry == 1, cur + 1, cur)
             now_ff = (cur2 == 0xFF).astype(jnp.int32)
             emit7 = mi * jnp.where(
@@ -199,12 +250,16 @@ def pallas_t1_encode(mneg, orient, numbps,
                 (mi * (1 - is_ff) * (1 - nocarry) * now_ff) == 1,
                 c & 0x7FFFFFF, c)
             bp2 = jnp.where(mi == 1, bp + 1, bp)
-            val = jnp.where(emit7 == 1, c_pre >> 20, c_pre >> 19)
-            out_set(bp2, val & 0xFF, m)
+            val = jnp.where(emit7 == 1, c_pre >> 20, c_pre >> 19) & 0xFF
+            sh2 = (bp2 - bp0) << 3
+            wm = jnp.left_shift(jnp.full_like(sh2, 0xFF), sh2)
+            span = jnp.where(mi == 1,
+                             (span & ~wm) | jnp.left_shift(val, sh2),
+                             span)
             c2 = jnp.where(emit7 == 1, c_pre & 0xFFFFF, c_pre & 0x7FFFF)
             c3 = jnp.where(mi == 1, c2, c)
             ct3 = jnp.where(mi == 1, jnp.where(emit7 == 1, 7, 8), ct)
-            return (a, c3, ct3, bp2)
+            return (a, c3, ct3, bp2), span
 
         def nbits_to_msb(a):
             n = jnp.zeros_like(a)
@@ -220,6 +275,8 @@ def pallas_t1_encode(mneg, orient, numbps,
 
         def enc_renorm(st, need):
             a, c, ct, bp = st
+            bp0 = bp
+            span = span_load(bp0)
             n = jnp.where(need, nbits_to_msb(a), 0)
             for _ in range(3):
                 m = (n > 0).astype(jnp.int32)
@@ -229,7 +286,9 @@ def pallas_t1_encode(mneg, orient, numbps,
                 ct = ct - s
                 n = n - s
                 fire = (m == 1) & (ct == 0)
-                a, c, ct, bp = byteout((a, c, ct, bp), fire)
+                (a, c, ct, bp), span = byteout_span((a, c, ct, bp),
+                                                    fire, span, bp0)
+            span_store(bp0, span)
             return (a, c, ct, bp)
 
         def mq_encode(mqs, d, cx, active):
@@ -518,19 +577,19 @@ def pallas_t1_encode(mneg, orient, numbps,
         c1 = c | 0xFFFF
         c1 = jnp.where(c1 >= tempc, c1 - 0x8000, c1)
         c1 = jnp.where(active, c1, c)
+        bp0 = bp
+        span = span_load(bp0)
         st = (a, (c1 << ct) & 0xFFFFFFF, ct, bp)
-        st = byteout(st, active)
+        st, span = byteout_span(st, active, span, bp0)
         a, c2, ct2, bp2 = st
         st = (a, (c2 << ct2) & 0xFFFFFFF, ct2, bp2)
-        st = byteout(st, active)
+        st, span = byteout_span(st, active, span, bp0)
         a, c3, ct3, bp3 = st
+        span_store(bp0, span)
         last = out_get(bp3)
         bp4 = jnp.where(active & (last != 0xFF), bp3 + 1, bp3)
-        if USE_MID:
-            win_to_mid()
-            mid_to_full()             # final flush: window -> mid -> full
-        else:
-            restage_direct(bp4)
+        win_to_mid()
+        mid_to_full()                 # final flush: window -> mid -> full
         len_ref[...] = jnp.maximum(bp4 - 1, 0)
 
     from jax.experimental import pallas as pl
@@ -538,7 +597,7 @@ def pallas_t1_encode(mneg, orient, numbps,
 
     out = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((G, 32, LANES), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((G, 8, LANES), jnp.int32),
                    jax.ShapeDtypeStruct((1, LANES), jnp.int32),
                    jax.ShapeDtypeStruct((R8, LANES), jnp.int32),
                    jax.ShapeDtypeStruct((H, W, LANES), jnp.int32)),
@@ -547,9 +606,9 @@ def pallas_t1_encode(mneg, orient, numbps,
                         for _ in range(4)),
         scratch_shapes=[
             pltpu.VMEM((H + 2, W + 2, LANES), jnp.int32),
-            pltpu.VMEM((64, LANES), jnp.int32),
+            pltpu.VMEM((16, LANES), jnp.int32),          # packed window
             pltpu.VMEM((1, LANES), jnp.int32),
-            pltpu.VMEM((MIDG, 32, LANES), jnp.int32),    # write mid
+            pltpu.VMEM((MIDG, 8, LANES), jnp.int32),     # write mid
             pltpu.VMEM((1, LANES), jnp.int32),           # mid base
         ],
         interpret=interpret,
@@ -582,6 +641,15 @@ def pack_for_pallas_enc(blocks: list[dict]):
     # falls back to the XLA path if any lane comes within 64 bytes of L
     L = max(96, -(-(H * W + H * W // 8 + 256) // 32) * 32)
     return mneg, ori, nbps, W, H, maxbp, L
+
+
+def unpack_out_bytes(out: np.ndarray, lane: int, total: int) -> bytes:
+    """Lane `lane`'s codeword bytes from the kernel's quad-packed
+    output (G, 8, LANES): LE words -> bytes, skipping the index-0
+    carry sentinel."""
+    words = np.ascontiguousarray(out[:, :, lane].reshape(-1)
+                                 .astype("<i4"))
+    return words.tobytes()[1:1 + total]
 
 
 def encode_bucket_pallas(blocks: list[dict]) -> list:
@@ -618,8 +686,7 @@ def encode_bucket_pallas(blocks: list[dict]) -> list:
             results.append(EncodedBlock())
             continue
         total = int(lens[0, j])
-        data = out[:, :, j].reshape(-1)[1:1 + total] \
-            .astype(np.uint8).tobytes()
+        data = unpack_out_bytes(out, j, total)
         sched = pass_schedule(numbps)
         npasses = len(sched)
         dists = _pass_distortions(np.asarray(b["mag"], np.int64),

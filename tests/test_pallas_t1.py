@@ -6,11 +6,11 @@ bit-exact there since the all-2D layout rework).
 
 The DEFAULT suite runs one tiny DECODE config (8x8 blocks, 2-3
 bitplanes, plain + every mode-switch family in a single launch, ~2 min
-of interpret-mode execution) so the MQ decode kernel is never
-skip-only in plain `pytest tests/ -q`.  The ENCODE kernel's interpret
-execution is >9 min even at this size (per-pass or_bits staging), so
-it stays gated behind GROK_RUN_PALLAS_TESTS with the larger sweeps;
-its Mosaic path is exercised on hardware (tools/hw_validate.py).
+of interpret-mode execution) AND one tiny ENCODE config (8x8, 2
+bitplanes, ~80 s since the round-4 quad-packed span writes) so neither
+MQ kernel is skip-only in plain `pytest tests/ -q`.  The larger sweeps
+stay gated behind GROK_RUN_PALLAS_TESTS; the Mosaic paths are
+exercised on hardware (tools/hw_validate.py).
 """
 
 import os
@@ -74,6 +74,37 @@ def test_pallas_interpret_bit_exact(seed):
         assert np.array_equal(neg[m > 0], n[m > 0]), f"lane {j} sign"
 
 
+def test_pallas_mq_enc_tiny_default_suite():
+    """Default-suite coverage of the MQ ENCODE kernel (round 4): one
+    tiny interpret launch, 8x8 / 2 bitplanes / 3 lanes — ~80 s since
+    the quad-packed span writes (the old per-byteout window scans made
+    even this size a >9 min trace, which is why it used to be gated)."""
+    import jax.numpy as jnp
+
+    from grok_tpu.ops.pallas_t1_enc import (pack_for_pallas_enc,
+                                            pallas_t1_encode,
+                                            unpack_out_bytes)
+    rng = np.random.default_rng(1)
+    blocks, refs = [], []
+    for i in range(3):
+        mag = np.abs(rng.normal(0, 1.0, (8, 8))).astype(np.int64)
+        mag[rng.random((8, 8)) < 0.5] = 0
+        mag[0, 0] = max(int(mag[0, 0]), 2)
+        neg = rng.random((8, 8)) < 0.5
+        blocks.append(dict(mag=mag, neg=neg, orient=i % 4, style=0))
+        refs.append(encode_block(mag, neg, i % 4, 0))
+    mneg, ori, nbps, W, H, maxbp, L = pack_for_pallas_enc(blocks)
+    assert maxbp == 2, "keep this config tiny (trace time scales in bp)"
+    out, lens, rates, sigtype = pallas_t1_encode(
+        jnp.asarray(mneg), jnp.asarray(ori), jnp.asarray(nbps),
+        W, H, maxbp, L, True)
+    out = np.asarray(out)
+    lens = np.asarray(lens)
+    for j, ref in enumerate(refs):
+        got = unpack_out_bytes(out, j, int(lens[0, j]))
+        assert got == ref.data, f"lane {j}"
+
+
 @_gated
 @pytest.mark.parametrize("seed", [0])
 def test_pallas_encoder_interpret_bit_exact(seed):
@@ -96,8 +127,8 @@ def test_pallas_encoder_interpret_bit_exact(seed):
     out = np.asarray(out)
     lens = np.asarray(lens)
     for j, ref in enumerate(refs):
-        got = out[:, :, j].reshape(-1)[1:1 + lens[0, j]] \
-            .astype(np.uint8).tobytes()
+        from grok_tpu.ops.pallas_t1_enc import unpack_out_bytes
+        got = unpack_out_bytes(out, j, int(lens[0, j]))
         assert got == ref.data, f"lane {j}"
 
 

@@ -1,4 +1,7 @@
 import os, sys, time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 import numpy as np
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

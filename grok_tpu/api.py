@@ -57,7 +57,7 @@ def _build_main_header(image: Image, params: CompressParams) -> MainHeader:
     if params.prec_w_exps:
         prec_exps = list(zip(params.prec_w_exps, params.prec_h_exps))
     cblk_style = params.cblk_style
-    if params.ht:
+    if params.ht or params.ht_mixed:
         from grok_tpu.core.params import CBLK_HT
         cblk_style |= CBLK_HT
     cs = CodingStyleComp(num_resolutions=params.num_resolutions,
@@ -71,11 +71,12 @@ def _build_main_header(image: Image, params: CompressParams) -> MainHeader:
                       sop=params.sop, eph=params.eph, comp=cs)
 
     hdr = MainHeader(siz=siz, rsiz=int(params.rsiz), comps=comps, cod=cod)
-    if params.ht:
+    if params.ht or params.ht_mixed:
         # CAP (A.5.2 / ISO 15444-15): Pcap bit for Part 15 capabilities
-        # + one Ccap15 entry (0 = HT-only code-blocks, defaults);
+        # + one Ccap15 entry (0 = HT-only code-blocks, defaults; bit 5
+        # = HT and Part-1 code-blocks MIXED in the same tile);
         # Rsiz bit 14 signals CAP-extended capabilities
-        hdr.cap = (1 << (32 - 15), [0])
+        hdr.cap = (1 << (32 - 15), [0x20 if params.ht_mixed else 0])
         hdr.rsiz |= 0x4000
     if mct_mode == MCTMode.CUSTOM:
         hdr.custom_mct = np.asarray(params.custom_mct, dtype=float)
@@ -211,13 +212,15 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
                                         quality_targets=quality_targets,
                                         split_headers=params.write_ppm,
                                         mesh=params.mesh,
-                                        ht_planes=params.ht_planes)
+                                        ht_planes=params.ht_planes,
+                                        ht_mixed=params.ht_mixed)
         if params.write_ppm:
             ppm_chunks.append(res.headers)
         nparts = max(1, min(params.max_tile_parts, len(res.packets) or 1))
         if nparts == 1:
             plt_seg = j2k.write_plt(res.packet_lens) if params.write_plt \
                 else b""
+            plt_seg = res.com + plt_seg
             psot = 12 + len(plt_seg) + 2 + len(res.body)
             tp = j2k.write_sot(t, psot, 0, 1) + plt_seg + \
                 struct.pack(">H", j2k.SOD) + res.body
@@ -234,6 +237,8 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
                 bodyp = b"".join(pkts)
                 plt_seg = j2k.write_plt(lens, zplt=pi) if params.write_plt \
                     else b""
+                if pi == 0:          # tile-header markers in part 0 only
+                    plt_seg = res.com + plt_seg
                 psot = 12 + len(plt_seg) + 2 + len(bodyp)
                 tp = j2k.write_sot(t, psot, pi, nparts) + plt_seg + \
                     struct.pack(">H", j2k.SOD) + bodyp

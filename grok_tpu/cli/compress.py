@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-HT", "--htj2k", action="store_true",
                    help="HTJ2K (Part 15) block coder — experimental "
                         "self-consistent tables, see t1ht docs")
+    p.add_argument("--ht-mixed", action="store_true",
+                   help="HT MIXED sets: per code-block the smaller of "
+                        "the HT and Part-1 MQ streams (density <= pure "
+                        "MQ; per-block choice in a COM bitmap)")
     p.add_argument("-S", "--sop", action="store_true", help="SOP markers")
     p.add_argument("-E", "--eph", action="store_true", help="EPH markers")
     p.add_argument("-R", "--roi", help="ROI: comp,shift (Maxshift)")
@@ -89,6 +93,7 @@ def params_from_args(a) -> CompressParams:
     params.irreversible = a.irreversible
     params.cblk_style = a.mode
     params.ht = a.htj2k
+    params.ht_mixed = a.ht_mixed
     params.sop = a.sop
     params.eph = a.eph
     params.num_guard_bits = a.guard_bits

@@ -300,9 +300,11 @@ class Compressor:
                                         backend=self.params.backend,
                                         pocs=self._hdr.pocs,
                                         mesh=self.params.mesh,
-                                        ht_planes=self.params.ht_planes)
+                                        ht_planes=self.params.ht_planes,
+                                        ht_mixed=self.params.ht_mixed)
         plt_seg = j2k.write_plt(res.packet_lens) if self.params.write_plt \
             else b""
+        plt_seg = res.com + plt_seg
         psot = 12 + len(plt_seg) + 2 + len(res.body)
         tp = j2k.write_sot(t, psot, 0, 1) + plt_seg + \
             struct.pack(">H", j2k.SOD) + res.body

@@ -180,6 +180,22 @@ class TileHeader:
     pocs: list[Poc] = field(default_factory=list)
     ppt: bytes | None = None
     plt: list[int] = field(default_factory=list)
+    comments: list[tuple[int, bytes]] = field(default_factory=list)
+
+    def ht_mixed_bitmap(self) -> bytes | None:
+        """Per-block coder bitmap of the HT MIXED extension (round 4):
+        a binary COM 'GRKTPU_HTMIX=<bitmap>' in the tile-part header;
+        bit i (LSB-first within bytes) of the canonical block
+        enumeration (comp, res, band, precinct, cblk — tile.py
+        canon_block_indices) selects the HT coder for that block, else
+        Part-1 MQ.  Standard readers skip the COM.  Mirrors the
+        reference's mixed HT set support [grok: HTJ2K mixed code-block
+        styles] with our extension signaling (CAP Ccap15 bit 5 is also
+        set; see docs/WIRE_AUDIT.md)."""
+        for _reg, data in self.comments:
+            if data.startswith(b"GRKTPU_HTMIX="):
+                return data[13:]
+        return None
 
 
 # -- segment writers ----------------------------------------------------------
@@ -777,5 +793,8 @@ def read_tile_part_header(data: bytes, part: TilePartInfo, hdr: MainHeader,
             th.ppt = (th.ppt or b"") + seg.take(seg.remaining)
         elif marker == PLT:
             th.plt += _read_plt(seg, ln - 2)
-        # COM, unknown: skip
+        elif marker == COM:
+            reg = seg.u16()
+            th.comments.append((reg, seg.take(seg.remaining)))
+        # unknown: skip
     return th

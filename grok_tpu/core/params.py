@@ -114,6 +114,20 @@ class CompressParams:
                                 # Host coder path (the fused device
                                 # encoder declines; its kernel codes
                                 # cleanup-only).
+    ht_mixed: bool = False      # HT MIXED sets (round 4): code every
+                                # block with BOTH coders and keep the
+                                # smaller — HT's raw MagSgn padding is
+                                # structural (docs/PERF.md entropy
+                                # decomposition), so density-critical
+                                # users get <= Part-1 stream size while
+                                # HT-favorable blocks stay on the fast
+                                # coder.  Per-block choice rides a
+                                # binary COM bitmap (j2k.TileHeader
+                                # .ht_mixed_bitmap); CAP Ccap15 bit 5
+                                # signals mixed.  Host encode path (the
+                                # serving encoder/decoder decline mixed
+                                # streams; general device decode
+                                # dispatches both kernels).
     # container
     jp2: bool = False           # wrap codestream in JP2 boxes
     # execution backend for the block coder: "auto" (native C if built,
@@ -142,10 +156,14 @@ class CompressParams:
             raise ValueError("need a precinct exponent per resolution")
         if not (0 <= self.num_guard_bits <= 7):
             raise ValueError("guard bits must be in [0, 7]")
-        if self.ht and self.cblk_style & ~CBLK_HT:
+        if (self.ht or self.ht_mixed) and self.cblk_style & ~CBLK_HT:
             raise ValueError(
                 "HTJ2K is a distinct block coder: Part-1 mode switches "
                 "(BYPASS/RESET/TERMALL/VSC/PTERM/SEGSYM) do not apply")
+        if self.ht_mixed and self.ht_planes:
+            raise ValueError(
+                "ht_mixed compares single-segment streams; the "
+                "ht_planes refinement extension is HT-only")
 
 
 @dataclass

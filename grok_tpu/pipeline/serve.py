@@ -89,6 +89,8 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
     geo = TileGeometry.build(hdr, t, th)
     if geo.rgn or geo.custom_mct is not None:
         return None
+    if th is not None and th.ht_mixed_bitmap() is not None:
+        return None       # mixed HT/MQ blocks: general path dispatches
     if all(cs.cblk_style == CBLK_HT for cs in geo.styles):
         coder = "ht"
     elif all(cs.cblk_style == 0 for cs in geo.styles):

@@ -403,7 +403,11 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
     Returns a list of TileEncodeResult (one per frame) or None if the
     config is outside the serving shape."""
     if (params.mesh is not None or params.roi_rect is not None
-            or params.write_ppm or params.fixed_quality or pocs):
+            or params.write_ppm or params.fixed_quality or pocs
+            or getattr(params, "ht_mixed", False)):
+        # ht_mixed codes every block with BOTH coders and compares —
+        # a host-path feature by design (general device decode still
+        # dispatches both kernels on the result)
         return None
     P = int(params.ht_planes or 0)
     from grok_tpu.ops.pallas_ht import VLC_HAS_EK, ht_pallas_enabled

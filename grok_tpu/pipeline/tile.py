@@ -88,10 +88,16 @@ class TileGeometry:
                             subsampling=subs, rgn=rgn,
                             custom_mct=hdr.custom_mct)
 
-    def make_contexts(self) -> dict[tuple[int, int, int], PrecinctCtx]:
+    def make_contexts(self, seg_style_mask: int = -1) \
+            -> dict[tuple[int, int, int], PrecinctCtx]:
+        """seg_style_mask: AND-mask on the T2 segmentation style.  HT
+        MIXED streams pass ~CBLK_HT: their HT blocks are single-pass
+        cleanup whose packet-header wire equals the default Part-1
+        single-segment rule, so T2 parses/emits every block with MQ
+        segmentation while the per-block COM bitmap routes T1."""
         ctxs: dict[tuple[int, int, int], PrecinctCtx] = {}
         for c, tcg in enumerate(self.tcgs):
-            style = self.styles[c].cblk_style
+            style = self.styles[c].cblk_style & seg_style_mask
             for rg in tcg.resolutions:
                 for p in range(rg.num_precincts):
                     bands = [(bg.orient, bg.precincts[p]) for bg in rg.bands]
@@ -110,6 +116,8 @@ class TileEncodeResult:
     body: bytes                      # concatenated packets
     dist_total: float = 0.0
     headers: bytes = b""             # packed headers (PPM mode only)
+    com: bytes = b""                 # tile-header COM segments (HT MIXED
+                                     # per-block coder bitmap, round 4)
 
 
 def _resolve_backend(backend: str) -> str:
@@ -233,6 +241,24 @@ def apply_roi_shift_decode(mag2: np.ndarray, shift: int) -> np.ndarray:
     return np.where(is_roi, mag2 >> shift, mag2)
 
 
+def canon_block_indices(geo: "TileGeometry") -> dict[tuple, int]:
+    """Canonical flat index of every code-block in the tile: nested
+    (component, resolution, band, precinct, cblk) enumeration over the
+    FULL geometry — independent of reduce/window —, shared by the HT
+    MIXED bitmap writer and reader (j2k.TileHeader.ht_mixed_bitmap).
+    Key: (c, r, band_i, p, cblk_i)."""
+    idx: dict[tuple, int] = {}
+    n = 0
+    for c, tcg in enumerate(geo.tcgs):
+        for rg in tcg.resolutions:
+            for band_i, bg in enumerate(rg.bands):
+                for p in range(rg.num_precincts):
+                    for cblk_i in range(len(bg.precincts[p].cblks)):
+                        idx[(c, rg.r, band_i, p, cblk_i)] = n
+                        n += 1
+    return idx
+
+
 def encode_tile(image: Image, geo: TileGeometry,
                 layer_targets: list[float | None],
                 mct_norms: np.ndarray | None = None,
@@ -241,7 +267,8 @@ def encode_tile(image: Image, geo: TileGeometry,
                 pocs: list | None = None,
                 quality_targets: list | None = None,
                 split_headers: bool = False,
-                mesh=None, ht_planes: int = 0) -> TileEncodeResult:
+                mesh=None, ht_planes: int = 0,
+                ht_mixed: bool = False) -> TileEncodeResult:
     """Full encode of one tile; layer_targets are cumulative byte budgets
     per layer for this tile (None = all remaining passes).  backend="jax"
     runs default-style blocks through the batched device encoder.
@@ -358,9 +385,42 @@ def encode_tile(image: Image, geo: TileGeometry,
                 encs[i] = encode_block(j["mag"], j["neg"], j["orient"],
                                        j["style"])
 
-    return finish_tile_encode(geo, ejobs, encs, layer_targets,
-                              quality_targets=quality_targets, pocs=pocs,
-                              split_headers=split_headers, mesh=mesh)
+    com = b""
+    if ht_mixed:
+        # HT MIXED sets: every block also coded with the Part-1 MQ
+        # coder; the smaller stream wins (total <= pure-MQ and <=
+        # pure-HT up to the ~1 bit/block bitmap).  Choice rides a
+        # binary COM bitmap in the tile-part header (canonical block
+        # order); Ccap15 bit 5 is set by the main header writer.
+        # Reference parity: mixed HT sets [grok: HTJ2K mixed
+        # code-block styles] (SURVEY §2 row 8).
+        with trace("t1_encode_mq_mixed", backend=backend):
+            mq_jobs = [dict(j, style=0) for j in ejobs]
+            if backend in ("native", "jax") and _native.available():
+                mq_encs = _native.encode_tile_blocks(mq_jobs)
+            else:
+                mq_encs = [encode_block(j["mag"], j["neg"], j["orient"],
+                                        0) for j in mq_jobs]
+        canon = canon_block_indices(geo)
+        bitmap = bytearray((len(canon) + 7) // 8)
+        for i, j in enumerate(ejobs):
+            c, r, p, band_i, cblk_i = j["key"]
+            ci = canon[(c, r, band_i, p, cblk_i)]
+            if len(encs[i].data) <= len(mq_encs[i].data):
+                bitmap[ci >> 3] |= 1 << (ci & 7)     # HT block
+            else:
+                encs[i] = mq_encs[i]
+                j["style"] = 0
+        from grok_tpu.codestream import j2k as _j2k
+        com = _j2k.write_com(b"GRKTPU_HTMIX=" + bytes(bitmap),
+                             binary=True)
+
+    res = finish_tile_encode(geo, ejobs, encs, layer_targets,
+                             quality_targets=quality_targets, pocs=pocs,
+                             split_headers=split_headers, mesh=mesh,
+                             seg_style_mask=~CBLK_HT if ht_mixed else -1)
+    res.com = com
+    return res
 
 
 def finish_tile_encode(geo: TileGeometry, ejobs: list[dict], encs: list,
@@ -368,7 +428,8 @@ def finish_tile_encode(geo: TileGeometry, ejobs: list[dict], encs: list,
                        quality_targets: list | None = None,
                        pocs: list | None = None,
                        split_headers: bool = False,
-                       mesh=None) -> TileEncodeResult:
+                       mesh=None,
+                       seg_style_mask: int = -1) -> TileEncodeResult:
     """Rate allocation + Tier-2 emission over already-coded blocks:
     the host half of "device does the bitplane math, host does the
     bytes".  ejobs need only key/weight/mb per block; encs are the
@@ -376,7 +437,7 @@ def finish_tile_encode(geo: TileGeometry, ejobs: list[dict], encs: list,
     directly, pipeline/serve_enc.py).  Runs PCRD (byte or quality
     targets), the prepared C emitter when available, and the PPM
     header-split mode, exactly as the host encoder does."""
-    ctxs = geo.make_contexts()
+    ctxs = geo.make_contexts(seg_style_mask)
     num_layers = geo.cod.num_layers
     # the serving hot shape — one layer, no byte/quality target — needs
     # no rate allocation at all: every pass ships.  Skip the per-block
@@ -487,7 +548,7 @@ def finish_tile_encode(geo: TileGeometry, ejobs: list[dict], encs: list,
             pkts = emit_prep(layer_cum, nlayers)
             if pkts is not None:
                 return sum(len(p) for p in pkts)
-        cs = geo.make_contexts()
+        cs = geo.make_contexts(seg_style_mask)
         for i, key in enumerate(entry_keys):
             c, r, p, band_i, cblk_i = key
             src = ctxs[(c, r, p)].eblocks[band_i][cblk_i]
@@ -561,7 +622,7 @@ def finish_tile_encode(geo: TileGeometry, ejobs: list[dict], encs: list,
         if emit_prep is not None and not split_headers:
             packets = emit_prep(layer_cum, num_layers)
         if packets is None:
-            final_cs = geo.make_contexts()
+            final_cs = geo.make_contexts(seg_style_mask)
             for i, key in enumerate(entry_keys):
                 c, r, p, band_i, cblk_i = key
                 src = ctxs[(c, r, p)].eblocks[band_i][cblk_i]
@@ -574,7 +635,7 @@ def finish_tile_encode(geo: TileGeometry, ejobs: list[dict], encs: list,
     if split_headers:
         # PPM: re-emit with headers and bodies separated (headers go to the
         # main header; bodies stay in the tile-part)
-        cs2 = geo.make_contexts()
+        cs2 = geo.make_contexts(seg_style_mask)
         for i, key in enumerate(entry_keys):
             c, r, p, band_i, cblk_i = key
             src = ctxs[(c, r, p)].eblocks[band_i][cblk_i]
@@ -617,7 +678,13 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
     if dp.backend == "auto":
         dp = dataclasses.replace(dp, backend=_resolve_backend(dp.backend))
     th = tile_hdr or TileHeader()
-    ctxs = geo.make_contexts()
+    mix_bitmap = th.ht_mixed_bitmap()
+    mix_canon = canon_block_indices(geo) if mix_bitmap is not None \
+        else None
+    # HT MIXED: T2 parses every block with the default single-segment
+    # rule (HT blocks are single-pass cleanup — identical wire); the
+    # bitmap routes T1 per block below
+    ctxs = geo.make_contexts(~CBLK_HT if mix_bitmap is not None else -1)
     num_layers = geo.cod.num_layers
     ht_p_ext = hdr.ht_planes_ext()
     if dp.max_layers:
@@ -834,15 +901,23 @@ def decode_tile(body: bytes, geo: TileGeometry, hdr: MainHeader,
                             body, dp.max_layers)
                         if npass <= 0:
                             continue
+                        style = cs.cblk_style
+                        if mix_bitmap is not None:
+                            ci = mix_canon[(c, rg.r, band_i, p, cblk_i)]
+                            in_map = ci >> 3 < len(mix_bitmap)
+                            ht_bit = in_map and \
+                                (mix_bitmap[ci >> 3] >> (ci & 7)) & 1
+                            style = (style | CBLK_HT) if ht_bit \
+                                else (style & ~CBLK_HT)
                         job = dict(
                             data=data, seg_lens=seg_lens, numpasses=npass,
                             numbps=mb - st.zb, orient=orient,
                             w=cb.rect.w, h=cb.rect.h,
-                            style=cs.cblk_style, comp=c, res=rg.r,
+                            style=style, comp=c, res=rg.r,
                             band_i=band_i, rect=cb.rect,
                             bx=cb.rect.x0 - bg.rect.x0,
                             by=cb.rect.y0 - bg.rect.y0)
-                        if cs.cblk_style & CBLK_HT:
+                        if style & CBLK_HT:
                             # cleanup plane: standard rule from the pass
                             # count, or the ht_planes COM extension
                             from grok_tpu.t1ht.scalar import derive_p

@@ -1,0 +1,141 @@
+"""HT MIXED sets (round 4): per-code-block HT/MQ coder selection.
+
+The encoder codes every block with both coders and keeps the smaller;
+the choice rides a binary COM bitmap in the tile-part header
+(j2k.TileHeader.ht_mixed_bitmap, canonical block order from
+tile.canon_block_indices).  On natural content the MQ coder wins every
+block (docs/PERF.md entropy decomposition: HT's MagSgn U_q padding is
+structural), so mixed streams are <= pure-MQ size; the HT routing is
+exercised here by forcing the comparison.
+
+Reference parity: mixed HT sets [grok: HTJ2K mixed code-block styles]
+(SURVEY §2 row 8).
+"""
+
+import numpy as np
+import pytest
+
+from grok_tpu import CompressParams, DecompressParams, compress, decompress
+from grok_tpu.codestream import j2k
+from grok_tpu.util.oracle import synthetic_image
+
+CP = dict(num_resolutions=4, cblk_w_exp=5, cblk_h_exp=5)
+
+
+@pytest.fixture(scope="module")
+def img():
+    return synthetic_image(128, 128, 1, seed=7)
+
+
+@pytest.fixture(scope="module")
+def mixed_stream(img):
+    return compress(img, CompressParams(ht_mixed=True, backend="scalar",
+                                        **CP))
+
+
+def test_roundtrip_all_backends(img, mixed_stream):
+    for be in ("scalar", "native", "jax"):
+        out = decompress(mixed_stream,
+                         DecompressParams(backend=be)).to_array()
+        assert np.array_equal(out, img), be
+
+
+def test_backend_identity(img, mixed_stream):
+    nat = compress(img, CompressParams(ht_mixed=True, backend="native",
+                                       **CP))
+    assert nat == mixed_stream
+
+
+def test_size_le_pure_coders(img, mixed_stream):
+    mq = compress(img, CompressParams(**CP))
+    ht = compress(img, CompressParams(ht=True, **CP))
+    overhead = 80          # COM bitmap + CAP delta
+    assert len(mixed_stream) <= len(mq) + overhead
+    assert len(mixed_stream) <= len(ht) + overhead
+
+
+def test_bitmap_present_and_mq_wins_naturally(mixed_stream):
+    hdr = j2k.read_main_header(mixed_stream)
+    parts = j2k.read_tile_parts(mixed_stream, hdr)
+    th = j2k.TileHeader()
+    j2k.read_tile_part_header(mixed_stream, parts[0], hdr, th)
+    bm = th.ht_mixed_bitmap()
+    assert bm is not None and len(bm) >= 1
+    # natural content: MQ wins every block (PERF.md decomposition)
+    assert all(b == 0 for b in bm)
+    # Ccap15 bit 5 signals MIXED
+    assert hdr.cap is not None and hdr.cap[1][0] & 0x20
+
+
+def test_forced_ht_blocks_roundtrip(img, monkeypatch):
+    """Force the HT coder to win alternating blocks: the wire then
+    really mixes coders and the bitmap routes T1 per block."""
+    import grok_tpu.pipeline.tile as tile_pipe
+    real = tile_pipe.encode_block
+    calls = {"n": 0}
+
+    def fat_every_other(mag, neg, orient, style):
+        e = real(mag, neg, orient, style)
+        calls["n"] += 1
+        if calls["n"] % 2 and e.data:
+            e.data = e.data + b"\x00" * 4096     # loses the comparison
+            e.seg_lens = [len(e.data)]
+        return e
+
+    monkeypatch.setattr(tile_pipe, "encode_block", fat_every_other)
+    mixed = compress(img, CompressParams(ht_mixed=True, backend="scalar",
+                                         **CP))
+    monkeypatch.undo()
+
+    hdr = j2k.read_main_header(mixed)
+    parts = j2k.read_tile_parts(mixed, hdr)
+    th = j2k.TileHeader()
+    j2k.read_tile_part_header(mixed, parts[0], hdr, th)
+    bm = th.ht_mixed_bitmap()
+    assert any(b for b in bm), "no HT blocks were forced"
+    for be in ("scalar", "native", "jax"):
+        out = decompress(mixed, DecompressParams(backend=be)).to_array()
+        assert np.array_equal(out, img), be
+
+
+def test_window_and_reduce(img, mixed_stream):
+    """Canonical bitmap indexing is independent of reduce/window."""
+    red = decompress(mixed_stream, DecompressParams(reduce=1))
+    assert red.components[0].data.shape == (64, 64)
+    win = decompress(mixed_stream,
+                     DecompressParams(window=(32, 16, 96, 80)))
+    got = win.components[0].data
+    assert np.array_equal(got, img[16:80, 32:96])
+
+
+def test_multitile(img):
+    cp = CompressParams(ht_mixed=True, tile_w=64, tile_h=64,
+                        write_tlm=True, **CP)
+    data = compress(img, cp)
+    out = decompress(data).to_array()
+    assert np.array_equal(out, img)
+    # every tile-part carries its own bitmap
+    hdr = j2k.read_main_header(data)
+    parts = j2k.read_tile_parts(data, hdr)
+    assert len(parts) == 4
+    for p in parts:
+        th = j2k.TileHeader()
+        j2k.read_tile_part_header(data, p, hdr, th)
+        assert th.ht_mixed_bitmap() is not None
+
+
+def test_serving_plan_declines_mixed(mixed_stream):
+    from grok_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from grok_tpu.pipeline.serve import _build_plan
+    hdr = j2k.read_main_header(mixed_stream)
+    parts = j2k.read_tile_parts(mixed_stream, hdr)
+    th = j2k.TileHeader()
+    j2k.read_tile_part_header(mixed_stream, parts[0], hdr, th)
+    assert _build_plan(hdr, 0, th, 0) is None
+
+
+def test_mixed_rejects_ht_planes():
+    with pytest.raises(ValueError):
+        CompressParams(ht_mixed=True, ht_planes=1).validate()

@@ -139,3 +139,37 @@ def test_serving_plan_declines_mixed(mixed_stream):
 def test_mixed_rejects_ht_planes():
     with pytest.raises(ValueError):
         CompressParams(ht_mixed=True, ht_planes=1).validate()
+
+
+def test_corrupt_bitmap_no_crash(img, mixed_stream):
+    """Flipping coder bits routes blocks to the WRONG coder: decode
+    must degrade, never crash (permissive mode) — the serving promise
+    for corrupt streams extends to the mixed extension."""
+    pos = mixed_stream.find(b"GRKTPU_HTMIX=") + len(b"GRKTPU_HTMIX=")
+    bad = bytearray(mixed_stream)
+    for i in range(pos, min(pos + 4, len(bad))):
+        bad[i] ^= 0xA5
+    out = decompress(bytes(bad), DecompressParams(strict=False))
+    assert out.components[0].data.shape == img.shape
+
+
+def test_truncated_bitmap_treated_as_mq(img, mixed_stream):
+    """Blocks past a short bitmap decode as MQ (the natural winner) —
+    a shorter COM must not crash and, on this all-MQ stream, still
+    decodes losslessly."""
+    pos = mixed_stream.find(b"\xff\x64")        # COM marker
+    ln = int.from_bytes(mixed_stream[pos + 2:pos + 4], "big")
+    # rebuild the COM with a 1-byte bitmap; fix Lcom and Psot
+    prefix = b"\x00\x00" + b"GRKTPU_HTMIX="     # binary reg + tag
+    new_payload = prefix + mixed_stream[pos + 4 + len(prefix):
+                                        pos + 4 + len(prefix) + 1]
+    new_com = b"\xff\x64" + (len(new_payload) + 2).to_bytes(2, "big") \
+        + new_payload
+    delta = (ln + 2) - len(new_com)
+    sot = mixed_stream.rfind(b"\xff\x90", 0, pos)
+    psot = int.from_bytes(mixed_stream[sot + 6:sot + 10], "big")
+    out = bytearray(mixed_stream[:pos] + new_com
+                    + mixed_stream[pos + 2 + ln:])
+    out[sot + 6:sot + 10] = (psot - delta).to_bytes(4, "big")
+    dec = decompress(bytes(out), DecompressParams(strict=False))
+    assert np.array_equal(dec.to_array(), img)

@@ -152,6 +152,26 @@ def compress(image_or_array, params: CompressParams | None = None) -> bytes:
     params = params or CompressParams()
     image = (image_or_array if isinstance(image_or_array, Image)
              else Image.from_array(np.asarray(image_or_array)))
+    if params.mct == MCTMode.AUTO_RD and len(image.components) >= 3:
+        # R-D transform selection: encode with and without the color
+        # transform, keep the winner — smaller stream when lossless,
+        # lower true MSE at the (matched) byte budget when lossy.  The
+        # ICT's 2.9x error amplification loses on covariance that
+        # departs from the YCbCr model (docs/PERF.md config[1]), and
+        # no cheap estimator survives the low-rate deadzone regime, so
+        # the selection is by actual outcome.
+        from dataclasses import replace as _replace
+        cand = []
+        for mode in (MCTMode.RCT_OR_ICT, MCTMode.NONE):
+            data = compress(image, _replace(params, mct=mode))
+            if not params.irreversible and not params.rates \
+                    and not params.quality:
+                cand.append((len(data), data))
+            else:
+                out = decompress(data).to_array().astype(np.float64)
+                ref = image.to_array().astype(np.float64)
+                cand.append((float(((out - ref) ** 2).sum()), data))
+        return min(cand, key=lambda t: t[0])[1]
     hdr = _build_main_header(image, params)
     siz = hdr.siz
 

@@ -25,6 +25,14 @@ class MCTMode(IntEnum):
     NONE = 0
     RCT_OR_ICT = 1   # RCT when reversible, ICT when irreversible (Part 1)
     CUSTOM = 2       # custom matrix (Part 2 style, opj_set_MCT analog)
+    AUTO_RD = 3      # encode BOTH ways, keep the R-D winner (round 4):
+                     # the ICT trades a 2.9x reconstruction-error
+                     # amplification (sum of inverse-column norms^2,
+                     # 8.73 vs 3) for energy compaction — a LOSS on
+                     # content whose channel covariance departs from
+                     # the YCbCr model (measured -1.0 dB at 8:1 on the
+                     # synthetic RGB bench despite 0.93 channel
+                     # correlation).  Costs a second encode pass.
 
 
 # Code-block style bits (SPcod/SPcoc; ISO 15444-1 Table A.19)

@@ -219,6 +219,20 @@ def quantize_band(coefs: np.ndarray, delta: float,
     return mag, c < 0
 
 
+def quantize_frac(coefs: np.ndarray, mag: np.ndarray,
+                  delta: float) -> np.ndarray:
+    """Sub-step residual |c|/Delta - q in [0, 1) of the deadzone
+    quantizer (irreversible path).  PCRD's distortion model measures
+    pass reductions against the TRUE value q + frac, not the integer q
+    — with integers alone, small-magnitude samples (chroma after ICT)
+    get systematically under-valued coding gains and the lambda
+    allocation starves them (measured: -1.0 dB vs the oracle on RGB
+    @ 8:1 before this model).  [grok: t1_part1 getwmsedec-style real-
+    valued distortion]."""
+    f = np.abs(np.asarray(coefs, dtype=np.float64)) / delta - mag
+    return np.clip(f, 0.0, 1.0 - 1e-9)
+
+
 def dequantize_band(mag2: np.ndarray, neg: np.ndarray, delta: float,
                     reversible: bool) -> np.ndarray:
     """Invert using the decoder's half-step reconstruction.

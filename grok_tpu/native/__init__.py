@@ -248,7 +248,7 @@ def inv53_level(ll, hl, lh, hh, w, h, x0, y0):
     return out
 
 
-def encode_block(mag, neg, orient: int, style: int = 0):
+def encode_block(mag, neg, orient: int, style: int = 0, frac=None):
     """Native analog of t1_scalar.encode_block -> EncodedBlock."""
     from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
 
@@ -269,9 +269,12 @@ def encode_block(mag, neg, orient: int, style: int = 0):
     nsegs = ctypes.c_int(0)
     numbps = ctypes.c_int(0)
     I32P = ctypes.POINTER(ctypes.c_int32)
+    DP = ctypes.POINTER(ctypes.c_double)
+    fr = None if frac is None else np.ascontiguousarray(frac, np.float64)
     npass = lib.grk_t1_encode(
         mag.ctypes.data_as(I32P),
         negb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        None if fr is None else fr.ctypes.data_as(DP),
         orient, w, h, style,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.byref(total_len),
@@ -427,12 +430,17 @@ def encode_tile_blocks(jobs: list[dict]) -> list:
         tot_bytes += 8 * h * w + 1024
     mag_flat = np.empty(tot_elems, np.int32)
     neg_flat = np.empty(tot_elems, np.uint8)
+    any_frac = any(j.get("frac") is not None for j in jobs)
+    frac_flat = np.zeros(tot_elems, np.float64) if any_frac else None
     for i, j in enumerate(jobs):
         n = int(bw[i]) * int(bh[i])
         mag_flat[moff[i]:moff[i] + n] = \
             np.ascontiguousarray(j["mag"], np.int32).ravel()
         neg_flat[moff[i]:moff[i] + n] = \
             np.ascontiguousarray(j["neg"], np.uint8).ravel()
+        if any_frac and j.get("frac") is not None:
+            frac_flat[moff[i]:moff[i] + n] = \
+                np.ascontiguousarray(j["frac"], np.float64).ravel()
     out_flat = np.zeros(tot_bytes, np.uint8)
     total_len = np.zeros(nb, np.int32)
     rates = np.zeros(nb * 96, np.int32)
@@ -446,8 +454,10 @@ def encode_tile_blocks(jobs: list[dict]) -> list:
     I32P = ctypes.POINTER(ctypes.c_int32)
     I64P = ctypes.POINTER(ctypes.c_longlong)
     U8P = ctypes.POINTER(ctypes.c_uint8)
+    DP = ctypes.POINTER(ctypes.c_double)
     rc = lib.grk_t1_encode_tile(
         mag_flat.ctypes.data_as(I32P), neg_flat.ctypes.data_as(U8P),
+        None if frac_flat is None else frac_flat.ctypes.data_as(DP),
         moff.ctypes.data_as(I64P), _ip(ori), _ip(sty), _ip(bw), _ip(bh),
         nb, out_flat.ctypes.data_as(U8P), ooff.ctypes.data_as(I64P),
         _ip(total_len), _ip(rates),

@@ -809,6 +809,7 @@ static int enc_must_terminate(int passno, int ptype, int style, int last) {
  *   seg_lens/seg_passes (cap >= 128)
  * Returns numpasses (>=0); *numbps_out, *total_len, *nsegs_out filled. */
 int grk_t1_encode_ref(const int32_t *mag, const uint8_t *neg,
+                      const double *frac,
                       int orient, int w, int h, int style,
                       uint8_t *out, int *total_len,
                       int *rates, double *dists, uint8_t *terms,
@@ -873,7 +874,7 @@ int grk_t1_encode_ref(const int32_t *mag, const uint8_t *neg,
                                 mqe_encode(&mq, &ctx[e2[0]], nb ^ e2[1]);
                             }
                             set_sig(fl, stride, x, y, nb);
-                            double m = (double)mag[IDX(y, x)];
+                            double m = (double)mag[IDX(y, x)] + (frac ? frac[IDX(y, x)] : 0.0);
                             double nv = 1.5 * (double)(1 << bp);
                             double o = rec[IDX(y, x)];
                             dist_total += (m - o) * (m - o)
@@ -902,7 +903,7 @@ int grk_t1_encode_ref(const int32_t *mag, const uint8_t *neg,
                             mqe_encode(&mq, &ctx[mr], bit);
                         }
                         FW(y, x) |= F_REF;
-                        double m = (double)mag[IDX(y, x)];
+                        double m = (double)mag[IDX(y, x)] + (frac ? frac[IDX(y, x)] : 0.0);
                         double nv = (double)((mag[IDX(y, x)] >> bp) << bp)
                                   + 0.5 * (double)(1 << bp);
                         double o = rec[IDX(y, x)];
@@ -949,7 +950,7 @@ int grk_t1_encode_ref(const int32_t *mag, const uint8_t *neg,
                                 int nb = neg[IDX(yf, x)] ? 1 : 0;
                                 mqe_encode(&mq, &ctx[e2[0]], nb ^ e2[1]);
                                 set_sig(fl, stride, x, yf, nb);
-                                double m = (double)mag[IDX(yf, x)];
+                                double m = (double)mag[IDX(yf, x)] + (frac ? frac[IDX(yf, x)] : 0.0);
                                 double nv = 1.5 * (double)(1 << bp);
                                 double o = rec[IDX(yf, x)];
                                 dist_total += (m - o) * (m - o)
@@ -970,7 +971,7 @@ int grk_t1_encode_ref(const int32_t *mag, const uint8_t *neg,
                                 int nb = neg[IDX(y, x)] ? 1 : 0;
                                 mqe_encode(&mq, &ctx[e2[0]], nb ^ e2[1]);
                                 set_sig(fl, stride, x, y, nb);
-                                double m = (double)mag[IDX(y, x)];
+                                double m = (double)mag[IDX(y, x)] + (frac ? frac[IDX(y, x)] : 0.0);
                                 double nv = 1.5 * (double)(1 << bp);
                                 double o = rec[IDX(y, x)];
                                 dist_total += (m - o) * (m - o)
@@ -1336,6 +1337,7 @@ done:
  * per-row masked context words, so it routes to the reference path. */
 
 static int t1_encode_fast(const int32_t *mag, const uint8_t *neg,
+                          const double *frac,
                           int orient, int w, int h, int style,
                           uint8_t *out, int *total_len,
                           int *rates, double *dists, uint8_t *terms,
@@ -1404,7 +1406,7 @@ static int t1_encode_fast(const int32_t *mag, const uint8_t *neg,
                                 }
                                 sp_set_sig(fl, fstride, x, y, nb);
                                 f = SPF(s, x);
-                                double m = (double)mag[IDX(y, x)];
+                                double m = (double)mag[IDX(y, x)] + (frac ? frac[IDX(y, x)] : 0.0);
                                 double nv = 1.5 * (double)(1 << bp);
                                 double o = rec[IDX(y, x)];
                                 dist_total += (m - o) * (m - o)
@@ -1436,7 +1438,7 @@ static int t1_encode_fast(const int32_t *mag, const uint8_t *neg,
                             }
                             SPF(s, x) |= SP_REF(ci);
                             f |= SP_REF(ci);
-                            double m = (double)mag[IDX(y, x)];
+                            double m = (double)mag[IDX(y, x)] + (frac ? frac[IDX(y, x)] : 0.0);
                             double nv = (double)((mag[IDX(y, x)] >> bp) << bp)
                                       + 0.5 * (double)(1 << bp);
                             double o = rec[IDX(y, x)];
@@ -1473,7 +1475,7 @@ static int t1_encode_fast(const int32_t *mag, const uint8_t *neg,
                             mqe_encode(&mq, &ctx[cxs], nb ^ xr);
                             sp_set_sig(fl, fstride, x, yf, nb);
                             f = SPF(s, x);
-                            double m = (double)mag[IDX(yf, x)];
+                            double m = (double)mag[IDX(yf, x)] + (frac ? frac[IDX(yf, x)] : 0.0);
                             double nv = 1.5 * (double)(1 << bp);
                             double o = rec[IDX(yf, x)];
                             dist_total += (m - o) * (m - o)
@@ -1494,7 +1496,7 @@ static int t1_encode_fast(const int32_t *mag, const uint8_t *neg,
                                 mqe_encode(&mq, &ctx[cxs], nb ^ xr);
                                 sp_set_sig(fl, fstride, x, y, nb);
                                 f = SPF(s, x);
-                                double m = (double)mag[IDX(y, x)];
+                                double m = (double)mag[IDX(y, x)] + (frac ? frac[IDX(y, x)] : 0.0);
                                 double nv = 1.5 * (double)(1 << bp);
                                 double o = rec[IDX(y, x)];
                                 dist_total += (m - o) * (m - o)
@@ -1575,16 +1577,18 @@ fin:
 }
 
 int grk_t1_encode(const int32_t *mag, const uint8_t *neg,
+                  const double *frac,
                   int orient, int w, int h, int style,
                   uint8_t *out, int *total_len,
                   int *rates, double *dists, uint8_t *terms,
                   int *seg_lens, int *seg_passes, int *nsegs_out,
                   int *numbps_out) {
     if (style & CBLK_VSC)
-        return grk_t1_encode_ref(mag, neg, orient, w, h, style, out,
+        return grk_t1_encode_ref(mag, neg, frac, orient, w, h, style, out,
                                  total_len, rates, dists, terms, seg_lens,
                                  seg_passes, nsegs_out, numbps_out);
-    return t1_encode_fast(mag, neg, orient, w, h, style, out, total_len,
+    return t1_encode_fast(mag, neg, frac, orient, w, h, style, out,
+                          total_len,
                           rates, dists, terms, seg_lens, seg_passes,
                           nsegs_out, numbps_out);
 }
@@ -1679,6 +1683,7 @@ int grk_fwd53_level(const int32_t *in, int w, int h, int x0, int y0,
 
 typedef struct {
     const int32_t *mag_flat; const uint8_t *neg_flat;
+    const double *frac_flat;      /* NULL or per-element PCRD residual */
     const long long *moff;        /* element offset of block i */
     const int *orient, *style, *bw, *bh;
     int nb;
@@ -1698,6 +1703,8 @@ static void *enc_tile_worker(void *arg) {
         if (i >= c->nb || __atomic_load_n(&c->err, __ATOMIC_RELAXED)) break;
         int np = grk_t1_encode(c->mag_flat + c->moff[i],
                                c->neg_flat + c->moff[i],
+                               c->frac_flat ? c->frac_flat + c->moff[i]
+                                            : NULL,
                                c->orient[i], c->bw[i], c->bh[i], c->style[i],
                                c->out_flat + c->ooff[i], c->total_len + i,
                                c->rates + (size_t)i * 96,
@@ -1713,6 +1720,7 @@ static void *enc_tile_worker(void *arg) {
 }
 
 int grk_t1_encode_tile(const int32_t *mag_flat, const uint8_t *neg_flat,
+                       const double *frac_flat,
                        const long long *moff,
                        const int *orient, const int *style,
                        const int *bw, const int *bh, int nb,
@@ -1721,7 +1729,8 @@ int grk_t1_encode_tile(const int32_t *mag_flat, const uint8_t *neg_flat,
                        uint8_t *terms, int *seg_lens, int *seg_passes,
                        int *nsegs, int *numbps, int *npass) {
     build_luts(); build_mqp(); build_zc9();
-    enc_tile_ctx_t c = { mag_flat, neg_flat, moff, orient, style, bw, bh,
+    enc_tile_ctx_t c = { mag_flat, neg_flat, frac_flat, moff, orient,
+                         style, bw, bh,
                          nb, out_flat, ooff, total_len, rates, dists, terms,
                          seg_lens, seg_passes, nsegs, numbps, npass, 0, 0 };
     int nt = grk_num_threads(nb);

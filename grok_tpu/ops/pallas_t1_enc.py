@@ -690,7 +690,8 @@ def encode_bucket_pallas(blocks: list[dict]) -> list:
         sched = pass_schedule(numbps)
         npasses = len(sched)
         dists = _pass_distortions(np.asarray(b["mag"], np.int64),
-                                  sigtype[:, :, j], numbps)
+                                  sigtype[:, :, j], numbps,
+                                  b.get("frac"))
         lane_rates = []
         for passno, (ptype, bp) in enumerate(sched):
             k = numbps - 1 - bp

@@ -373,11 +373,18 @@ def t1_encode_batch(mag, neg, orient, numbps, msbmap,
 # ---------------------------------------------------------------------------
 
 def _pass_distortions(mag: np.ndarray, sigtype: np.ndarray,
-                      numbps: int) -> np.ndarray:
-    """Exact per-pass distortion deltas, matching t1_scalar's upd_dist."""
+                      numbps: int,
+                      frac: np.ndarray | None = None) -> np.ndarray:
+    """Exact per-pass distortion deltas, matching t1_scalar's upd_dist.
+
+    frac: optional irreversible sub-step residual (core.quant.
+    quantize_frac) — the model then measures against the TRUE value
+    mag + frac (PCRD only; codewords unaffected)."""
     npasses = len(pass_schedule(numbps))
     dist = np.zeros(npasses, dtype=np.float64)
     m = mag.astype(np.float64)
+    if frac is not None:
+        m = m + frac
     pos = mag > 0
     msb = np.zeros_like(mag)
     msb[pos] = np.floor(np.log2(mag[pos])).astype(mag.dtype)
@@ -467,11 +474,16 @@ def encode_blocks(blocks: list[dict], mesh=None) -> list[EncodedBlock]:
         mag = np.zeros((Bp, h, w), dtype=np.int32)
         neg = np.zeros((Bp, h, w), dtype=bool)
         ori = np.zeros((Bp,), dtype=np.int32)
+        any_frac = any(blocks[i].get("frac") is not None for i in idxs)
+        fracs = np.zeros((Bp, h, w), dtype=np.float64) if any_frac \
+            else None
         for j, i in enumerate(idxs):
             b = blocks[i]
             mag[j] = b["mag"]
             neg[j] = b["neg"]
             ori[j] = b["orient"]
+            if any_frac and b.get("frac") is not None:
+                fracs[j] = b["frac"]
         for j in range(B, Bp):          # pad lanes: copies of lane 0
             mag[j] = mag[0]
             neg[j] = neg[0]
@@ -505,7 +517,9 @@ def encode_blocks(blocks: list[dict], mesh=None) -> list[EncodedBlock]:
             data = bytes(out[j, 1:1 + total])
             sched = pass_schedule(numbps)
             npasses = len(sched)
-            dists = _pass_distortions(mag[j], sigtype[j], numbps)
+            dists = _pass_distortions(mag[j], sigtype[j], numbps,
+                                      fracs[j] if fracs is not None
+                                      else None)
             # per-pass rates: recorded watermarks for this lane's passes are
             # at indices offset by (maxbp - numbps) planes
             lane_rates = []

@@ -27,7 +27,8 @@ from grok_tpu.core.geometry import (BAND_LL, Rect, SizGrid, TileCompGeom,
 from grok_tpu.core.image import Image
 from grok_tpu.core.params import CBLK_HT, DecompressParams
 from grok_tpu.core.quant import (QSTYLE_NONE, Quantizer, band_level,
-                                 band_norm, dequantize_band, quantize_band)
+                                 band_norm, dequantize_band,
+                                 quantize_band, quantize_frac)
 from grok_tpu.t1.t1_scalar import decode_block, encode_block
 from grok_tpu.t2.packet import EPH_MARKER, SOP_MARKER, PrecinctCtx
 from grok_tpu.t2.progression import iter_packets
@@ -301,6 +302,10 @@ def encode_tile(image: Image, geo: TileGeometry,
                 w = (delta * bnorm * wc) ** 2
                 arr = _band_array(all_bands[c], rg.r, orient)
                 mag, neg = quantize_band(arr, delta, not irrev)
+                # irreversible: sub-step residual feeds the PCRD
+                # distortion model (true value = mag + frac); the
+                # reversible path's integer model is already exact
+                frac = quantize_frac(arr, mag, delta) if irrev else None
                 roi_shift = geo.rgn.get(c, 0)
                 if roi_shift > 0:
                     nl = geo.styles[c].num_resolutions - 1
@@ -327,6 +332,9 @@ def encode_tile(image: Image, geo: TileGeometry,
                                  "will be ambiguous (raise -R shift)")
                         mag = mag.copy()
                         mag[sl] = mag[sl] << roi_shift
+                        if frac is not None:
+                            frac = frac.copy()
+                            frac[sl] = frac[sl] * (1 << roi_shift)
                 for p in range(rg.num_precincts):
                     bp = bg.precincts[p]
                     for cblk_i, cb in enumerate(bp.cblks):
@@ -339,6 +347,9 @@ def encode_tile(image: Image, geo: TileGeometry,
                         ejobs.append(dict(
                             mag=m, neg=n, orient=orient, w=r0.w, h=r0.h,
                             style=style, weight=w, mb=mb,
+                            frac=None if frac is None else
+                            frac[r0.y0 - by0:r0.y1 - by0,
+                                 r0.x0 - bx0:r0.x1 - bx0],
                             key=(c, rg.r, p, band_i, cblk_i)))
 
     # run the block coder
@@ -383,7 +394,7 @@ def encode_tile(image: Image, geo: TileGeometry,
             for i in rest:
                 j = ejobs[i]
                 encs[i] = encode_block(j["mag"], j["neg"], j["orient"],
-                                       j["style"])
+                                       j["style"], frac=j.get("frac"))
 
     com = b""
     if ht_mixed:
@@ -617,9 +628,60 @@ def finish_tile_encode(geo: TileGeometry, ejobs: list[dict], encs: list,
                                     pass_rates=rate_tables)
 
     _pcrd.__exit__(None, None, None)
+
+    # Round-4 minimal-flush refinement: non-terminated pass rates carry
+    # the MQ flush pessimism (+5 B watermark, scalar _EncCtl.end_pass
+    # and native t1.c alike).  After allocation, shrink each
+    # single-segment block's FINAL truncation to the smallest prefix
+    # that still decodes its chosen passes bit-exactly (trial decode,
+    # tail-linear scan) — reclaims ~1% of rate-targeted streams at
+    # zero quality cost.  Deterministic given the codewords, so all
+    # backends stay byte-identical.
+    refined = False
+    if not trivial:
+        from grok_tpu.t1.t1_scalar import decode_block as _dec_scalar
+        use_nat = _native.available()
+        for i, (j, enc) in enumerate(zip(ejobs, encs)):
+            p = layer_cum[i][-1] if layer_cum[i] else 0
+            if (p <= 0 or p >= len(enc.passes) or len(enc.seg_lens) != 1
+                    or enc.passes[p - 1].term
+                    or j["style"] & CBLK_HT):
+                continue
+            pi = enc.passes[p - 1]
+            hi = min(pi.rate, len(enc.data))
+            lo = max(enc.passes[p - 2].rate if p >= 2 else 2, hi - 8)
+
+            def out_at(r):
+                if use_nat:
+                    return _native.decode_block(
+                        enc.data[:r], [r], p, enc.numbps,
+                        j["orient"], j["w"], j["h"], j["style"])
+                return _dec_scalar(enc.data[:r], [r], p, enc.numbps,
+                                   j["orient"], j["w"], j["h"],
+                                   j["style"], False)
+            try:
+                ref_m, ref_n = out_at(hi)
+            except Exception:
+                continue
+            sig = ref_m > 0
+            best = hi
+            for r in range(hi - 1, lo - 1, -1):   # tail is contiguous
+                try:
+                    m2, n2 = out_at(r)
+                    if np.array_equal(m2, ref_m) and \
+                            np.array_equal(n2[sig], ref_n[sig]):
+                        best = r
+                        continue
+                except Exception:
+                    pass
+                break
+            if best < pi.rate:
+                pi.rate = best
+                refined = True
+
     with trace("t2_emit"):
         packets = None
-        if emit_prep is not None and not split_headers:
+        if emit_prep is not None and not split_headers and not refined:
             packets = emit_prep(layer_cum, num_layers)
         if packets is None:
             final_cs = geo.make_contexts(seg_style_mask)

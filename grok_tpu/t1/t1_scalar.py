@@ -214,11 +214,18 @@ class _EncCtl:
 
 
 def encode_block(mag: np.ndarray, neg: np.ndarray, orient: int,
-                 style: int = 0) -> EncodedBlock:
+                 style: int = 0, frac: np.ndarray | None = None) \
+        -> EncodedBlock:
     """Encode one code-block.
 
     mag: (h, w) non-negative int magnitudes (quantized, ROI-shifted).
     neg: (h, w) bool, True for negative coefficients.
+    frac: optional (h, w) sub-step residual of the irreversible
+    quantizer (core.quant.quantize_frac) — used ONLY by the PCRD
+    distortion model, which then measures reductions against the true
+    value mag + frac instead of the integer lattice (the codeword
+    bytes are unaffected).  None (the reversible path) keeps the exact
+    integer model.
     """
     h, w = mag.shape
     mag = np.asarray(mag, dtype=np.int64)
@@ -238,6 +245,8 @@ def encode_block(mag: np.ndarray, neg: np.ndarray, orient: int,
     def upd_dist(x, y, bp, became_sig):
         nonlocal dist_total
         m = float(mag[y, x])
+        if frac is not None:
+            m += float(frac[y, x])
         if became_sig:
             new = 1.5 * (1 << bp)
         else:

@@ -78,7 +78,7 @@ def pallas_t1_encode(mneg, orient, numbps,
     USE_MID = True
     MIDG = 16
     NC = n_stripes * W
-    KG = 8
+    KG = 16
     while NC % KG:
         KG //= 2
 

@@ -643,8 +643,12 @@ def finish_tile_encode(geo: TileGeometry, ejobs: list[dict], encs: list,
         use_nat = _native.available()
         for i, (j, enc) in enumerate(zip(ejobs, encs)):
             p = layer_cum[i][-1] if layer_cum[i] else 0
+            # serving jobs carry only key/weight/mb (serve_enc — their
+            # HT blocks are single-pass terminated anyway); HT and
+            # multi-segment blocks keep their coder-reported rates
             if (p <= 0 or p >= len(enc.passes) or len(enc.seg_lens) != 1
                     or enc.passes[p - 1].term
+                    or "style" not in j or "orient" not in j
                     or j["style"] & CBLK_HT):
                 continue
             pi = enc.passes[p - 1]

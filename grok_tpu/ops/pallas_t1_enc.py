@@ -72,9 +72,11 @@ def pallas_t1_encode(mneg, orient, numbps,
     # write-side mid hierarchy (round 3, mirrors the decoder): the
     # O(G) full-buffer restage runs once per KG-column group through a
     # MIDG-granule mid scratch; per-column restages touch mid only.
-    # Coverage: KG * 26 B worst emission + 31 B skew + 64 B window must
-    # fit 32*MIDG = 512 B.  Quad-packing (round 4) shrank out+mid 4x,
-    # so the hierarchy now fits every block size up to 64x64.
+    # Coverage: a cleanup column emits <= 11 decisions x 2 B = 22 B
+    # (spp 16 B, mrp 8 B), so KG=16 columns + 31 B skew + 64 B window
+    # = 447 <= 32*MIDG = 512 B.  Quad-packing (round 4) shrank out+mid
+    # 4x (mid hierarchy now fits 64x64); KG=16 halves the regroup
+    # cadence (+10-18% measured, bit-exact on hardware both shapes).
     USE_MID = True
     MIDG = 16
     NC = n_stripes * W

@@ -37,6 +37,7 @@ def build_corpus():
         compress(rgb, CompressParams(irreversible=True, num_layers=2,
                                      rates=[10, 0])),
         compress(img, CompressParams(num_resolutions=3, jp2=True)),
+        compress(img, CompressParams(ht_mixed=True, num_resolutions=3)),
     ]
     return corpus
 

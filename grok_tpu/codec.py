@@ -177,6 +177,13 @@ class Compressor:
         self.params = params or CompressParams()
         if self.params.write_ppm or self.params.write_plm:
             raise ValueError("PPM/PLM need the whole stream: use compress()")
+        from grok_tpu.core.params import MCTMode
+        if self.params.mct == MCTMode.AUTO_RD:
+            raise ValueError(
+                "MCTMode.AUTO_RD compares whole encodes; the streaming "
+                "Compressor writes its main header before the first "
+                "tile — pick RCT_OR_ICT or NONE explicitly (or use "
+                "compress())")
         if self.params.max_tile_parts != 1:
             raise ValueError("streaming encode emits one tile-part per tile")
         if self.params.roi_rect is not None or self.params.fixed_quality:

@@ -402,9 +402,11 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
     program, amortizing the per-frame host and dispatch overheads.
     Returns a list of TileEncodeResult (one per frame) or None if the
     config is outside the serving shape."""
+    from grok_tpu.core.params import MCTMode
     if (params.mesh is not None or params.roi_rect is not None
             or params.write_ppm or params.fixed_quality or pocs
-            or getattr(params, "ht_mixed", False)):
+            or getattr(params, "ht_mixed", False)
+            or params.mct == MCTMode.AUTO_RD):
         # ht_mixed codes every block with BOTH coders and compares —
         # a host-path feature by design (general device decode still
         # dispatches both kernels on the result)

@@ -130,3 +130,11 @@ def test_truncation_refinement_shrinks_not_degrades():
     assert len(ours) <= len(fat)
     assert np.array_equal(decompress(ours).to_array(),
                           decompress(fat).to_array())
+
+
+def test_auto_rd_rejected_by_streaming_compressor(tmp_path):
+    from grok_tpu.codec import Compressor
+    with pytest.raises(ValueError):
+        Compressor(str(tmp_path / "x.j2k"), width=64, height=64,
+                   numcomps=3,
+                   params=CompressParams(mct=MCTMode.AUTO_RD))

@@ -313,13 +313,29 @@ class HeaderInfo:
     rsiz: int = 0
 
 
-def _locate_codestream(data: bytes, permissive: bool = False):
+def _locate_codestream_span(data: bytes, permissive: bool = False):
+    """(codestream_start, codestream_end, jp2_meta|None) without copying.
+
+    The offset form lets mapped-file callers (codec.Decompressor) keep
+    the codestream as a view over the mapping — gigapixel JP2 inputs
+    must not materialize the jp2c box as a bytes copy."""
     if jp2.is_jp2(data):
-        s, e, meta = jp2.parse_jp2(data, permissive)
-        return data[s:e], meta
+        return jp2.parse_jp2(data, permissive)
     if jp2.is_j2k(data):
-        return data, None
+        return 0, len(data), None
     raise CodestreamError("not a JPEG 2000 codestream or JP2 file")
+
+
+def _locate_codestream(data: bytes, permissive: bool = False):
+    s, e, meta = _locate_codestream_span(data, permissive)
+    if s == 0 and e == len(data):
+        return data, meta
+    if isinstance(data, (bytes, bytearray)):
+        return data[s:e], meta
+    # mapped/buffer source: a memoryview slice keeps JP2 decode
+    # zero-copy (the parsers are buffer-protocol clean; Reader.take
+    # copies only small marker segments)
+    return memoryview(data)[s:e], meta
 
 
 def compress_device(arrays, params: CompressParams | None = None,
@@ -485,6 +501,13 @@ def decompress_device_batch(streams: list[bytes],
 def read_header(data: bytes) -> HeaderInfo:
     cs, meta = _locate_codestream(data)
     hdr = j2k.read_main_header(cs)
+    return _header_info_from(hdr, meta)
+
+
+def _header_info_from(hdr, meta) -> HeaderInfo:
+    """HeaderInfo from an already-parsed MainHeader (+ JP2 meta or None)
+    — lets codec.Decompressor reuse its parse instead of re-locating
+    (which would copy a mapped JP2's codestream)."""
     g = hdr.siz.normalized()
     color = ColorSpace.UNSPECIFIED
     if meta is not None:

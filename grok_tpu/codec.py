@@ -15,7 +15,7 @@ from dataclasses import replace
 
 import numpy as np
 
-from grok_tpu.api import HeaderInfo, _locate_codestream, read_header
+from grok_tpu.api import HeaderInfo
 from grok_tpu.codestream import j2k
 from grok_tpu.core.image import Component, Image
 from grok_tpu.core.params import DecompressParams
@@ -51,7 +51,18 @@ class Decompressor:
                                  access=mmap.ACCESS_READ)
             data = self._mm
         self._data = data              # original (JP2 boxes included)
-        self._cs, self._meta = _locate_codestream(data)
+        from grok_tpu.api import _header_info_from, _locate_codestream_span
+        s, e, self._meta = _locate_codestream_span(
+            data, permissive=not self.params.strict)
+        self._cs_off = s               # codestream offset in the mapping
+        if s == 0 and e == len(data):
+            self._cs = data            # raw .j2k: the source itself
+        elif isinstance(data, (bytes, bytearray)):
+            self._cs = data[s:e]
+        else:
+            # mapped JP2: keep the jp2c box a zero-copy view (gigapixel
+            # streams must not materialize the codestream)
+            self._cs = memoryview(data)[s:e]
         self._hdr = j2k.read_main_header(self._cs)
         self._parts = j2k.read_tile_parts(self._cs, self._hdr,
                                           strict=self.params.strict)
@@ -59,7 +70,7 @@ class Decompressor:
         for p in self._parts:
             self._by_tile.setdefault(p.tile_index, []).append(p)
         self._cache: dict[tuple, list[np.ndarray]] = {}
-        self.header: HeaderInfo = read_header(data)
+        self.header: HeaderInfo = _header_info_from(self._hdr, self._meta)
 
     @property
     def num_tiles(self) -> int:
@@ -91,17 +102,17 @@ class Decompressor:
         geo = tile_pipe.TileGeometry.build(self._hdr, t, th)
         out = tile_pipe.decode_tile(b"".join(chunks), geo, self._hdr, th,
                                     self.params)
-        if self._cs is self._mm and hasattr(self._mm, "madvise"):
-            # gigapixel streaming (raw .j2k over mmap): drop the tile's
-            # now-consumed pages so resident set stays bounded by the
-            # LRU cache, not by the codestream size (pages are clean;
-            # re-faulted on a future random access).  JP2 inputs copy
-            # the codestream out of the boxes, so offsets only map when
-            # the codestream IS the mapping.
+        if self._mm is not None and hasattr(self._mm, "madvise"):
+            # gigapixel streaming over mmap: drop the tile's now-consumed
+            # pages so resident set stays bounded by the LRU cache, not
+            # by the codestream size (pages are clean; re-faulted on a
+            # future random access).  Raw .j2k maps at offset 0; a JP2's
+            # jp2c box is a zero-copy view at self._cs_off into the map.
             pg = mmap.PAGESIZE
             for p in self._by_tile[t]:
-                lo = p.data_start // pg * pg
-                ln = min((p.data_end - lo + pg - 1) // pg * pg,
+                lo = (self._cs_off + p.data_start) // pg * pg
+                hi = self._cs_off + p.data_end
+                ln = min((hi - lo + pg - 1) // pg * pg,
                          len(self._mm) - lo)
                 self._mm.madvise(mmap.MADV_DONTNEED, lo, ln)
         if self.cache_tiles is None or self.cache_tiles > 0:
@@ -126,6 +137,9 @@ class Decompressor:
 
     def close(self):
         """Release the mapped file (no-op for bytes sources)."""
+        if isinstance(getattr(self, "_cs", None), memoryview):
+            self._cs.release()     # else mmap.close() raises BufferError
+            self._cs = b""
         if self._mm is not None:
             self._mm.close()
             self._mm = None

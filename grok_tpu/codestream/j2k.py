@@ -418,7 +418,10 @@ class Reader:
             raise CodestreamError("unexpected end of codestream")
         v = self.data[self.pos:self.pos + n]
         self.pos += n
-        return v
+        # zero-copy sources (memoryview over a mapped JP2) slice to
+        # memoryview; segment consumers expect real bytes (startswith,
+        # concatenation) and segments are small — copy here only
+        return v if isinstance(v, bytes) else bytes(v)
 
     @property
     def remaining(self) -> int:

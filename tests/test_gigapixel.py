@@ -77,6 +77,29 @@ def test_tile_cache_disabled(streamed_j2k):
         assert len(dec._cache) == 0
 
 
+def test_jp2_mmap_zero_copy(streamed_j2k, tmp_path):
+    """Round-4 backlog: a mapped JP2's jp2c box must stay a zero-copy
+    view over the mapping (not a bytes copy of the whole codestream),
+    so gigapixel JP2 inputs page like raw .j2k ones; madvise offsets
+    shift by the box offset."""
+    from grok_tpu.codestream import jp2 as jp2box
+
+    raw = open(streamed_j2k, "rb").read()
+    path = str(tmp_path / "gp.jp2")
+    with open(path, "wb") as f:
+        f.write(jp2box.wrap_jp2(raw, numcomps=1, prec=8,
+                                width=SIDE, height=SIDE))
+    ntx = -(-SIDE // TILE)
+    with Decompressor(path, DecompressParams(backend="native")) as dec:
+        assert isinstance(dec._cs, memoryview)      # no codestream copy
+        assert dec._cs_off > 0
+        for t in (0, dec.num_tiles - 1):
+            _check_tile(dec, t, ntx)                # madvise path runs
+        img = dec.decompress()                      # whole-image path
+        assert img.components[0].data.shape == (SIDE, SIDE)
+    # close() released the view and the mapping without BufferError
+
+
 def test_tlm_random_access_does_not_scan(streamed_j2k):
     """TLM-seeded seeking: decoding only the last tile must not decode
     (or even T1-parse) the others — the practical gigapixel property."""

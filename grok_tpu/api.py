@@ -345,10 +345,13 @@ def compress_device(arrays, params: CompressParams | None = None,
     The encode mirror of decompress_device: `arrays` is a list of (h, w)
     jax arrays (one per component, e.g. straight from decompress_device
     or a model's output in HBM) — or numpy arrays, which are uploaded.
-    All the sample math (DC shift, MCT, DWT, quantization, HT entropy
+    All the sample math (DC shift, MCT, DWT, quantization, entropy
     coding, stream compaction) runs on device; only the compressed bytes
-    come down.  Requires an HT single-layer config (the serving shape);
-    other configs fall back to the host encoder, downloading the pixels.
+    come down.  Serving shapes: HT configs (any layering — the kernel
+    ships exact distortion stats) and Part-1 default-style single-layer
+    configs (round 4: the Pallas MQ encoder; rate-targeted Part-1 falls
+    back).  Other configs fall back to the host encoder, downloading
+    the pixels.
 
     Reference parity: device-input analog of grk_compress with the
     plugin batch path [grok: grk_plugin_batch_compress] (SURVEY §3.5).
@@ -378,9 +381,9 @@ def compress_device_batch(arrays_list, params: CompressParams | None = None,
     shared kernel launches of one cached program, amortizing per-frame
     host staging and dispatch (a frame sequence or dataset shard).
 
-    Requirements: same shape/components across frames and an HT
-    single-tile single-layer config (the serving shape); anything else
-    encodes frame-by-frame via the general path.
+    Requirements: same shape/components across frames and a single-tile
+    serving shape (HT, or Part-1 default-style single-layer); anything
+    else encodes frame-by-frame via the general path.
 
     Reference parity: batch analog of the reference's plugin batch
     compress surface [grok: grk_plugin_batch_compress] (SURVEY §3.5).

@@ -654,6 +654,26 @@ def unpack_out_bytes(out: np.ndarray, lane: int, total: int) -> bytes:
     return words.tobytes()[1:1 + total]
 
 
+def rates_from_watermarks(rates_col, numbps: int, total: int) -> list[int]:
+    """Per-pass cumulative byte rates from the kernel's watermark table
+    column (R8 rows): plane k's SPP/MRP/CUP sit at 3k-2 / 3k-1 / 3k
+    (plane 0 = MSB has only CUP at row 0).  Clamped to the terminated
+    total and made monotonic — the simulation contract encode_blocks
+    provides (watermarks are conservative, the final pass is exact)."""
+    from grok_tpu.t1.t1_scalar import pass_schedule
+
+    sched = pass_schedule(numbps)
+    out = []
+    for (ptype, bp) in sched:
+        k = numbps - 1 - bp
+        idx = 3 * k + (ptype - 2 if ptype != 2 else 0)
+        out.append(min(int(rates_col[idx]), total))
+    for t in range(1, len(out)):
+        out[t] = max(out[t], out[t - 1])
+    out[-1] = total
+    return out
+
+
 def encode_bucket_pallas(blocks: list[dict]) -> list:
     """encode_blocks-compatible adapter: one pallas launch per <=LANES
     exact-shape blocks.  Returns EncodedBlock list (exact PCRD
@@ -694,15 +714,7 @@ def encode_bucket_pallas(blocks: list[dict]) -> list:
         dists = _pass_distortions(np.asarray(b["mag"], np.int64),
                                   sigtype[:, :, j], numbps,
                                   b.get("frac"))
-        lane_rates = []
-        for passno, (ptype, bp) in enumerate(sched):
-            k = numbps - 1 - bp
-            idx = 3 * k + (ptype - 2 if ptype != 2 else 0)
-            lane_rates.append(int(rates[idx, j]))
-        lane_rates = [min(rr, total) for rr in lane_rates]
-        for t in range(1, npasses):
-            lane_rates[t] = max(lane_rates[t], lane_rates[t - 1])
-        lane_rates[-1] = total
+        lane_rates = rates_from_watermarks(rates[:, j], numbps, total)
         passes = [PassInfo(rate=lane_rates[t], dist=float(dists[t]),
                            term=(t == npasses - 1))
                   for t in range(npasses)]

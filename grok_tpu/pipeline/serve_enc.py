@@ -10,15 +10,18 @@ a small per-lane bit-count table.  The host then runs Tier-2 packet
 emission over the downloaded segments.
 
 Scope (falls back to the general encoder otherwise): HT cleanup-only
-styles, no ROI, no custom MCT, no mesh, default precincts.  Multi-layer
-and byte-rate-targeted encodes STAY on the device path: the kernel
-emits exact per-block distortion stats and the host runs the same PCRD
-+ prepared-emitter finish as the general encoder
-(pipeline.tile.finish_tile_encode).  The reversible path produces
-codestreams byte-identical to the host encoder (the Pallas HT kernel is
-byte-exact vs t1ht.scalar); the irreversible path quantizes in f32 on
-device (vs f64 on host), so streams are self-consistent but may differ
-from the host encoder at isolated rounding boundaries.
+styles OR Part-1 default styles (round 4: the Pallas MQ encode kernel
+— pow2 block shapes, single-layer untargeted), no ROI, no custom MCT,
+no mesh, default precincts.  For HT, multi-layer and byte-rate-targeted
+encodes STAY on the device path: the kernel emits exact per-block
+distortion stats and the host runs the same PCRD + prepared-emitter
+finish as the general encoder (pipeline.tile.finish_tile_encode); the
+MQ path downloads no distortion stats, so rate-targeted Part-1 configs
+fall back.  The reversible path produces codestreams byte-identical to
+the host encoder (both Pallas kernels are byte-exact vs their scalar
+oracles); the irreversible path quantizes in f32 on device (vs f64 on
+host), so streams are self-consistent but may differ from the host
+encoder at isolated rounding boundaries.
 
 Reference parity: device analog of the reference's plugin batch
 compress surface [grok: src/lib/core/plugin/, grk_plugin_batch_compress]
@@ -44,11 +47,15 @@ _EPLANS_MAX = 16
 @dataclass
 class EncPlan:
     geo: object
-    bucket: tuple            # (W, H, S, LMS, LMEL, LVLC, nlaunch)
+    bucket: tuple            # HT: (W, H, S, LMS, LMEL, LVLC, nlaunch)
     lane_block: list         # lane -> (c, r, p, band_i, cblk_i) or None
     lane_mb: np.ndarray      # Mb per lane
     lane_w: np.ndarray       # PCRD distortion weight per lane
-    sig: tuple               # full signature for _build_encode_fn
+    sig: tuple               # full signature for _build_encode_fn[_mq]
+    coder: str = "ht"        # "ht" (Pallas HT kernel) or "mq" (Part-1)
+    mq_groups: list | None = None   # [(W, H, L, [plan block idx])] —
+    #                         the MQ kernel codes exact-shape lanes, so
+    #                         blocks group by exact pow2 (w, h)
 
 
 def _pow2_at_least(v: int, lo: int = 4) -> int:
@@ -56,6 +63,52 @@ def _pow2_at_least(v: int, lo: int = 4) -> int:
     while p < v:
         p *= 2
     return p
+
+
+def _stage_bands(comps, comps_sig, ncomps, mct_mode):
+    """Traced phase-A front half, shared by the HT and MQ programs:
+    DC shift + MCT + forward DWT + quantization ->
+    {(ci, r, orient): (N, bh, bw) int32 (mag << 1) | neg}."""
+    import jax
+    import jax.numpy as jnp
+
+    from grok_tpu.ops import dwt as jdwt
+    from grok_tpu.ops import mct as jmct
+
+    outs = []
+    for ci, csig in enumerate(comps_sig):
+        (_rect, _numres, prec, sgnd, irrev, _bands) = csig
+        outs.append(jmct.dc_shift_fwd(comps[ci].astype(jnp.int32),
+                                      prec, sgnd))
+    if mct_mode and ncomps >= 3:
+        if mct_mode == 2:
+            y, cb, cr = jmct.ict_fwd(outs[0].astype(jnp.float32),
+                                     outs[1].astype(jnp.float32),
+                                     outs[2].astype(jnp.float32))
+        else:
+            y, cb, cr = jmct.rct_fwd(outs[0], outs[1], outs[2])
+        outs[0], outs[1], outs[2] = y, cb, cr
+
+    band_mneg = {}
+    for ci, csig in enumerate(comps_sig):
+        (rect_t, numres, _prec, _sgnd, irrev, bands) = csig
+        cur = outs[ci]
+        if irrev and cur.dtype != jnp.float32:
+            cur = cur.astype(jnp.float32)
+        blist = jax.vmap(
+            lambda a, _r=Rect(*rect_t), _n=numres, _ir=irrev:
+            jdwt.fwd_multilevel(a, _r, _n, _ir))(cur)
+        for (r, orient, delta) in bands:
+            arr = blist[0] if r == 0 else blist[r][orient - 1]
+            if irrev:
+                mag = jnp.floor(jnp.abs(arr)
+                                * jnp.float32(1.0 / delta)) \
+                    .astype(jnp.int32)
+            else:
+                mag = jnp.abs(arr).astype(jnp.int32)
+            neg = (arr < 0).astype(jnp.int32)
+            band_mneg[(ci, r, orient)] = (mag << 1) | neg
+    return band_mneg
 
 
 @lru_cache(maxsize=32)
@@ -70,8 +123,6 @@ def _build_encode_fn(sig):
     import jax
     import jax.numpy as jnp
 
-    from grok_tpu.ops import dwt as jdwt
-    from grok_tpu.ops import mct as jmct
     from grok_tpu.ops.pallas_ht import _ht_interpret
     from grok_tpu.ops.pallas_ht_enc import pallas_ht_encode
 
@@ -83,39 +134,7 @@ def _build_encode_fn(sig):
 
     @jax.jit
     def run(comps):
-        outs = []
-        for ci, csig in enumerate(comps_sig):
-            (_rect, _numres, prec, sgnd, irrev, _bands) = csig
-            outs.append(jmct.dc_shift_fwd(comps[ci].astype(jnp.int32),
-                                          prec, sgnd))
-        if mct_mode and ncomps >= 3:
-            if mct_mode == 2:
-                y, cb, cr = jmct.ict_fwd(outs[0].astype(jnp.float32),
-                                         outs[1].astype(jnp.float32),
-                                         outs[2].astype(jnp.float32))
-            else:
-                y, cb, cr = jmct.rct_fwd(outs[0], outs[1], outs[2])
-            outs[0], outs[1], outs[2] = y, cb, cr
-
-        band_mneg = {}
-        for ci, csig in enumerate(comps_sig):
-            (rect_t, numres, _prec, _sgnd, irrev, bands) = csig
-            cur = outs[ci]
-            if irrev and cur.dtype != jnp.float32:
-                cur = cur.astype(jnp.float32)
-            blist = jax.vmap(
-                lambda a, _r=Rect(*rect_t), _n=numres, _ir=irrev:
-                jdwt.fwd_multilevel(a, _r, _n, _ir))(cur)
-            for (r, orient, delta) in bands:
-                arr = blist[0] if r == 0 else blist[r][orient - 1]
-                if irrev:
-                    mag = jnp.floor(jnp.abs(arr)
-                                    * jnp.float32(1.0 / delta)) \
-                        .astype(jnp.int32)
-                else:
-                    mag = jnp.abs(arr).astype(jnp.int32)
-                neg = (arr < 0).astype(jnp.int32)
-                band_mneg[(ci, r, orient)] = (mag << 1) | neg
+        band_mneg = _stage_bands(comps, comps_sig, ncomps, mct_mode)
 
         # batch code-blocks into lane tensors (static placements,
         # frame-major: lane gi = fi * len(blocks_sig) + bi)
@@ -296,6 +315,91 @@ def _build_compact_fn(T: int, refine: bool = False):
     return compact
 
 
+@lru_cache(maxsize=32)
+def _build_encode_fn_mq(sig):
+    """Phase-A program, Part-1 coder: pixels -> per-launch (quad-packed
+    MQ codeword buffer, stats) — the fused-encode mirror of the serving
+    mq3 decode route.  Each exact-shape group gets its own launches of
+    the (W, H, MB4, L) kernel variant; stats rows = [byte lengths,
+    numbps, per-pass rate watermarks], all device-resident until the
+    single async D2H per launch."""
+    import jax
+    import jax.numpy as jnp
+
+    from grok_tpu.ops.pallas_ht import _ht_interpret
+    from grok_tpu.ops.pallas_t1_enc import pallas_t1_encode
+
+    (N, ncomps, mct_mode, comps_sig, groups_sig, MB4) = sig
+
+    @jax.jit
+    def run(comps):
+        band_mneg = _stage_bands(comps, comps_sig, ncomps, mct_mode)
+        results = []
+        for (W, H, L, blocks_g) in groups_sig:
+            ng = len(blocks_g)
+            NBg = N * ng
+            for li in range(-(-NBg // LANES)):
+                lanes = []
+                ori = np.zeros((1, LANES), np.int32)
+                for lane in range(LANES):
+                    gi = li * LANES + lane
+                    if gi >= NBg:
+                        break
+                    fi, bi = divmod(gi, ng)
+                    (ci, r, orient, yoff, xoff) = blocks_g[bi]
+                    src = jax.lax.dynamic_slice(
+                        band_mneg[(ci, r, orient)],
+                        (fi, yoff, xoff), (1, H, W))[0]
+                    lanes.append(src)
+                    ori[0, lane] = orient
+                mneg = jnp.stack(lanes, axis=-1)
+                if len(lanes) < LANES:
+                    mneg = jnp.pad(mneg, ((0, 0), (0, 0),
+                                          (0, LANES - len(lanes))))
+                mx = jnp.max((mneg >> 1).reshape(-1, LANES), axis=0)
+                numbps = (32 - jax.lax.clz(mx)).reshape(1, LANES)
+                out_w, lens, rates, _sigtype = pallas_t1_encode(
+                    mneg, jnp.asarray(ori), numbps, W, H, MB4, L,
+                    _ht_interpret())
+                stats = jnp.concatenate([lens, numbps, rates], axis=0)
+                results.append((out_w, stats))
+        return tuple(results)
+
+    return run
+
+
+@lru_cache(maxsize=32)
+def _build_compact_fn_mq(T: int):
+    """Phase-C, Part-1: per-lane quad-packed MQ codeword buffers -> one
+    dense byte stream of T bytes (T//4 int32 LE words).  MQ bytes are
+    already wire-final (0xFF stuffing is the coder's own byteout rule),
+    so lanes concatenate raw; byte 0 of each lane's buffer is the
+    kernel's carry sentinel and is skipped."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def compact(out_w, lens, numbps):
+        NL = lens.shape[1]
+        G8 = out_w.shape[0] * out_w.shape[1]
+        flat = out_w.reshape(G8 * NL)
+        seg = jnp.where(numbps[0] > 0, lens[0], 0)
+        cum = jnp.cumsum(seg)
+        start = cum - seg
+        k = jnp.arange(T, dtype=jnp.int32)
+        lane = jnp.searchsorted(cum, k, side="right").astype(jnp.int32)
+        lane_c = jnp.clip(lane, 0, NL - 1)
+        q = k - start[lane_c] + 1        # +1 skips the carry sentinel
+        w = flat[jnp.clip(q >> 2, 0, G8 - 1) * NL + lane_c]
+        val = (w >> ((q & 3) * 8)) & 0xFF
+        val = jnp.where(k < cum[NL - 1], val, 0)
+        w4 = val.reshape(T // 4, 4)
+        return (w4[:, 0] | (w4[:, 1] << 8) | (w4[:, 2] << 16)
+                | (w4[:, 3] << 24))
+
+    return compact
+
+
 def _build_plan(hdr, t: int, params) -> EncPlan | None:
     from grok_tpu.core.quant import band_level, band_norm
     from grok_tpu.ops.pallas_ht_enc import _cap_bytes, sublanes_for_ht_enc
@@ -305,8 +409,13 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
     geo = TileGeometry.build(hdr, t)
     if geo.rgn or geo.custom_mct is not None:
         return None
-    if any(cs.cblk_style != CBLK_HT for cs in geo.styles):
-        return None
+    styles_set = {cs.cblk_style for cs in geo.styles}
+    if styles_set == {CBLK_HT}:
+        coder = "ht"
+    elif styles_set == {0}:
+        coder = "mq"          # Part-1 default style: Pallas MQ encoder
+    else:
+        return None           # mode switches: host coder only
     if any(cs.prec_exps for cs in geo.styles):
         return None
     mct_norms = mct_component_norms(bool(geo.styles[0].irreversible)) \
@@ -363,6 +472,37 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
                           tuple(bands_sig)))
     if mbmax > 24 or not blocks:
         return None
+    mct_mode0 = 0
+    if geo.cod.mct and len(comps_sig) >= 3:
+        mct_mode0 = 2 if geo.styles[0].irreversible else 1
+    if coder == "mq":
+        # the MQ encode kernel codes exact-shape lanes (no per-lane wh):
+        # group blocks by exact (w, h), pow2 in [4, 64] only (pow2-sized
+        # tiles yield pow2 band/block shapes; anything else -> host),
+        # and bound the kernel-variant count per geometry
+        groups: dict = {}
+        for i, (_c, _r, _o, _yo, _xo, bh, bw) in enumerate(blocks):
+            if (bh < 4 or bw < 4 or bh > 64 or bw > 64
+                    or bh & (bh - 1) or bw & (bw - 1)):
+                return None
+            groups.setdefault((bw, bh), []).append(i)
+        if len(groups) > 6:
+            return None
+        mb4 = max(4, -(-mbmax // 4) * 4)
+        mq_groups = []
+        for (bw, bh) in sorted(groups):
+            # same output budget as ops.pallas_t1_enc.pack_for_pallas_enc
+            L = max(96, -(-(bh * bw + bh * bw // 8 + 256) // 32) * 32)
+            mq_groups.append((bw, bh, L, groups[(bw, bh)]))
+        groups_sig = tuple(
+            (bw, bh, L, tuple(blocks[i][:5] for i in idxs))
+            for (bw, bh, L, idxs) in mq_groups)
+        sig = (len(comps_sig), mct_mode0, tuple(comps_sig),
+               groups_sig, mb4)
+        return EncPlan(geo=geo, bucket=(), lane_block=lane_block,
+                       lane_mb=np.asarray(lane_mb, np.int32),
+                       lane_w=np.asarray(lane_w, np.float64), sig=sig,
+                       coder="mq", mq_groups=mq_groups)
     LMS = _cap_bytes(Wm * Hm * (mbmax + 2) // 8 + 16)
     if LMS > 128 * 32:
         return None
@@ -377,15 +517,123 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
     S = sublanes_for_ht_enc(Wm, Hm, LMS)
     NL = S * LANES
     nlaunch = -(-len(blocks) // NL)
-    mct_mode = 0
-    if geo.cod.mct and len(comps_sig) >= 3:
-        mct_mode = 2 if geo.styles[0].irreversible else 1
+    mct_mode = mct_mode0
     sig = (len(comps_sig), mct_mode, tuple(comps_sig),
            (Wm, Hm, S, LMS, LMEL, LVLC, nlaunch), tuple(blocks))
     return EncPlan(geo=geo, bucket=(Wm, Hm, S, LMS, LMEL, LVLC, nlaunch),
                    lane_block=lane_block,
                    lane_mb=np.asarray(lane_mb, np.int32),
                    lane_w=np.asarray(lane_w, np.float64), sig=sig)
+
+
+def _comp_stacks(images, hdr, geo):
+    """Stack the tile-view of each component over N frames as (N, h, w)
+    device arrays (serving shape: image == tile); device-resident
+    inputs stay on device — no pixel download."""
+    import jax
+    import jax.numpy as jnp
+
+    comps = []
+    for c in range(len(hdr.comps)):
+        frames = []
+        for image in images:
+            comp = image.components[c]
+            cr = geo.comp_rects[c]
+            gx0 = -(-image.x0 // comp.dx)
+            gy0 = -(-image.y0 // comp.dy)
+            arr = comp.data[cr.y0 - gy0:cr.y1 - gy0,
+                            cr.x0 - gx0:cr.x1 - gx0]
+            if isinstance(arr, jax.Array):
+                frames.append(arr.astype(jnp.int32))
+            else:
+                frames.append(jnp.asarray(
+                    np.ascontiguousarray(arr, np.int32)))
+        comps.append(jnp.stack(frames))
+    return comps
+
+
+def _encode_serving_batch_mq(images, hdr, plan, params):
+    """Host half of the fused Part-1 encode: launch the cached MQ
+    program, compact + download each launch's wire bytes (async, the
+    encode PP analog), and assemble EncodedBlocks for the trivial
+    finish.  Reversible streams are byte-identical to the host encoder
+    (the Pallas MQ kernel is bit-exact vs t1.t1_scalar; the stream is
+    single-segment with rates reconstructed from the kernel's
+    watermarks, which the single-layer wire never encodes)."""
+    import numpy as _np
+
+    from grok_tpu.ops.pallas_t1_enc import rates_from_watermarks
+    from grok_tpu.pipeline.tile import finish_tile_encode
+    from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
+
+    N = len(images)
+    geo = plan.geo
+    comps = _comp_stacks(images, hdr, geo)
+    sig_n = (N,) + plan.sig
+    launches = _build_encode_fn_mq(sig_n)(tuple(comps))
+
+    for (_w, st) in launches:
+        try:
+            st.copy_to_host_async()
+        except AttributeError:
+            pass
+    stats_h = [_np.asarray(st) for (_w, st) in launches]
+
+    # phase C: enqueue every launch's compaction + async D2H before
+    # assembling any bytes (device work overlaps the host byte work)
+    words_d = []
+    li = 0
+    for (_bw, _bh, L, idxs) in plan.mq_groups:
+        NBg = N * len(idxs)
+        for _k in range(-(-NBg // LANES)):
+            st = stats_h[li]
+            if int(st[0].max()) >= L - 64:
+                return None        # output-budget overrun: host coder
+            seg = _np.where(st[1] > 0, st[0], 0)
+            T = max(512, -(-int(seg.sum()) // 512) * 512)
+            w = _build_compact_fn_mq(T)(
+                launches[li][0], launches[li][1][0:1],
+                launches[li][1][1:2])
+            try:
+                w.copy_to_host_async()
+            except AttributeError:
+                pass
+            words_d.append(w)
+            li += 1
+
+    encs = [[EncodedBlock()] * len(plan.lane_block) for _ in range(N)]
+    li = 0
+    for (_bw, _bh, _L, idxs) in plan.mq_groups:
+        ng = len(idxs)
+        NBg = N * ng
+        for k in range(-(-NBg // LANES)):
+            st = stats_h[li]
+            lens, nbps, rates = st[0], st[1], st[2:]
+            byts = _np.asarray(words_d[li]).astype("<u4").view(_np.uint8)
+            seg = _np.where(nbps > 0, lens, 0)
+            starts = _np.cumsum(seg) - seg
+            for lane in range(min(NBg - k * LANES, LANES)):
+                fi, bi = divmod(k * LANES + lane, ng)
+                numbps = int(nbps[lane])
+                if numbps == 0:
+                    continue
+                total = int(lens[lane])
+                data = bytes(byts[starts[lane]:starts[lane] + total])
+                rr = rates_from_watermarks(rates[:, lane], numbps, total)
+                passes = [PassInfo(rate=v, dist=0.0,
+                                   term=(t == len(rr) - 1))
+                          for t, v in enumerate(rr)]
+                encs[fi][idxs[bi]] = EncodedBlock(
+                    data=data, numbps=numbps, passes=passes,
+                    seg_lens=[total], seg_passes=[len(passes)])
+            li += 1
+
+    targets = [None] * params.num_layers
+    jobs_meta = [dict(key=kb, weight=float(w), mb=int(mb))
+                 for kb, w, mb in zip(plan.lane_block, plan.lane_w,
+                                      plan.lane_mb)]
+    return [finish_tile_encode(geo, jobs_meta, encs[fi], targets)
+            for fi in range(N)]
 
 
 def try_encode_serving(image, hdr, t: int, params, pocs):
@@ -412,11 +660,6 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
         # dispatches both kernels on the result)
         return None
     P = int(params.ht_planes or 0)
-    from grok_tpu.ops.pallas_ht import VLC_HAS_EK, ht_pallas_enabled
-    if not ht_pallas_enabled() or VLC_HAS_EK:
-        # EMB tables: the device encoder codes eps_k = 0 only — fall
-        # back to the host coder until it learns the suppression
-        return None
 
     # same-shaped tiles (interior tiles of a grid) share one plan
     rect = hdr.siz.tile_rect(t)
@@ -430,29 +673,29 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
     if plan is None:
         return None
 
+    if plan.coder == "mq":
+        from grok_tpu.ops.pallas_t1 import t1_pallas_enabled
+        # scope: single-layer untargeted encodes (the trivial finish) —
+        # this path downloads no distortion stats, so PCRD-driven
+        # configs fall back to the host coder
+        if (P or params.num_layers != 1
+                or (params.rates and any(r > 1 for r in params.rates))
+                or not t1_pallas_enabled()):
+            return None
+        return _encode_serving_batch_mq(images, hdr, plan, params)
+
+    from grok_tpu.ops.pallas_ht import VLC_HAS_EK, ht_pallas_enabled
+    if not ht_pallas_enabled() or VLC_HAS_EK:
+        # EMB tables: the device encoder codes eps_k = 0 only — fall
+        # back to the host coder until it learns the suppression
+        return None
+
     import jax
     import jax.numpy as jnp
 
     N = len(images)
     geo = plan.geo
-    # tile-view of the component samples (serving shape: image == tile);
-    # device-resident inputs stay on device (no pixel download)
-    comps = []
-    for c in range(len(hdr.comps)):
-        frames = []
-        for image in images:
-            comp = image.components[c]
-            cr = geo.comp_rects[c]
-            gx0 = -(-image.x0 // comp.dx)
-            gy0 = -(-image.y0 // comp.dy)
-            arr = comp.data[cr.y0 - gy0:cr.y1 - gy0,
-                            cr.x0 - gx0:cr.x1 - gx0]
-            if isinstance(arr, jax.Array):
-                frames.append(arr.astype(jnp.int32))
-            else:
-                frames.append(jnp.asarray(
-                    np.ascontiguousarray(arr, np.int32)))
-        comps.append(jnp.stack(frames))
+    comps = _comp_stacks(images, hdr, geo)
 
     (Wm, Hm, S, LMS, LMEL, LVLC, _nl1) = plan.bucket
     NL = S * LANES

@@ -109,6 +109,51 @@ def test_serving_mq_part1_route():
                for v in serve._PLANS.values())
 
 
+def test_serving_encode_mq_part1_byte_identical(monkeypatch):
+    """Round 4: Part-1 default-style encodes stay on the fused serving
+    ENCODE path (Pallas MQ encode kernel + device compaction),
+    byte-identical to the host encoder.  Tiny config (8x8 blocks, 2-bit
+    samples, 1 guard bit -> the same (8,8,MB4=4) kernel variant as the
+    tiny kernel test) keeps the interpret-mode run in CI budget; the
+    full-size configs are exercised on hardware
+    (tools/hw_validate.py serve_mq_enc)."""
+    from grok_tpu.core.image import Component, Image
+    from grok_tpu.pipeline import serve_enc
+
+    monkeypatch.setenv("GROK_T1_PALLAS", "1")
+    taken = []
+    orig = serve_enc.try_encode_serving_batch
+
+    def probe(images, hdr, t, params, pocs):
+        r = orig(images, hdr, t, params, pocs)
+        taken.append(r is not None)
+        return r
+
+    monkeypatch.setattr(serve_enc, "try_encode_serving_batch", probe)
+    a = (synthetic_image(16, 16, 1, seed=6).astype(np.int32) >> 6)
+    kw = dict(num_resolutions=2, cblk_w_exp=3, cblk_h_exp=3,
+              num_guard_bits=1)
+    dev = compress(Image(components=[Component(data=a, prec=2)]),
+                   CompressParams(backend="jax", **kw))
+    assert taken == [True], "serving encode declined a Part-1 config"
+    host = compress(Image(components=[Component(data=a, prec=2)]),
+                    CompressParams(backend="scalar", **kw))
+    assert dev == host, "device Part-1 stream differs from host"
+    assert np.array_equal(decompress(dev).components[0].data, a)
+    # out-of-scope configs decline cleanly (host fallback, identical):
+    # rate-targeted encodes need distortion stats this path does not
+    # download (GROK_T1_PALLAS=0 keeps the fallback off the interpret
+    # kernel so the check stays cheap)
+    monkeypatch.setenv("GROK_T1_PALLAS", "0")
+    taken.clear()
+    rt = compress(Image(components=[Component(data=a, prec=2)]),
+                  CompressParams(backend="jax", rates=[4.0], **kw))
+    assert taken == [False]
+    rth = compress(Image(components=[Component(data=a, prec=2)]),
+                   CompressParams(backend="scalar", rates=[4.0], **kw))
+    assert rt == rth
+
+
 def test_serving_declines_to_general_path(monkeypatch):
     """Styled (mode-switch) streams must fall back, not fail."""
     from grok_tpu.pipeline import serve

@@ -55,7 +55,11 @@ class EncPlan:
     coder: str = "ht"        # "ht" (Pallas HT kernel) or "mq" (Part-1)
     mq_groups: list | None = None   # [(W, H, L, [plan block idx])] —
     #                         the MQ kernel codes exact-shape lanes, so
-    #                         blocks group by exact pow2 (w, h)
+    #                         blocks group by exact pow2 (w, h); also
+    #                         set on "ht" plans when feasible (the
+    #                         mixed path runs BOTH coders)
+    mq_sig: tuple | None = None     # _build_encode_fn_mq signature
+    #                         (sans N) for this plan's blocks
 
 
 def _pow2_at_least(v: int, lo: int = 4) -> int:
@@ -63,6 +67,27 @@ def _pow2_at_least(v: int, lo: int = 4) -> int:
     while p < v:
         p *= 2
     return p
+
+
+def _mq_grouping(blocks):
+    """Group plan blocks by exact (w, h) for the MQ encode kernel, or
+    None when any shape is outside the pow2 [4, 64] serving scope or
+    the kernel-variant count would exceed the compile budget.  Returns
+    [(W, H, L, [plan block idx])] with the pack_for_pallas_enc output
+    budget per shape."""
+    groups: dict = {}
+    for i, (_c, _r, _o, _yo, _xo, bh, bw) in enumerate(blocks):
+        if (bh < 4 or bw < 4 or bh > 64 or bw > 64
+                or bh & (bh - 1) or bw & (bw - 1)):
+            return None
+        groups.setdefault((bw, bh), []).append(i)
+    if len(groups) > 6:
+        return None
+    out = []
+    for (bw, bh) in sorted(groups):
+        L = max(96, -(-(bh * bw + bh * bw // 8 + 256) // 32) * 32)
+        out.append((bw, bh, L, groups[(bw, bh)]))
+    return out
 
 
 def _stage_bands(comps, comps_sig, ncomps, mct_mode):
@@ -475,34 +500,27 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
     mct_mode0 = 0
     if geo.cod.mct and len(comps_sig) >= 3:
         mct_mode0 = 2 if geo.styles[0].irreversible else 1
-    if coder == "mq":
-        # the MQ encode kernel codes exact-shape lanes (no per-lane wh):
-        # group blocks by exact (w, h), pow2 in [4, 64] only (pow2-sized
-        # tiles yield pow2 band/block shapes; anything else -> host),
-        # and bound the kernel-variant count per geometry
-        groups: dict = {}
-        for i, (_c, _r, _o, _yo, _xo, bh, bw) in enumerate(blocks):
-            if (bh < 4 or bw < 4 or bh > 64 or bw > 64
-                    or bh & (bh - 1) or bw & (bw - 1)):
-                return None
-            groups.setdefault((bw, bh), []).append(i)
-        if len(groups) > 6:
-            return None
-        mb4 = max(4, -(-mbmax // 4) * 4)
-        mq_groups = []
-        for (bw, bh) in sorted(groups):
-            # same output budget as ops.pallas_t1_enc.pack_for_pallas_enc
-            L = max(96, -(-(bh * bw + bh * bw // 8 + 256) // 32) * 32)
-            mq_groups.append((bw, bh, L, groups[(bw, bh)]))
+    # MQ grouping: the MQ encode kernel codes exact-shape lanes (no
+    # per-lane wh), so blocks group by exact (w, h), pow2 in [4, 64]
+    # only (pow2-sized tiles yield pow2 band/block shapes; anything
+    # else -> host), with a bound on kernel variants per geometry.
+    # Computed for BOTH coders: "mq" plans require it, "ht" plans carry
+    # it for the mixed path.
+    mq_groups = _mq_grouping(blocks)
+    mq_sig = None
+    if mq_groups is not None:
         groups_sig = tuple(
             (bw, bh, L, tuple(blocks[i][:5] for i in idxs))
             for (bw, bh, L, idxs) in mq_groups)
-        sig = (len(comps_sig), mct_mode0, tuple(comps_sig),
-               groups_sig, mb4)
+        mq_sig = (len(comps_sig), mct_mode0, tuple(comps_sig),
+                  groups_sig, max(4, -(-mbmax // 4) * 4))
+    if coder == "mq":
+        if mq_sig is None:
+            return None
         return EncPlan(geo=geo, bucket=(), lane_block=lane_block,
                        lane_mb=np.asarray(lane_mb, np.int32),
-                       lane_w=np.asarray(lane_w, np.float64), sig=sig,
-                       coder="mq", mq_groups=mq_groups)
+                       lane_w=np.asarray(lane_w, np.float64), sig=mq_sig,
+                       coder="mq", mq_groups=mq_groups, mq_sig=mq_sig)
     LMS = _cap_bytes(Wm * Hm * (mbmax + 2) // 8 + 16)
     if LMS > 128 * 32:
         return None
@@ -523,7 +541,8 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
     return EncPlan(geo=geo, bucket=(Wm, Hm, S, LMS, LMEL, LVLC, nlaunch),
                    lane_block=lane_block,
                    lane_mb=np.asarray(lane_mb, np.int32),
-                   lane_w=np.asarray(lane_w, np.float64), sig=sig)
+                   lane_w=np.asarray(lane_w, np.float64), sig=sig,
+                   mq_groups=mq_groups, mq_sig=mq_sig)
 
 
 def _comp_stacks(images, hdr, geo):
@@ -552,14 +571,17 @@ def _comp_stacks(images, hdr, geo):
     return comps
 
 
-def _encode_serving_batch_mq(images, hdr, plan, params):
+def _encode_serving_batch_mq(images, hdr, plan, params,
+                             collect_only: bool = False):
     """Host half of the fused Part-1 encode: launch the cached MQ
     program, compact + download each launch's wire bytes (async, the
     encode PP analog), and assemble EncodedBlocks for the trivial
     finish.  Reversible streams are byte-identical to the host encoder
     (the Pallas MQ kernel is bit-exact vs t1.t1_scalar; the stream is
     single-segment with rates reconstructed from the kernel's
-    watermarks, which the single-layer wire never encodes)."""
+    watermarks, which the single-layer wire never encodes).
+    collect_only returns the per-frame EncodedBlock lists instead of
+    finishing (the mixed path selects per block first)."""
     import numpy as _np
 
     from grok_tpu.ops.pallas_t1_enc import rates_from_watermarks
@@ -569,7 +591,7 @@ def _encode_serving_batch_mq(images, hdr, plan, params):
     N = len(images)
     geo = plan.geo
     comps = _comp_stacks(images, hdr, geo)
-    sig_n = (N,) + plan.sig
+    sig_n = (N,) + plan.mq_sig
     launches = _build_encode_fn_mq(sig_n)(tuple(comps))
 
     for (_w, st) in launches:
@@ -628,12 +650,66 @@ def _encode_serving_batch_mq(images, hdr, plan, params):
                     seg_lens=[total], seg_passes=[len(passes)])
             li += 1
 
+    if collect_only:
+        return encs
     targets = [None] * params.num_layers
     jobs_meta = [dict(key=kb, weight=float(w), mb=int(mb))
                  for kb, w, mb in zip(plan.lane_block, plan.lane_w,
                                       plan.lane_mb)]
     return [finish_tile_encode(geo, jobs_meta, encs[fi], targets)
             for fi in range(N)]
+
+
+def _encode_serving_batch_mixed(images, hdr, plan, params):
+    """HT MIXED sets on the device path: code every block with BOTH
+    serving coders (shared staging math, two cached programs), keep the
+    smaller wire per block — the host rule from pipeline.tile
+    encode_tile — and ship the choice as the canonical-order COM bitmap
+    with the ~CBLK_HT segmentation mask.  Byte-identical to the host
+    mixed encoder on the reversible path (both kernels are byte-exact,
+    so the per-block selection and bitmap agree)."""
+    from grok_tpu.codestream import j2k as _j2k
+    from grok_tpu.core.params import CBLK_HT
+    from grok_tpu.pipeline.tile import (canon_block_indices,
+                                        finish_tile_encode)
+
+    encs_ht = _encode_serving_batch_ht(images, hdr, plan, params, 0,
+                                       collect_only=True)
+    if encs_ht is None:
+        return None
+    encs_mq = _encode_serving_batch_mq(images, hdr, plan, params,
+                                       collect_only=True)
+    if encs_mq is None:
+        return None
+
+    N = len(images)
+    geo = plan.geo
+    B = len(plan.lane_block)
+    canon = canon_block_indices(geo)
+    targets = [None] * params.num_layers
+    jobs_meta = [dict(key=kb, weight=float(w), mb=int(mb))
+                 for kb, w, mb in zip(plan.lane_block, plan.lane_w,
+                                      plan.lane_mb)]
+    results = []
+    for fi in range(N):
+        bitmap = bytearray((len(canon) + 7) // 8)
+        encs = []
+        for bi in range(B):
+            ht_e = encs_ht[fi * B + bi]
+            mq_e = encs_mq[fi][bi]
+            c, r, p, band_i, cblk_i = plan.lane_block[bi]
+            if len(ht_e.data) <= len(mq_e.data):   # HT wins ties (host
+                ci = canon[(c, r, band_i, p, cblk_i)]  # rule)
+                bitmap[ci >> 3] |= 1 << (ci & 7)
+                encs.append(ht_e)
+            else:
+                encs.append(mq_e)
+        res = finish_tile_encode(geo, jobs_meta, encs, targets,
+                                 seg_style_mask=~CBLK_HT)
+        res.com = _j2k.write_com(b"GRKTPU_HTMIX=" + bytes(bitmap),
+                                 binary=True)
+        results.append(res)
+    return results
 
 
 def try_encode_serving(image, hdr, t: int, params, pocs):
@@ -653,11 +729,7 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
     from grok_tpu.core.params import MCTMode
     if (params.mesh is not None or params.roi_rect is not None
             or params.write_ppm or params.fixed_quality or pocs
-            or getattr(params, "ht_mixed", False)
             or params.mct == MCTMode.AUTO_RD):
-        # ht_mixed codes every block with BOTH coders and compares —
-        # a host-path feature by design (general device decode still
-        # dispatches both kernels on the result)
         return None
     P = int(params.ht_planes or 0)
 
@@ -673,14 +745,30 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
     if plan is None:
         return None
 
+    untargeted = (params.num_layers == 1
+                  and not (params.rates
+                           and any(r > 1 for r in params.rates)))
+
+    if getattr(params, "ht_mixed", False):
+        # HT MIXED sets on device (round 4): run BOTH serving coders on
+        # the same staged coefficients, pick the smaller wire per block
+        # (the host rule).  Needs both kernels, an mq-feasible block
+        # grouping, and the untargeted single-layer scope of the MQ
+        # path; everything else host-codes.
+        from grok_tpu.ops.pallas_ht import VLC_HAS_EK, ht_pallas_enabled
+        from grok_tpu.ops.pallas_t1 import t1_pallas_enabled
+        if (plan.coder != "ht" or plan.mq_sig is None or P
+                or not untargeted or not t1_pallas_enabled()
+                or not ht_pallas_enabled() or VLC_HAS_EK):
+            return None
+        return _encode_serving_batch_mixed(images, hdr, plan, params)
+
     if plan.coder == "mq":
         from grok_tpu.ops.pallas_t1 import t1_pallas_enabled
         # scope: single-layer untargeted encodes (the trivial finish) —
         # this path downloads no distortion stats, so PCRD-driven
         # configs fall back to the host coder
-        if (P or params.num_layers != 1
-                or (params.rates and any(r > 1 for r in params.rates))
-                or not t1_pallas_enabled()):
+        if P or not untargeted or not t1_pallas_enabled():
             return None
         return _encode_serving_batch_mq(images, hdr, plan, params)
 
@@ -689,7 +777,14 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
         # EMB tables: the device encoder codes eps_k = 0 only — fall
         # back to the host coder until it learns the suppression
         return None
+    return _encode_serving_batch_ht(images, hdr, plan, params, P)
 
+
+def _encode_serving_batch_ht(images, hdr, plan, params, P,
+                             collect_only: bool = False):
+    """Host half of the fused HT encode (see try_encode_serving_batch);
+    collect_only returns the flat frame-major EncodedBlock list instead
+    of running the finish (the mixed path selects per block first)."""
     import jax
     import jax.numpy as jnp
 
@@ -871,6 +966,9 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
                 data=data, numbps=int(nbps[lane]),
                 passes=[PassInfo(rate=sl, dist=dclean, term=True)],
                 seg_lens=[sl], seg_passes=[1]))
+
+    if collect_only:
+        return encs
 
     # Tier-2 + rate control over the device-coded blocks: the same
     # finish the host encoder runs (PCRD bisection, prepared C emitter),

@@ -154,6 +154,80 @@ def test_serving_encode_mq_part1_byte_identical(monkeypatch):
     assert rt == rth
 
 
+def test_serving_encode_mixed_declines_outside_scope(monkeypatch):
+    """Device HT MIXED scope guards: rate-targeted configs and non-pow2
+    block groupings decline to the host mixed encoder (identical
+    output), without touching either kernel."""
+    import os
+
+    from grok_tpu.core.image import Component, Image
+    from grok_tpu.pipeline import serve_enc
+
+    monkeypatch.setenv("GROK_T1_PALLAS", "1")
+    taken = []
+    orig = serve_enc.try_encode_serving_batch
+
+    def probe(images, hdr, t, params, pocs):
+        r = orig(images, hdr, t, params, pocs)
+        taken.append(r is not None)
+        return r
+
+    monkeypatch.setattr(serve_enc, "try_encode_serving_batch", probe)
+    a = (synthetic_image(16, 16, 1, seed=6).astype(np.int32) >> 6)
+    kw = dict(num_resolutions=2, cblk_w_exp=3, cblk_h_exp=3,
+              num_guard_bits=1)
+    # rate-targeted mixed: declined (the MQ side has no distortions)
+    dev = compress(Image(components=[Component(data=a, prec=2)]),
+                   CompressParams(backend="jax", ht_mixed=True,
+                                  rates=[4.0], **kw))
+    host = compress(Image(components=[Component(data=a, prec=2)]),
+                    CompressParams(backend="scalar", ht_mixed=True,
+                                   rates=[4.0], **kw))
+    assert taken == [False] and dev == host
+    # non-pow2 blocks (20x20 image -> ragged shapes): plan has no MQ
+    # grouping -> mixed declines even untargeted
+    taken.clear()
+    b = (synthetic_image(20, 20, 1, seed=6).astype(np.int32) >> 6)
+    dev = compress(Image(components=[Component(data=b, prec=2)]),
+                   CompressParams(backend="jax", ht_mixed=True, **kw))
+    host = compress(Image(components=[Component(data=b, prec=2)]),
+                    CompressParams(backend="scalar", ht_mixed=True, **kw))
+    assert taken == [False] and dev == host
+
+
+@pytest.mark.skipif(not __import__("os").environ.get(
+    "GROK_RUN_PALLAS_TESTS"),
+    reason="mixed serving encode runs BOTH interpret kernels (~6 min "
+           "cold); set GROK_RUN_PALLAS_TESTS=1 (hardware: "
+           "tools/hw_validate.py serve_mixed_enc)")
+def test_serving_encode_mixed_byte_identical(monkeypatch):
+    """Device HT MIXED: both serving coders on device, per-block min,
+    byte-identical to the host mixed encoder (same bitmap, same COM)."""
+    from grok_tpu.core.image import Component, Image
+    from grok_tpu.pipeline import serve_enc
+
+    monkeypatch.setenv("GROK_T1_PALLAS", "1")
+    taken = []
+    orig = serve_enc.try_encode_serving_batch
+
+    def probe(images, hdr, t, params, pocs):
+        r = orig(images, hdr, t, params, pocs)
+        taken.append(r is not None)
+        return r
+
+    monkeypatch.setattr(serve_enc, "try_encode_serving_batch", probe)
+    a = (synthetic_image(16, 16, 1, seed=6).astype(np.int32) >> 6)
+    kw = dict(num_resolutions=2, cblk_w_exp=3, cblk_h_exp=3,
+              num_guard_bits=1)
+    dev = compress(Image(components=[Component(data=a, prec=2)]),
+                   CompressParams(backend="jax", ht_mixed=True, **kw))
+    assert taken == [True], "serving declined a mixed config"
+    host = compress(Image(components=[Component(data=a, prec=2)]),
+                    CompressParams(backend="scalar", ht_mixed=True, **kw))
+    assert dev == host
+    assert np.array_equal(decompress(dev).components[0].data, a)
+
+
 def test_serving_declines_to_general_path(monkeypatch):
     """Styled (mode-switch) streams must fall back, not fail."""
     from grok_tpu.pipeline import serve

@@ -224,6 +224,48 @@ def run_serve_mq_enc(jax, side=512, cblk_exp=5, n=10):
         serve_enc.try_encode_serving_batch = orig
 
 
+def run_serve_mixed_enc(jax, side=512, cblk_exp=5, n=5):
+    """Device HT MIXED serving encode: both kernels on device, per-block
+    min, byte-identical to the host mixed encoder."""
+    from grok_tpu.api import compress
+    from grok_tpu.core.params import CompressParams
+    from grok_tpu.pipeline import serve_enc
+    from grok_tpu.util.oracle import synthetic_image
+
+    img = synthetic_image(side, side, 1, seed=7)
+    kw = dict(ht_mixed=True, num_resolutions=5,
+              cblk_w_exp=cblk_exp, cblk_h_exp=cblk_exp)
+    taken = []
+    orig = serve_enc.try_encode_serving_batch
+
+    def probe(images, hdr, t, params, pocs):
+        r = orig(images, hdr, t, params, pocs)
+        taken.append(r is not None)
+        return r
+
+    serve_enc.try_encode_serving_batch = probe
+    try:
+        t0 = time.perf_counter()
+        dev = compress(img, CompressParams(backend="jax", **kw))
+        warm = time.perf_counter() - t0
+        host = compress(img, CompressParams(backend="native", **kw))
+        ident = dev == host
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                dev = compress(img, CompressParams(backend="jax", **kw))
+            best = min(best, (time.perf_counter() - t0) / n)
+        mp = side * side / 1e6
+        print(f"serve_mixed_enc {side}^2 cblk {1 << cblk_exp}: "
+              f"serving={taken[0] if taken else None} "
+              f"byte-identical={ident}, first {warm:.1f} s, "
+              f"steady {best * 1e3:.1f} ms ({mp / best:.2f} MP/s), "
+              f"{len(dev)} B")
+    finally:
+        serve_enc.try_encode_serving_batch = orig
+
+
 def run_gather_probe(jax, rows=64):
     """Probe tpu.dynamic_gather support: jnp.take_along_axis on a 2D
     (rows, 128) array with per-lane row indices.  If Mosaic lowers and

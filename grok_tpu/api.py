@@ -471,6 +471,7 @@ def decompress_device_batch(streams: list[bytes],
     mh = bytes(first_cs[:hdr.main_header_end])
 
     bodies = []
+    ths = []
     ok = True
     th0 = None
     for s in streams:
@@ -493,9 +494,11 @@ def decompress_device_batch(streams: list[bytes],
             ok = False
             break
         bodies.append(b"".join(chunks))
+        ths.append(th)       # per-stream: HT MIXED bitmaps vary
         th0 = th0 or th
     if ok:
-        out = try_decode_serving_batch(mh, hdr, 0, th0, bodies, dp)
+        out = try_decode_serving_batch(mh, hdr, 0, th0, bodies, dp,
+                                       ths=ths)
         if out is not None:
             return out
     return [decompress_device(s, dp) for s in streams]

@@ -24,8 +24,11 @@ local-attached TPU).
 Scope: single-tile streams with main-header coding styles (no per-tile
 COD/QCD overrides, POC, or PPM/PPT), one codeword segment per block.
 Window, reduce, and max_layers ARE served (plans are cached per reduce;
-window/layer caps mask blocks per call).  Anything else returns None
-and the caller falls back to the general path.
+window/layer caps mask blocks per call).  HT MIXED streams are served
+too (round 4, late): each stream's COM bitmap routes its blocks
+between the HT and MQ kernel buckets of one fused program, with the
+raw body and the HT digest uploaded together.  Anything else returns
+None and the caller falls back to the general path.
 
 Reference parity: the reference's analog is the plugin batch decode
 surface [grok: src/lib/core/plugin/, grk_plugin_batch_decompress] where
@@ -70,6 +73,10 @@ class ServePlan:
     band_info: list                   # (c, r, orient, nl) per band
     ht_p_ext: int = 0                 # ht_planes COM extension (derive_p)
     fast: dict = field(default_factory=dict)   # lazy staging caches
+    canon_idx: np.ndarray | None = None   # "mixed": per-block canonical
+    #                         bitmap index (the COM bitmap's block
+    #                         enumeration; the bitmap itself is
+    #                         per-stream and never enters the plan)
 
 
 def _pow2_at_least(v: int, lo: int = 4, hi: int = 64) -> int:
@@ -90,15 +97,22 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
     if geo.rgn or geo.custom_mct is not None:
         return None
     if th is not None and th.ht_mixed_bitmap() is not None:
-        return None       # mixed HT/MQ blocks: general path dispatches
-    if all(cs.cblk_style == CBLK_HT for cs in geo.styles):
+        # HT MIXED sets (round 4, late): per-block HT/MQ routing by the
+        # per-stream COM bitmap.  The plan stays bitmap-free (the COM
+        # rides the tile-part header and varies per stream); T2 parses
+        # with the default single-segment rule — identical wire for
+        # single-pass HT cleanup blocks (make_contexts(~CBLK_HT)).
+        if not all(cs.cblk_style == CBLK_HT for cs in geo.styles):
+            return None
+        coder = "mixed"
+    elif all(cs.cblk_style == CBLK_HT for cs in geo.styles):
         coder = "ht"
     elif all(cs.cblk_style == 0 for cs in geo.styles):
         coder = "mq"
     else:
         return None
 
-    ctxs = geo.make_contexts()
+    ctxs = geo.make_contexts(~CBLK_HT if coder == "mixed" else -1)
     ctx_keys = list(ctxs.keys())
     ctx_idx = {k: i for i, k in enumerate(ctx_keys)}
     ctxs_flat = []
@@ -125,6 +139,11 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
     band_ids: dict = {}
     bucket_ids: dict = {}
     bucket_dims: list = []
+    canon = None
+    canon_l: list = []
+    if coder == "mixed":
+        from grok_tpu.pipeline.tile import canon_block_indices
+        canon = canon_block_indices(geo)
     for (c, r, p) in ctx_keys:
         tcg = geo.tcgs[c]
         quant = geo.quants[c]
@@ -140,7 +159,9 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
             mb = quant.mb(r, bg.orient)
             delta = float(quant.delta(r, bg.orient))
             bp = bg.precincts[p]
-            for cb in bp.cblks:
+            for cblk_i, cb in enumerate(bp.cblks):
+                if canon is not None:
+                    canon_l.append(canon[(c, r, band_i, p, cblk_i)])
                 comp_l.append(c)
                 mb_l.append(mb)
                 bw_l.append(cb.rect.w)
@@ -204,7 +225,9 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
         comps_sig=tuple(comps_sig), mct_mode=mct_mode,
         blk_rect=np.asarray(blk_rect_l, np.int64).reshape(-1, 4),
         blk_band=np.asarray(blk_band_l, np.int32), band_info=band_info,
-        ht_p_ext=hdr.ht_planes_ext())
+        ht_p_ext=hdr.ht_planes_ext(),
+        canon_idx=(np.asarray(canon_l, np.int64)
+                   if canon is not None else None))
 
 
 def _plan_for(cs: bytes, hdr, t: int, th,
@@ -347,14 +370,18 @@ def try_decode_serving(cs: bytes, hdr, t: int, th, body: bytes, dp):
 
 
 def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
-                             bodies: list[bytes], dp):
+                             bodies: list[bytes], dp, ths=None):
     """Fused decode of N same-geometry tile bodies in ONE device program.
 
     The batch is the serving shape (a frame sequence / dataset shard
     sharing one SIZ/COD/QCD): all N streams' code-blocks share kernel
     launches, the N bodies go up as one buffer, and per-stream inverse
     DWT/MCT run inside the same jit.  Returns a list of N per-component
-    array lists, or None (caller decodes individually / falls back)."""
+    array lists, or None (caller decodes individually / falls back).
+
+    ths: optional per-stream TileHeader list (HT MIXED: each stream's
+    COM bitmap routes its blocks between the HT and MQ kernel buckets
+    of the same program; defaults to `th` for every stream)."""
     if dp.mesh is not None or hdr.ppm is not None:
         return None
     if (th.cod is not None or th.qcd is not None or th.coc or th.qcc
@@ -391,7 +418,7 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
                   < np.minimum(br[:, 2], wb[:, 2]))
                  & (np.maximum(br[:, 1], wb[:, 1])
                     < np.minimum(br[:, 3], wb[:, 3])))
-    if plan.coder == "ht":
+    if plan.coder in ("ht", "mixed"):
         if dp.strict:
             return None   # strict HT decode needs the validating scalar
         from grok_tpu.ops.pallas_ht import ht_pallas_enabled
@@ -407,7 +434,9 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
 
     # per-stream T2 parse (+ HT wire scan/un-stuff into clean digests)
     per = []             # (idx, offs_sel(+base), lens/npass/nbps, scan|None)
-    digests = []         # HT coder: per-stream clean sub-stream buffers
+    digests = []         # HT/mixed: per-stream clean sub-stream buffers
+    mix_ht = []          # mixed: per-stream bool mask over idx (HT lanes)
+    ths_l = ths if ths is not None else [th] * N
     for si, body in enumerate(bodies):
         parsed = native.t2_parse_prepared(body, plan.prep, plan.sop,
                                           plan.eph)
@@ -458,6 +487,46 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
             if int(scan[:, 2:5:2].max()) > MAX_STREAM:
                 return None
             digests.append(dig)
+        elif plan.coder == "mixed":
+            # per-stream bitmap routes each block to its coder; HT
+            # blocks get the C wire scan into this stream's digest,
+            # MQ blocks read the raw body (both buffers upload)
+            bm = ths_l[si].ht_mixed_bitmap() \
+                if ths_l[si] is not None else None
+            if bm is None:
+                return None
+            bma = np.frombuffer(bm, np.uint8)
+            cidx = plan.canon_idx[idx]
+            if cidx.size == 0 or int(cidx.max()) >= bma.size * 8:
+                return None
+            hsel = ((bma[cidx >> 3] >> (cidx & 7)) & 1).astype(bool)
+            npz = npass[idx]
+            if not (npz[hsel] == 1).all():
+                return None
+            if not ((npz >= 1) & (npz <= 109)).all():
+                return None
+            if (numbps < 0).any() or int(numbps.max()) > 30:
+                return None
+            scan = np.zeros((idx.size, 7), np.int64)
+            dig = b""
+            if hsel.any():
+                res = native.ht_scan2(body, offs[idx][hsel],
+                                      lens[idx][hsel])
+                if res is None:
+                    return None
+                scan_h, dig = res
+                if (scan_h[:, 0] < 0).any():
+                    return None
+                nbh = numbps[hsel]
+                scan_h[:, 0] = np.minimum(plan.ht_p_ext,
+                                          np.maximum(nbh - 1, 0))
+                if ((nbh - scan_h[:, 0]) > 24).any():
+                    return None
+                if int(scan_h[:, 2:5:2].max()) > MAX_STREAM:
+                    return None
+                scan[hsel] = scan_h
+            digests.append(dig)
+            mix_ht.append(hsel)
         else:
             if not ((npass[idx] >= 1) & (npass[idx] <= 109)).all():
                 return None
@@ -468,8 +537,16 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
 
     # one upload for all streams, each at a 16-byte-aligned base: the
     # raw bodies for MQ, the clean HT digests for HT (the device then
-    # gathers per-lane sub-stream windows from it)
-    srcs = digests if plan.coder == "ht" else bodies
+    # gathers per-lane sub-stream windows from it); mixed uploads BOTH
+    # per stream (raw body for its MQ blocks, digest for its HT blocks)
+    if plan.coder == "ht":
+        srcs = digests
+    elif plan.coder == "mixed":
+        srcs = []
+        for b, d in zip(bodies, digests):
+            srcs += [b, d]
+    else:
+        srcs = bodies
     bases = []
     pos = 0
     for b in srcs:
@@ -480,10 +557,16 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
     for b, base in zip(srcs, bases):
         body_cat[base:base + len(b)] = np.frombuffer(bytes(b), np.uint8) \
             if not isinstance(b, np.ndarray) else b
+    bases_dig = bases
     if plan.coder == "mq":
         per = [(idx, offs + bases[si], lens, npass, nbps, scan)
                for si, (idx, offs, lens, npass, nbps, scan)
                in enumerate(per)]
+    elif plan.coder == "mixed":
+        per = [(idx, offs + bases[2 * si], lens, npass, nbps, scan)
+               for si, (idx, offs, lens, npass, nbps, scan)
+               in enumerate(per)]
+        bases_dig = [bases[2 * si + 1] for si in range(N)]
 
     import jax.numpy as jnp
 
@@ -494,7 +577,7 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
     # per-block loops below otherwise dominate the frame time (and
     # scale with batch size, which made batch mode slower than single)
     staged = None
-    if wmask is None:
+    if wmask is None and plan.coder != "mixed":
         staged = _try_stage_fast(plan, per, bases, N, ncomps)
     if staged is not None:
         bucket_sigs, bucket_arrays = staged
@@ -519,32 +602,38 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
     bucket_sigs = []
     bucket_arrays = []
     for bid, (W, H) in enumerate(plan.bucket_dims):
-        # lanes from every stream, stream-major
-        lane_gi = []     # (stream, gi, off, len, npass, nbps, scan row)
+        # lanes from every stream, stream-major; mixed splits each
+        # stream's members between the two coder routes by its bitmap
+        lane_gi = []     # HT rows: (stream, gi, off, len, npass, nbps,
+        mq_rows = []     # scan row); MQ rows: same with scan unused
         for si, (idx, offb, lns, nps, nbp, scan) in enumerate(per):
             m = plan.bucket[idx] == bid
             mw = np.nonzero(m)[0]
             for j in mw.tolist():
-                lane_gi.append((si, int(idx[j]), int(offb[j]),
-                                int(lns[j]), int(nps[j]), int(nbp[j]),
-                                None if scan is None else scan[j]))
-        if not lane_gi:
-            continue
-        if plan.coder == "mq":
-            Bq = -(-len(lane_gi) // LANES) * LANES
-            L = max(256, -(-max(r[3] for r in lane_gi) // 256) * 256)
-            maxbp = -(-max(max(r[5] for r in lane_gi), 1) // 4) * 4
+                row = (si, int(idx[j]), int(offb[j]),
+                       int(lns[j]), int(nps[j]), int(nbp[j]),
+                       None if scan is None else scan[j])
+                if plan.coder == "mq" or (plan.coder == "mixed"
+                                          and not mix_ht[si][j]):
+                    mq_rows.append(row)
+                else:
+                    lane_gi.append(row)
+        if mq_rows:
+            Bq = -(-len(mq_rows) // LANES) * LANES
+            L = max(256, -(-max(r[3] for r in mq_rows) // 256) * 256)
+            maxbp = -(-max(max(r[5] for r in mq_rows), 1) // 4) * 4
             meta = np.zeros((Bq, 4), np.int32)
             blocks_sig = []
             for lane, (si, gi, off, ln, nps, nbp, _s) in \
-                    enumerate(lane_gi):
+                    enumerate(mq_rows):
                 meta[lane] = (off, ln, nps, nbp)
                 tail = plan.sig_tail[gi]
                 blocks_sig.append((lane, si * ncomps + tail[0])
                                   + tail[1:])
             bucket_sigs.append(("mq3", W, H, (L, maxbp),
-                                len(lane_gi), tuple(blocks_sig)))
+                                len(mq_rows), tuple(blocks_sig)))
             bucket_arrays.append((jnp.asarray(meta),))
+        if not lane_gi:
             continue
         mx = max(int(r[6][2:5:2].max()) for r in lane_gi)
         S = sublanes_for_count(len(lane_gi), sublanes_for_ht(W, H, mx))
@@ -572,9 +661,9 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
                     enumerate(chunk):
                 # digest windows: clean MagSgn + the raw suffix (device
                 # un-stuffs its MEL and VLC readings)
-                meta[lane, 0] = srow[1] + bases[si]         # ms start
+                meta[lane, 0] = srow[1] + bases_dig[si]     # ms start
                 meta[lane, 1] = srow[2]
-                meta[lane, 2] = srow[3] + bases[si]         # suffix
+                meta[lane, 2] = srow[3] + bases_dig[si]     # suffix
                 meta[lane, 3] = srow[4]
                 meta[lane, 4] = srow[0]                     # p
                 tail = plan.sig_tail[gi]

@@ -11,13 +11,15 @@ emission over the downloaded segments.
 
 Scope (falls back to the general encoder otherwise): HT cleanup-only
 styles OR Part-1 default styles (round 4: the Pallas MQ encode kernel
-— pow2 block shapes, single-layer untargeted), no ROI, no custom MCT,
-no mesh, default precincts.  For HT, multi-layer and byte-rate-targeted
-encodes STAY on the device path: the kernel emits exact per-block
-distortion stats and the host runs the same PCRD + prepared-emitter
-finish as the general encoder (pipeline.tile.finish_tile_encode); the
-MQ path downloads no distortion stats, so rate-targeted Part-1 configs
-fall back.  The reversible path produces codestreams byte-identical to
+— pow2 block shapes), no ROI, no custom MCT, no mesh, default
+precincts.  For BOTH coders, multi-layer and byte-rate-targeted
+encodes STAY on the device path: the program emits exact per-block
+distortion stats (HT: per-pass residual rows; MQ: _mq_dstat's
+per-pass-row reconstruction sums over the kernel's sigtype map) and
+the host runs the same PCRD + prepared-emitter finish as the general
+encoder (pipeline.tile.finish_tile_encode, including the
+minimal-flush truncation refinement for MQ).
+The reversible path produces codestreams byte-identical to
 the host encoder (both Pallas kernels are byte-exact vs their scalar
 oracles); the irreversible path quantizes in f32 on device (vs f64 on
 host), so streams are self-consistent but may differ from the host
@@ -60,6 +62,11 @@ class EncPlan:
     #                         mixed path runs BOTH coders)
     mq_sig: tuple | None = None     # _build_encode_fn_mq signature
     #                         (sans N) for this plan's blocks
+    lane_orient: np.ndarray | None = None   # per-lane band orient
+    lane_wh: np.ndarray | None = None       # per-lane (w, h): targeted
+    #                         MQ finishes pass style/orient/w/h so the
+    #                         minimal-flush truncation refinement runs
+    #                         (byte-identity with the host finish)
 
 
 def _pow2_at_least(v: int, lo: int = 4) -> int:
@@ -354,7 +361,7 @@ def _build_encode_fn_mq(sig):
     from grok_tpu.ops.pallas_ht import _ht_interpret
     from grok_tpu.ops.pallas_t1_enc import pallas_t1_encode
 
-    (N, ncomps, mct_mode, comps_sig, groups_sig, MB4) = sig
+    (N, ncomps, mct_mode, comps_sig, groups_sig, MB4, want_dstat) = sig
 
     @jax.jit
     def run(comps):
@@ -383,14 +390,97 @@ def _build_encode_fn_mq(sig):
                                           (0, LANES - len(lanes))))
                 mx = jnp.max((mneg >> 1).reshape(-1, LANES), axis=0)
                 numbps = (32 - jax.lax.clz(mx)).reshape(1, LANES)
-                out_w, lens, rates, _sigtype = pallas_t1_encode(
+                out_w, lens, rates, sigtype = pallas_t1_encode(
                     mneg, jnp.asarray(ori), numbps, W, H, MB4, L,
                     _ht_interpret())
-                stats = jnp.concatenate([lens, numbps, rates], axis=0)
+                rows = [lens, numbps, rates]
+                if want_dstat:
+                    rows.append(_mq_dstat(mneg, sigtype, numbps, W, H,
+                                          MB4))
+                stats = jnp.concatenate(rows, axis=0)
                 results.append((out_w, stats))
         return tuple(results)
 
     return run
+
+
+def _mq_dstat(mneg, sigtype, numbps, W: int, H: int, MB4: int):
+    """Per-pass EXACT distortion stats for the Part-1 serving encode, in
+    int32 component splits (the HT path's trick, serve_enc._build_
+    encode_fn): the host reconstructs ops.t1_enc._pass_distortions'
+    cumulative values bit-for-bit in f64.
+
+    Per sample, reconstruction after pass row r telescopes, so the
+    cumulative distortion at pass t is (E_0 - E_t)/4 with E_x =
+    sum (2m - 2rec_x)^2 in half-sample units; rec after row (plane j,
+    ptype) follows the scalar model exactly:
+
+      rec = 0                      until the sample's sig pass runs
+      rec = Q(m, g)                after, Q(m,g) = (m>>g<<g) + 0.5*2^g
+            g = bp   once MRP at bp has run (or the sample sig'd at bp)
+            g = bp+1 at the SPP row (unrefined yet this plane)
+
+    (Q(m, msb) = 1.5*2^msb reproduces the first-significance value, so
+    significant-unrefined needs no special case.)  Rows follow the rate
+    watermark layout (rates_from_watermarks): row 0 = CLN at the MSB
+    plane, rows 3j-2/3j-1/3j = SPP/MRP/CLN at plane index j.  Output:
+    (6 + 6*(3*MB4-2), LANES) int32 — 6 base rows carry sum m^2
+    (12-bit-half product splits), then 6 rows per pass row carry E
+    (13-bit-half splits).  Exact-f64 scope is the HT path's: true sums
+    must fit 53 bits (2*numbps + log2(area) <= 53).
+
+    Irreversible scope: like the HT serving path, distortions measure
+    against the INTEGER quantized magnitude (the host's lossy model
+    additionally carries the quantize_frac sub-step residual), so lossy
+    rate-targeted device streams are self-consistent rather than
+    byte-identical — within the invariant's existing f32 lossy scope."""
+    import jax
+    import jax.numpy as jnp
+
+    from grok_tpu.ops.t1_enc import SIG_SPP
+
+    HW = H * W
+    mg = (mneg >> 1).reshape(HW, LANES)
+    M = mg << 1
+    ch = min(64, HW)
+
+    def exact_sum(x, ch):
+        p0 = jnp.sum(x.reshape(HW // ch, ch, LANES), axis=1)
+        return (jnp.sum(p0 >> 16, axis=0), jnp.sum(p0 & 0xFFFF, axis=0))
+
+    rows = []
+    mhi = mg >> 12
+    mlo = mg & 4095
+    for x in (mhi * mhi, mhi * mlo, mlo * mlo):
+        hi, lo = exact_sum(x, ch)
+        rows += [hi, lo]
+
+    pos = mg > 0
+    msb = 31 - jax.lax.clz(mg)              # -1 where mag == 0
+    st_spp = (sigtype.reshape(HW, LANES) == SIG_SPP)
+    nb = numbps                              # (1, LANES), broadcasts
+    ch2 = min(32, HW)
+    for r in range(3 * MB4 - 2):
+        j = 0 if r == 0 else (r + 2) // 3
+        pt = 2 if r == 0 else r - (3 * j - 2)   # 0 SPP / 1 MRP / 2 CLN
+        bp = jnp.maximum(nb - 1 - j, 0)          # rows past numbps:
+        if pt == 0:                              # garbage, host ignores
+            signow = (msb > bp) | ((msb == bp) & st_spp)
+            g = jnp.where(msb == bp, bp, bp + 1)
+        elif pt == 1:
+            signow = (msb > bp) | ((msb == bp) & st_spp)
+            g = jnp.broadcast_to(bp, msb.shape)
+        else:
+            signow = pos & (msb >= bp)
+            g = jnp.broadcast_to(bp, msb.shape)
+        rec2 = jnp.where(signow, ((mg >> g) << (g + 1)) + (1 << g), 0)
+        A = jnp.abs(M - rec2)
+        ahi = A >> 13
+        alo = A & 8191
+        for x in (ahi * ahi, ahi * alo, alo * alo):
+            hi, lo = exact_sum(x, ch2)
+            rows += [hi, lo]
+    return jnp.stack(rows, axis=0)
 
 
 @lru_cache(maxsize=32)
@@ -451,6 +541,8 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
     lane_block = []
     lane_mb = []
     lane_w = []
+    lane_orient = []
+    lane_wh = []
     comps_sig = []
     for c, tcg in enumerate(geo.tcgs):
         quant = geo.quants[c]
@@ -481,6 +573,8 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
                         lane_block.append((c, rg.r, p, band_i, cblk_i))
                         lane_mb.append(mb)
                         lane_w.append(w)
+                        lane_orient.append(bg.orient)
+                        lane_wh.append((cb.rect.w, cb.rect.h))
                         Wm = max(Wm, _pow2_at_least(cb.rect.w))
                         Hm = max(Hm, _pow2_at_least(cb.rect.h))
         rect = geo.comp_rects[c]
@@ -520,7 +614,9 @@ def _build_plan(hdr, t: int, params) -> EncPlan | None:
         return EncPlan(geo=geo, bucket=(), lane_block=lane_block,
                        lane_mb=np.asarray(lane_mb, np.int32),
                        lane_w=np.asarray(lane_w, np.float64), sig=mq_sig,
-                       coder="mq", mq_groups=mq_groups, mq_sig=mq_sig)
+                       coder="mq", mq_groups=mq_groups, mq_sig=mq_sig,
+                       lane_orient=np.asarray(lane_orient, np.int32),
+                       lane_wh=np.asarray(lane_wh, np.int32))
     LMS = _cap_bytes(Wm * Hm * (mbmax + 2) // 8 + 16)
     if LMS > 128 * 32:
         return None
@@ -572,16 +668,24 @@ def _comp_stacks(images, hdr, geo):
 
 
 def _encode_serving_batch_mq(images, hdr, plan, params,
-                             collect_only: bool = False):
+                             collect_only: bool = False,
+                             targeted: bool = False):
     """Host half of the fused Part-1 encode: launch the cached MQ
     program, compact + download each launch's wire bytes (async, the
-    encode PP analog), and assemble EncodedBlocks for the trivial
-    finish.  Reversible streams are byte-identical to the host encoder
-    (the Pallas MQ kernel is bit-exact vs t1.t1_scalar; the stream is
+    encode PP analog), and assemble EncodedBlocks for the finish.
+    Reversible streams are byte-identical to the host encoder (the
+    Pallas MQ kernel is bit-exact vs t1.t1_scalar; the stream is
     single-segment with rates reconstructed from the kernel's
     watermarks, which the single-layer wire never encodes).
     collect_only returns the per-frame EncodedBlock lists instead of
-    finishing (the mixed path selects per block first)."""
+    finishing (the mixed path selects per block first).
+
+    targeted: rate-targeted / multi-layer encodes — the device program
+    additionally computes exact per-pass distortion stats (_mq_dstat)
+    and the finish runs the SAME PCRD + truncation refinement as the
+    host encoder (jobs carry style/orient/w/h), so reversible
+    rate-targeted device streams stay byte-identical within the HT
+    path's 53-bit f64 scope (CLAUDE.md invariant)."""
     import numpy as _np
 
     from grok_tpu.ops.pallas_t1_enc import rates_from_watermarks
@@ -591,7 +695,7 @@ def _encode_serving_batch_mq(images, hdr, plan, params,
     N = len(images)
     geo = plan.geo
     comps = _comp_stacks(images, hdr, geo)
-    sig_n = (N,) + plan.mq_sig
+    sig_n = (N,) + plan.mq_sig + (targeted,)
     launches = _build_encode_fn_mq(sig_n)(tuple(comps))
 
     for (_w, st) in launches:
@@ -600,6 +704,8 @@ def _encode_serving_batch_mq(images, hdr, plan, params,
         except AttributeError:
             pass
     stats_h = [_np.asarray(st) for (_w, st) in launches]
+    MB4 = plan.mq_sig[4]
+    R8 = -(-3 * MB4 // 8) * 8        # rate watermark rows (kernel R8)
 
     # phase C: enqueue every launch's compaction + async D2H before
     # assembling any bytes (device work overlaps the host byte work)
@@ -630,7 +736,23 @@ def _encode_serving_batch_mq(images, hdr, plan, params,
         NBg = N * ng
         for k in range(-(-NBg // LANES)):
             st = stats_h[li]
-            lens, nbps, rates = st[0], st[1], st[2:]
+            lens, nbps, rates = st[0], st[1], st[2:2 + R8]
+            dists_l = None
+            if targeted:
+                # exact f64 reconstruction of _pass_distortions'
+                # cumulative values: dist_t = sum m^2 - E_t/4 (the HT
+                # path's 3-term splits; same 53-bit exactness scope)
+                d = st[2 + R8:].astype(_np.float64)
+                s1 = d[0] * 65536.0 + d[1]
+                s2 = d[2] * 65536.0 + d[3]
+                s3 = d[4] * 65536.0 + d[5]
+                m2 = s1 * 16777216.0 + 2.0 * s2 * 4096.0 + s3
+                nrow = (d.shape[0] - 6) // 6
+                eb = d[6:].reshape(nrow, 6, -1)
+                E = (eb[:, 0] * 65536.0 + eb[:, 1]) * 67108864.0 \
+                    + 2.0 * (eb[:, 2] * 65536.0 + eb[:, 3]) * 8192.0 \
+                    + (eb[:, 4] * 65536.0 + eb[:, 5])
+                dists_l = m2[None, :] - 0.25 * E       # (nrow, LANES)
             byts = _np.asarray(words_d[li]).astype("<u4").view(_np.uint8)
             seg = _np.where(nbps > 0, lens, 0)
             starts = _np.cumsum(seg) - seg
@@ -642,7 +764,9 @@ def _encode_serving_batch_mq(images, hdr, plan, params,
                 total = int(lens[lane])
                 data = bytes(byts[starts[lane]:starts[lane] + total])
                 rr = rates_from_watermarks(rates[:, lane], numbps, total)
-                passes = [PassInfo(rate=v, dist=0.0,
+                passes = [PassInfo(rate=v,
+                                   dist=(float(dists_l[t, lane])
+                                         if targeted else 0.0),
                                    term=(t == len(rr) - 1))
                           for t, v in enumerate(rr)]
                 encs[fi][idxs[bi]] = EncodedBlock(
@@ -652,10 +776,18 @@ def _encode_serving_batch_mq(images, hdr, plan, params,
 
     if collect_only:
         return encs
-    targets = [None] * params.num_layers
-    jobs_meta = [dict(key=kb, weight=float(w), mb=int(mb))
-                 for kb, w, mb in zip(plan.lane_block, plan.lane_w,
-                                      plan.lane_mb)]
+    if targeted:
+        targets = _layer_targets(hdr, geo, params)
+        jobs_meta = [dict(key=kb, weight=float(w), mb=int(mb), style=0,
+                          orient=int(o), w=int(bw), h=int(bh))
+                     for kb, w, mb, o, (bw, bh)
+                     in zip(plan.lane_block, plan.lane_w, plan.lane_mb,
+                            plan.lane_orient, plan.lane_wh)]
+    else:
+        targets = [None] * params.num_layers
+        jobs_meta = [dict(key=kb, weight=float(w), mb=int(mb))
+                     for kb, w, mb in zip(plan.lane_block, plan.lane_w,
+                                          plan.lane_mb)]
     return [finish_tile_encode(geo, jobs_meta, encs[fi], targets)
             for fi in range(N)]
 
@@ -765,11 +897,15 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
 
     if plan.coder == "mq":
         from grok_tpu.ops.pallas_t1 import t1_pallas_enabled
-        # scope: single-layer untargeted encodes (the trivial finish) —
-        # this path downloads no distortion stats, so PCRD-driven
-        # configs fall back to the host coder
-        if P or not untargeted or not t1_pallas_enabled():
+        if P or not t1_pallas_enabled():
             return None
+        if not untargeted:
+            # rate-targeted / multi-layer Part-1 (round 4): the device
+            # program adds exact per-pass distortion stats (_mq_dstat)
+            # and the finish runs the same PCRD + minimal-flush
+            # truncation refinement as the host encoder
+            return _encode_serving_batch_mq(images, hdr, plan, params,
+                                            targeted=True)
         return _encode_serving_batch_mq(images, hdr, plan, params)
 
     from grok_tpu.ops.pallas_ht import VLC_HAS_EK, ht_pallas_enabled

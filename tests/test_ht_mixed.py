@@ -124,7 +124,11 @@ def test_multitile(img):
         assert th.ht_mixed_bitmap() is not None
 
 
-def test_serving_plan_declines_mixed(mixed_stream):
+def test_serving_plan_builds_mixed(mixed_stream):
+    """Round 4 (late): mixed streams get a serving plan too — coder
+    "mixed", T2 prep under the default single-segment rule, and the
+    canonical bitmap index per block (the bitmap itself stays out of
+    the plan: it varies per stream)."""
     from grok_tpu import native
     if not native.available():
         pytest.skip("native runtime unavailable")
@@ -133,7 +137,75 @@ def test_serving_plan_declines_mixed(mixed_stream):
     parts = j2k.read_tile_parts(mixed_stream, hdr)
     th = j2k.TileHeader()
     j2k.read_tile_part_header(mixed_stream, parts[0], hdr, th)
-    assert _build_plan(hdr, 0, th, 0) is None
+    plan = _build_plan(hdr, 0, th, 0)
+    assert plan is not None and plan.coder == "mixed"
+    assert plan.canon_idx is not None \
+        and plan.canon_idx.size == plan.n_blks
+
+
+def test_serving_device_decode_mixed(img, monkeypatch):
+    """Device serving decode of MIXED streams: each stream's COM bitmap
+    routes its blocks between the HT (ht3) and MQ (mq3) kernel buckets
+    of ONE fused program; raw body + digest upload together.  Forced
+    truly-mixed bitmaps (the natural winner is MQ everywhere), batch of
+    two streams with DIFFERENT bitmaps, tiny blocks in interpret mode."""
+    from grok_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    import grok_tpu.pipeline.tile as tile_pipe
+    from grok_tpu.api import decompress_device_batch
+    from grok_tpu.pipeline import serve
+
+    monkeypatch.setenv("GROK_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("GROK_HT_PALLAS", "1")
+    a = (img[:24, :24].astype(np.int32) >> 5)
+    b = (img[40:64, 40:64].astype(np.int32) >> 5)
+    kw = dict(num_resolutions=2, cblk_w_exp=3, cblk_h_exp=3,
+              num_guard_bits=2, ht_mixed=True, backend="scalar")
+    from grok_tpu.core.image import Component, Image
+
+    real = tile_pipe.encode_block
+    calls = {"n": 0, "mod": 2}
+
+    def fat_every_other(mag, neg, orient, style):
+        e = real(mag, neg, orient, style)
+        calls["n"] += 1
+        if calls["n"] % calls["mod"] and e.data:
+            e.data = e.data + b"\x00" * 4096
+            e.seg_lens = [len(e.data)]
+        return e
+
+    monkeypatch.setattr(tile_pipe, "encode_block", fat_every_other)
+    sa = compress(Image(components=[Component(data=a, prec=3)]),
+                  CompressParams(**kw))
+    calls["mod"] = 3     # a different bitmap for the second stream
+    sb = compress(Image(components=[Component(data=b, prec=3)]),
+                  CompressParams(**kw))
+    monkeypatch.setattr(tile_pipe, "encode_block", real)
+    # (not monkeypatch.undo(): that would also drop the env gates)
+
+    for s in (sa, sb):
+        hdr = j2k.read_main_header(s)
+        parts = j2k.read_tile_parts(s, hdr)
+        th = j2k.TileHeader()
+        j2k.read_tile_part_header(s, parts[0], hdr, th)
+        bm = th.ht_mixed_bitmap()
+        assert any(v for v in bm), "no HT blocks were forced"
+        assert any((v ^ 0xFF) & 0xFF for v in bm[:-1]) or len(bm) == 1
+
+    taken = []
+    orig = serve.try_decode_serving_batch
+
+    def probe(cs, hdr, t, th, bodies, dp, ths=None):
+        r = orig(cs, hdr, t, th, bodies, dp, ths=ths)
+        taken.append(r is not None)
+        return r
+
+    monkeypatch.setattr(serve, "try_decode_serving_batch", probe)
+    outs = decompress_device_batch([sa, sb])
+    assert taken and taken[0], "mixed batch declined the serving path"
+    assert np.array_equal(np.asarray(outs[0][0]), a)
+    assert np.array_equal(np.asarray(outs[1][0]), b)
 
 
 def test_mixed_rejects_ht_planes():

@@ -140,10 +140,8 @@ def test_serving_encode_mq_part1_byte_identical(monkeypatch):
                     CompressParams(backend="scalar", **kw))
     assert dev == host, "device Part-1 stream differs from host"
     assert np.array_equal(decompress(dev).components[0].data, a)
-    # out-of-scope configs decline cleanly (host fallback, identical):
-    # rate-targeted encodes need distortion stats this path does not
-    # download (GROK_T1_PALLAS=0 keeps the fallback off the interpret
-    # kernel so the check stays cheap)
+    # with the Pallas kernel disabled the route declines cleanly (host
+    # fallback, identical streams)
     monkeypatch.setenv("GROK_T1_PALLAS", "0")
     taken.clear()
     rt = compress(Image(components=[Component(data=a, prec=2)]),
@@ -152,6 +150,42 @@ def test_serving_encode_mq_part1_byte_identical(monkeypatch):
     rth = compress(Image(components=[Component(data=a, prec=2)]),
                    CompressParams(backend="scalar", rates=[4.0], **kw))
     assert rt == rth
+
+
+def test_serving_encode_mq_rate_targeted_byte_identical(monkeypatch):
+    """Round 4 (late): rate-targeted and multi-layer Part-1 encodes STAY
+    on the fused serving path — the device program adds exact per-pass
+    distortion stats (serve_enc._mq_dstat over the kernel's sigtype
+    map) and the host runs the same PCRD + minimal-flush truncation
+    refinement as the general encoder.  Reversible streams are
+    byte-identical to the host coder (CLAUDE.md invariant scope)."""
+    from grok_tpu.core.image import Component, Image
+    from grok_tpu.pipeline import serve_enc
+
+    monkeypatch.setenv("GROK_T1_PALLAS", "1")
+    taken = []
+    orig = serve_enc.try_encode_serving_batch
+
+    def probe(images, hdr, t, params, pocs):
+        r = orig(images, hdr, t, params, pocs)
+        taken.append(r is not None)
+        return r
+
+    monkeypatch.setattr(serve_enc, "try_encode_serving_batch", probe)
+    a = (synthetic_image(16, 16, 1, seed=6).astype(np.int32) >> 6)
+    kw = dict(num_resolutions=2, cblk_w_exp=3, cblk_h_exp=3,
+              num_guard_bits=1)
+    for extra in (dict(rates=[4.0]),
+                  dict(num_layers=2, rates=[8.0, 2.0])):
+        taken.clear()
+        dev = compress(Image(components=[Component(data=a, prec=2)]),
+                       CompressParams(backend="jax", **kw, **extra))
+        assert taken == [True], f"serving encode declined {extra}"
+        host = compress(Image(components=[Component(data=a, prec=2)]),
+                        CompressParams(backend="scalar", **kw, **extra))
+        assert dev == host, f"targeted device stream differs: {extra}"
+        out = decompress(dev).components[0].data
+        assert out.shape == a.shape
 
 
 def test_serving_encode_mixed_declines_outside_scope(monkeypatch):

@@ -224,6 +224,53 @@ def run_serve_mq_enc(jax, side=512, cblk_exp=5, n=10):
         serve_enc.try_encode_serving_batch = orig
 
 
+def run_serve_mq_enc_rt(jax, side=512, cblk_exp=5, n=5):
+    """Rate-targeted Part-1 serving ENCODE (round 4, late): the device
+    program adds exact per-pass distortion stats (_mq_dstat) and the
+    host runs the full PCRD finish — streams must stay on the serving
+    path and match the host encoder byte-for-byte (reversible)."""
+    from grok_tpu.api import compress
+    from grok_tpu.core.params import CompressParams
+    from grok_tpu.pipeline import serve_enc
+    from grok_tpu.util.oracle import synthetic_image
+
+    img = synthetic_image(side, side, 1, seed=7)
+    taken = []
+    orig = serve_enc.try_encode_serving_batch
+
+    def probe(images, hdr, t, params, pocs):
+        r = orig(images, hdr, t, params, pocs)
+        taken.append(r is not None)
+        return r
+
+    serve_enc.try_encode_serving_batch = probe
+    try:
+        for extra in (dict(rates=[4.0]),
+                      dict(num_layers=3, rates=[16.0, 4.0, 1.0])):
+            kw = dict(num_resolutions=5, cblk_w_exp=cblk_exp,
+                      cblk_h_exp=cblk_exp, **extra)
+            taken.clear()
+            t0 = time.perf_counter()
+            dev = compress(img, CompressParams(backend="jax", **kw))
+            warm = time.perf_counter() - t0
+            host = compress(img, CompressParams(backend="native", **kw))
+            ident = dev == host
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    dev = compress(img, CompressParams(backend="jax",
+                                                       **kw))
+                best = min(best, (time.perf_counter() - t0) / n)
+            mp = side * side / 1e6
+            print(f"serve_mq_enc_rt {side}^2 cblk {1 << cblk_exp} "
+                  f"{extra}: serving={taken[0] if taken else None} "
+                  f"byte-identical={ident}, first {warm:.1f} s, "
+                  f"steady {best * 1e3:.1f} ms ({mp / best:.2f} MP/s)")
+    finally:
+        serve_enc.try_encode_serving_batch = orig
+
+
 def run_serve_mixed_enc(jax, side=512, cblk_exp=5, n=5):
     """Device HT MIXED serving encode: both kernels on device, per-block
     min, byte-identical to the host mixed encoder."""
@@ -264,6 +311,73 @@ def run_serve_mixed_enc(jax, side=512, cblk_exp=5, n=5):
               f"{len(dev)} B")
     finally:
         serve_enc.try_encode_serving_batch = orig
+
+
+def run_serve_mixed_dec(jax, side=512, cblk_exp=5, n=10):
+    """Device serving decode of HT MIXED streams (round 4, late): the
+    per-stream COM bitmap routes blocks between the ht3 and mq3 kernel
+    buckets of one fused program.  Natural content picks MQ everywhere
+    (PERF.md), so also force a truly mixed bitmap via the encoder
+    comparison hook and check losslessness + amortized rate."""
+    import numpy as np
+
+    from grok_tpu.api import compress, decompress_device
+    from grok_tpu.core.params import CompressParams
+    from grok_tpu.pipeline import serve
+    import grok_tpu.pipeline.tile as tile_pipe
+    from grok_tpu.util.oracle import synthetic_image
+
+    img = synthetic_image(side, side, 1, seed=7)
+    kw = dict(ht_mixed=True, num_resolutions=5,
+              cblk_w_exp=cblk_exp, cblk_h_exp=cblk_exp)
+    streams = {"natural": compress(img, CompressParams(**kw))}
+    real = tile_pipe.encode_block
+    calls = {"n": 0}
+
+    def fat_every_other(mag, neg, orient, style):
+        e = real(mag, neg, orient, style)
+        calls["n"] += 1
+        if calls["n"] % 2 and e.data:
+            e.data = e.data + b"\x00" * 4096
+            e.seg_lens = [len(e.data)]
+        return e
+
+    tile_pipe.encode_block = fat_every_other
+    try:
+        streams["forced"] = compress(img, CompressParams(**kw))
+    finally:
+        tile_pipe.encode_block = real
+
+    taken = []
+    orig = serve.try_decode_serving_batch
+
+    def probe(cs, hdr, t, th, bodies, dp, ths=None):
+        r = orig(cs, hdr, t, th, bodies, dp, ths=ths)
+        taken.append(r is not None)
+        return r
+
+    serve.try_decode_serving_batch = probe
+    try:
+        for label, s in streams.items():
+            taken.clear()
+            out = decompress_device(s)
+            jax.block_until_ready(out)
+            ok = np.array_equal(np.asarray(out[0]), img)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    out = decompress_device(s)
+                jax.block_until_ready(out)
+                np.asarray(out[0][:1, :1])
+                best = min(best, (time.perf_counter() - t0) / n)
+            mp = side * side / 1e6
+            print(f"serve_mixed_dec {label} {side}^2 "
+                  f"({len(s)} B): serving={taken[0] if taken else None} "
+                  f"lossless={ok}, steady {best * 1e3:.1f} ms "
+                  f"({mp / best:.2f} MP/s)")
+    finally:
+        serve.try_decode_serving_batch = orig
 
 
 def run_gather_probe(jax, rows=64):

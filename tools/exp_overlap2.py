@@ -63,7 +63,7 @@ def main():
         def wrapped(arrs, body_d):
             captured["sig"] = sig
             captured["arrs"] = arrs
-            captured["body_np"] = None
+            captured["body_d"] = body_d
             return fn(arrs, body_d)
 
         return wrapped
@@ -76,30 +76,8 @@ def main():
     assert np.array_equal(np.asarray(out[0]), img)
     fn = real_build(captured["sig"])
     arrs = captured["arrs"]
-
-    # rebuild body_cat numpy exactly as serve does (single stream)
-    from grok_tpu import native
-    parsed = native.t2_parse_prepared(body, None, False, False) \
-        if False else None
-    # simpler: grab the device body via a second tap that keeps numpy
-    hold = {}
-    orig_asarray = None
     import jax.numpy as jnp
-    # monkeypatch jnp.asarray? messy. Instead re-run with a wrapper fn
-    # that stashes body_d; then pull its numpy via a device program
-    def tap2(sig):
-        fn2 = real_build(sig)
-
-        def wrapped(arrs2, body_d):
-            hold["body_d"] = body_d
-            return fn2(arrs2, body_d)
-
-        return wrapped
-
-    dev._build_decode_fn = tap2
-    serve.try_decode_serving(cs, hdr, 0, th, body, dp)
-    dev._build_decode_fn = real_build
-    body_d0 = hold["body_d"]
+    body_d0 = captured["body_d"]
     # uint8 D2H hangs on axon: download via int32 view program
     bw = jnp.asarray(body_d0, jnp.int32)
     body_np = np.asarray(bw).astype(np.uint8)

@@ -232,7 +232,12 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
 
 def _plan_for(cs: bytes, hdr, t: int, th,
               reduce: int = 0) -> ServePlan | None:
-    key = (bytes(cs[:hdr.main_header_end]), t, reduce)
+    # the coder choice depends on the TILE-PART COM bitmap (mixed vs
+    # ht), which varies per stream under one main header — fold its
+    # presence into the key so an 'ht' plan cached from a bitmap-less
+    # stream never serves a genuine mixed stream (and vice versa)
+    mixed = th is not None and th.ht_mixed_bitmap() is not None
+    key = (bytes(cs[:hdr.main_header_end]), t, reduce, mixed)
     plan = _PLANS.get(key)
     if plan is None and key not in _PLANS:
         plan = _build_plan(hdr, t, th, reduce)
@@ -392,6 +397,13 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
     plan = _plan_for(cs, hdr, t, th, int(dp.reduce or 0))
     if plan is None:
         return None
+    if plan.coder == "ht" and ths is not None:
+        # batch streams may carry per-stream COM bitmaps even when the
+        # plan stream (th) did not: their single-pass MQ blocks must
+        # not reach ht_scan2 — fall back to the general path
+        for q in ths:
+            if q is not None and q.ht_mixed_bitmap() is not None:
+                return None
 
     # region decode: keep only blocks whose band rect intersects the
     # synthesis-dilated window (same mask as the general path's

@@ -245,3 +245,31 @@ def test_truncated_bitmap_treated_as_mq(img, mixed_stream):
     out[sot + 6:sot + 10] = (psot - delta).to_bytes(4, "big")
     dec = decompress(bytes(out), DecompressParams(strict=False))
     assert np.array_equal(dec.to_array(), img)
+
+
+def test_plan_cache_keyed_on_bitmap_presence(mixed_stream):
+    """Round-5 ADVICE fix: the serving-plan cache key must include
+    COM-bitmap PRESENCE.  A crafted stream sharing the mixed main
+    header but carrying no GRKTPU_HTMIX COM caches an 'ht' plan; a
+    genuine mixed stream with the same main header must NOT take that
+    plan (its single-pass MQ blocks would be fed to ht_scan2)."""
+    from grok_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from grok_tpu.pipeline import serve
+
+    hdr = j2k.read_main_header(mixed_stream)
+    parts = j2k.read_tile_parts(mixed_stream, hdr)
+    th = j2k.TileHeader()
+    j2k.read_tile_part_header(mixed_stream, parts[0], hdr, th)
+    assert th.ht_mixed_bitmap() is not None
+
+    serve._PLANS.clear()
+    # crafted shape first: same main-header bytes, NO tile-part COM
+    plan_ht = serve._plan_for(mixed_stream, hdr, 0, j2k.TileHeader(), 0)
+    assert plan_ht is not None and plan_ht.coder == "ht"
+    # the genuine mixed stream must get its own (mixed) plan, not the
+    # cached 'ht' one
+    plan_mx = serve._plan_for(mixed_stream, hdr, 0, th, 0)
+    assert plan_mx is not None and plan_mx.coder == "mixed"
+    serve._PLANS.clear()

@@ -95,37 +95,60 @@ def parse_ht_header(data: bytes, seg_lens):
 def _vlc_dec_planes():
     """Bit-sliced CxtVLC decode LUT for the kernel.
 
-    entry(idx) = sym | (len << symb) for idx = ctx*128 + window7; the
-    LUT is evaluated in-kernel as `symb+3` bit planes, each plane a
-    32-word constant vector indexed by hi = idx >> 5 with the bit at
-    position lo = idx & 31.  Regenerated from t1ht.tables.VLC_DEC at
-    import, so swapping in normative tables rebuilds the kernel.
+    entry(idx) = sym | (len << symb) for idx = (fam*N_CTX + ctx)*128 +
+    window7 (fam 0 = non-initial row family, fam 1 = initial-row family
+    when tables.two_families()); the LUT is evaluated in-kernel as
+    `symb+3` bit planes, each plane a 32*nfam-word constant vector
+    indexed by hi = idx >> 5 with the bit at position lo = idx & 31.
+    Rebuilt from the CURRENT t1ht.tables state per tables.VERSION
+    (vlc_dec_state), so installing normative tables re-jits the kernel.
     Invalid windows decode as the benign (rho=0, len=1) — garbage-in
     garbage-out on corrupt streams (the serving path is non-strict)."""
-    from grok_tpu.t1ht.tables import N_CTX, VLC_DEC
+    from grok_tpu.t1ht import tables as _t
+    fams = [_t.VLC_DEC]
+    if _t.two_families():
+        fams.append(_t.VLC_DEC_INIT)
+    nfam = len(fams)
+    n_ctx = _t.N_CTX
     symmax = 0
-    for c in range(N_CTX):
-        for sym, _ln in VLC_DEC[c]:
-            symmax = max(symmax, sym)
+    for dec in fams:
+        for c in range(n_ctx):
+            for sym, _ln in dec[c]:
+                symmax = max(symmax, sym)
     symb = max(5, int(symmax).bit_length())
-    ent = np.zeros(N_CTX * 128, np.int64)
-    for c in range(N_CTX):
-        for w7, (sym, ln) in enumerate(VLC_DEC[c]):
-            if sym < 0:
-                sym, ln = 0, 1
-            ent[c * 128 + w7] = sym | (ln << symb)
+    ent = np.zeros(nfam * n_ctx * 128, np.int64)
+    for f, dec in enumerate(fams):
+        for c in range(n_ctx):
+            for w7, (sym, ln) in enumerate(dec[c]):
+                if sym < 0:
+                    sym, ln = 0, 1
+                ent[(f * n_ctx + c) * 128 + w7] = sym | (ln << symb)
     nplanes = symb + 3
-    planes = np.zeros((nplanes, 32), np.int64)
-    idx = np.arange(N_CTX * 128)
+    nw = nfam * n_ctx * 128 // 32
+    planes = np.zeros((nplanes, nw), np.int64)
+    idx = np.arange(nfam * n_ctx * 128)
     hi, lo = idx >> 5, idx & 31
     for j in range(nplanes):
         np.bitwise_or.at(planes[j], hi, ((ent >> j) & 1) << lo)
     planes_i32 = (planes & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
     has_ek = symmax >= 32
-    return planes_i32, symb, has_ek
+    return planes_i32, symb, has_ek, nfam, _t.UVLC_PXOR & 7
 
 
-VLC_DEC_PLANES, VLC_SYMB, VLC_HAS_EK = _vlc_dec_planes()
+_DEC_STATE_CACHE: dict = {}
+
+
+def vlc_dec_state():
+    """(table_version, (planes, symb, has_ek, nfam, pxor)) for the
+    CURRENT t1ht.tables state; memoized per tables.VERSION."""
+    from grok_tpu.t1ht import tables as _t
+    tv = _t.VERSION
+    got = _DEC_STATE_CACHE.get(tv)
+    if got is None:
+        _DEC_STATE_CACHE.clear()     # old versions are dead
+        got = _vlc_dec_planes()
+        _DEC_STATE_CACHE[tv] = got
+    return tv, got
 
 
 def ht_block_eligible(job: dict) -> bool:
@@ -262,8 +285,9 @@ def pallas_ht_decode(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
     mag2 (H, W, [S,] LANES) int32 (negative = sign bit), with the Part-1
     half-bit below plane p (matches ht_decode_block)."""
     z = np.zeros((S * LANES, 33), np.uint8)
+    tv, _ = vlc_dec_state()
     return _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
-                          z, z, valid, W, H, S, interpret, False)
+                          z, z, valid, W, H, S, interpret, False, tv)
 
 
 def pallas_ht_decode_refine(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
@@ -276,17 +300,24 @@ def pallas_ht_decode_refine(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
     (_pack_raw); npv: per-lane pass count (1..3).  Lanes with npv < 2
     skip refinement (masked).  p > 0 required for refine lanes
     (ht_block_eligible enforces)."""
+    tv, _ = vlc_dec_state()
     return _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
-                          sp_raw, mr_raw, npv, W, H, S, interpret, True)
+                          sp_raw, mr_raw, npv, W, H, S, interpret, True,
+                          tv)
 
 
-@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13))
+@partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14))
 def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
                    sp_raw, mr_raw, npv,
                    W: int, H: int, S: int, interpret: bool,
-                   refine: bool):
+                   refine: bool, table_version: int = 0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # trace-time table state (table_version in the jit key retraces on
+    # install_tables): LUT planes + symbol width + families + polarity
+    _, (DEC_PLANES, SYMB, _HAS_EK, NFAM, PXOR) = vlc_dec_state()
+    NW = DEC_PLANES.shape[1]
 
     ms_d = device_pairs(ms_raw, S)
     mel_d = device_pairs(mel_raw, S)
@@ -351,9 +382,9 @@ def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
         siotas = {64: iota_for(64), 96: iota_for(96)}
         # lane values are always 2-D (lane_sh): the LUT one-hot axes are
         # (32,) + (1, 1) regardless of S
-        hiota32 = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
-        # bit-sliced CxtVLC decode LUT planes, (32,)+(1,)*nd each
-        lut = [lut_ref[j] for j in range(VLC_DEC_PLANES.shape[0])]
+        hiota32 = jax.lax.broadcasted_iota(jnp.int32, (NW, 1, 1), 0)
+        # bit-sliced CxtVLC decode LUT planes, (NW,)+(1,)*nd each
+        lut = [lut_ref[j] for j in range(DEC_PLANES.shape[0])]
         wiota = iota_for(W)
         qiota = iota_for(GW + 2)
         gset = {ms_ref.shape[0], mel_ref.shape[0], vlc_ref.shape[0]}
@@ -455,7 +486,7 @@ def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
         one = jnp.int32(1)
         half = jnp.where(p_l > 0, one << p_l, 0)
         p1 = p_l + 1
-        symmask = (1 << VLC_SYMB) - 1
+        symmask = (1 << SYMB) - 1
 
         def mel_event(mask, k, run, pend, mel_bp):
             """One MEL event for `mask` lanes -> (ev, k, run, pend, bp).
@@ -508,7 +539,12 @@ def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
                                                  pend, mel_bp)
             vread = (act & is_c0 & (ev == 1)) | (act & ~is_c0)
             w7 = bits_at(vlc_st[...], vlc_ba[...], vlc_bp) & 0x7F
-            hi = (c << 2) | (w7 >> 5)
+            if NFAM == 2:
+                # family 1 = initial quad-row pair (g == 0)
+                fam = jnp.where(g == 0, 8, 0)
+                hi = ((fam + c) << 2) | (w7 >> 5)
+            else:
+                hi = (c << 2) | (w7 >> 5)
             lo = w7 & 31
             sel32 = (hiota32 == hi[None]).astype(jnp.int32)
             entry = jnp.zeros_like(c)
@@ -516,12 +552,15 @@ def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
                 word = jnp.sum(cj * sel32, axis=0)
                 entry = entry | (((word >> lo) & 1) << j)
             sym = jnp.where(vread, entry & symmask, 0)
-            ln = (entry >> VLC_SYMB) & 7
+            ln = (entry >> SYMB) & 7
             vlc_bp = vlc_bp + jnp.where(vread, ln, 0)
             return sym, top_p, (k, run, pend, mel_bp), vlc_bp
 
         def pclass(wv):
-            """UVLC prefix class at bit 0 of wv: (len, base, sfx_len)."""
+            """UVLC prefix class at bit 0 of wv: (len, base, sfx_len).
+            PXOR (tables.UVLC_PXOR) flips the transmitted prefix bits
+            before classification (trace-time constant)."""
+            wv = wv ^ PXOR
             b0 = wv & 1
             b1 = (wv >> 1) & 1
             b2 = (wv >> 2) & 1
@@ -778,8 +817,8 @@ def _ht_decode_jit(ms_raw, mel_raw, vlc_raw, pv, wh, valid,
             jax.lax.fori_loop(0, NC2 // K2, mr_group,
                               jnp.zeros(lane_sh, jnp.int32))
 
-    lut_in = jnp.asarray(VLC_DEC_PLANES.reshape(
-        (VLC_DEC_PLANES.shape[0], 32, 1, 1)))
+    lut_in = jnp.asarray(DEC_PLANES.reshape(
+        (DEC_PLANES.shape[0], NW, 1, 1)))
     scratch = [
         pltpu.VMEM((GH + 1, GW + 2) + arr_tail, jnp.int32),  # rho+eb
         pltpu.VMEM((64,) + arr_tail, jnp.int32),             # ms win

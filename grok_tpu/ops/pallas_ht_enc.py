@@ -14,9 +14,14 @@ then stuffs/interleaves them into the wire segment with the shared
 assembler (t1ht.scalar.assemble_cleanup or its C mirror) — all
 backends byte-identical.
 
-The default tables code eps_k = 0; if normative tables with EMB
-symbols are dropped in (VLC_HAS_EK), the device encoder falls back to
-the scalar coder (callers check) until it learns the suppression.
+EMB (round 5): when installed tables code eps_k != 0 symbols
+(tables_have_ek()), the kernel computes per-sample eps bits (E_i ==
+U_q), tries the (eps_k, u_off, rho) LUT entry with fallback to the
+always-present eps_k = 0 entry, and suppresses the known MSB from each
+sample's MagSgn field — the scalar coder's exact rule, so streams stay
+byte-identical.  Two table families (initial vs non-initial quad rows)
+and the UVLC prefix polarity knob are likewise trace-time state from
+t1ht.tables (vlc_enc_state, keyed on tables.VERSION).
 
 Output staging is hierarchical so the full (G, 8, lanes) buffers are
 never touched per quad (the round-2 rework: the original flush+rebase
@@ -55,34 +60,74 @@ LANES = 128
 
 def _vlc_enc_planes():
     """Bit-sliced CxtVLC encode LUT: entry = code | (len << 7) for
-    idx = ctx*32 + sym (sym = u_off<<4 | rho); 10 bit planes of 8
-    constant words each, indexed hi = idx >> 5 with the bit at lo =
-    idx & 31.  Regenerated from t1ht.tables.VLC_ENC at import.  EMB
-    symbols (sym >= 32) are excluded — the device encodes eps_k = 0
-    (see module docstring)."""
-    from grok_tpu.t1ht.tables import N_CTX, VLC_ENC
-    ent = np.zeros(N_CTX * 32, np.int64)
-    for c in range(N_CTX):
-        for sym, (ln, code) in VLC_ENC[c].items():
-            if sym < 32:
-                ent[c * 32 + sym] = code | (ln << 7)
-    planes = np.zeros((10, 8), np.int64)
-    idx = np.arange(N_CTX * 32)
+    idx = ((fam*N_CTX + ctx) << symb) | sym, sym = [eps_k<<5 |]
+    u_off<<4 | rho (symb = 9 when any family codes EMB symbols, else
+    5); 10 bit planes of nfam*N_CTX*2^symb/32 constant words each,
+    indexed hi = idx >> 5 with the bit at lo = idx & 31.  fam 0 =
+    non-initial row family, fam 1 = initial-row family
+    (tables.two_families()).  Rebuilt from the CURRENT t1ht.tables
+    state per tables.VERSION (vlc_enc_state); entry 0 = symbol absent
+    (every real code has len >= 1, so entry >= 1 << 7) — the in-kernel
+    EMB lookup falls back to the always-present eps_k = 0 entry, the
+    same rule as the scalar coder."""
+    from grok_tpu.t1ht import tables as _t
+    fams = [_t.VLC_ENC]
+    if _t.two_families():
+        fams.append(_t.VLC_ENC_INIT)
+    nfam = len(fams)
+    n_ctx = _t.N_CTX
+    has_ek = _t.tables_have_ek()
+    symb = 9 if has_ek else 5
+    ent = np.zeros(nfam * n_ctx << symb, np.int64)
+    for f, enc in enumerate(fams):
+        for c in range(n_ctx):
+            for sym, (ln, code) in enc[c].items():
+                if sym < (1 << symb):
+                    ent[((f * n_ctx + c) << symb) | sym] = \
+                        code | (ln << 7)
+    nw = (nfam * n_ctx << symb) // 32
+    planes = np.zeros((10, nw), np.int64)
+    idx = np.arange(nfam * n_ctx << symb)
     hi, lo = idx >> 5, idx & 31
     for j in range(10):
         np.bitwise_or.at(planes[j], hi, ((ent >> j) & 1) << lo)
-    return (planes & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    planes_i32 = (planes & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    return planes_i32, symb, has_ek, nfam, _t.UVLC_PXOR & 7
 
 
-VLC_ENC_PLANES = _vlc_enc_planes()
+_ENC_STATE_CACHE: dict = {}
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def vlc_enc_state():
+    """(table_version, (planes, symb, has_ek, nfam, pxor)) for the
+    CURRENT t1ht.tables state; memoized per tables.VERSION."""
+    from grok_tpu.t1ht import tables as _t
+    tv = _t.VERSION
+    got = _ENC_STATE_CACHE.get(tv)
+    if got is None:
+        _ENC_STATE_CACHE.clear()
+        got = _vlc_enc_planes()
+        _ENC_STATE_CACHE[tv] = got
+    return tv, got
+
+
 def pallas_ht_encode(mneg, pv, wh, valid,
                      W: int, H: int, S: int,
                      LMS: int, LMEL: int, LVLC: int,
                      interpret: bool = False,
                      refine: bool = False):
+    tv, _ = vlc_enc_state()
+    return _ht_encode_jit(mneg, pv, wh, valid, W, H, S,
+                          LMS, LMEL, LVLC, interpret, refine, tv)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+def _ht_encode_jit(mneg, pv, wh, valid,
+                   W: int, H: int, S: int,
+                   LMS: int, LMEL: int, LVLC: int,
+                   interpret: bool = False,
+                   refine: bool = False,
+                   table_version: int = 0):
     """Encode a batch of S*128 HT cleanup blocks with one Pallas kernel.
 
     mneg: (H, W, [S,] LANES) int32 = (mag << 1) | neg.
@@ -98,6 +143,11 @@ def pallas_ht_encode(mneg, pv, wh, valid,
     SigProp new-significance grid (for host distortion bookkeeping)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # trace-time table state (table_version in the jit key retraces on
+    # install_tables): LUT planes, symbol width, EMB, families, polarity
+    _, (ENC_PLANES, SYMB, HAS_EK, NFAM, PXOR) = vlc_enc_state()
+    NW = ENC_PLANES.shape[1]
 
     GH, GW = (H + 1) // 2, (W + 1) // 2
     arr_tail = (S, LANES) if S > 1 else (LANES,)
@@ -167,8 +217,8 @@ def pallas_ht_encode(mneg, pv, wh, valid,
         ms_mid[...] = jnp.zeros((MIDG, 8) + arr_tail, jnp.int32)
 
         siotas = {16: iota_for(16), 24: iota_for(24)}
-        hiota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
-        lut = [lut_ref[j] for j in range(VLC_ENC_PLANES.shape[0])]
+        hiota8 = jax.lax.broadcasted_iota(jnp.int32, (NW, 1, 1), 0)
+        lut = [lut_ref[j] for j in range(ENC_PLANES.shape[0])]
         qiota = iota_for(GW + 2)
         gset = {LMS // 32, LMEL // 32, LVLC // 32}
         if refine:
@@ -413,21 +463,36 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             ebot = jnp.maximum(
                 jnp.where(sig[1] == 1, Es[1], 0),
                 jnp.where(sig[3] == 1, Es[3], 0))
-            return rho, vbits, sig, U, u, ebot
+            return rho, vbits, sig, Es, U, u, ebot
 
-        def cxt_entry(c, u_off, rho):
-            """CxtVLC (rho, u_off) codeword via the bit-sliced LUT:
-            (bits, len)."""
-            sym = (u_off << 4) | rho
-            idx = (c << 5) | sym
+        def lut_lookup(idx):
             hi = idx >> 5
             lo = idx & 31
             sel8 = (hiota8 == hi[None]).astype(jnp.int32)
-            entry = jnp.zeros_like(c)
+            entry = jnp.zeros_like(idx)
             for j, cj in enumerate(lut):
                 word = jnp.sum(cj * sel8, axis=0)
                 entry = entry | (((word >> lo) & 1) << j)
-            return entry & 0x7F, (entry >> 7) & 7
+            return entry
+
+        def cxt_entry(fam8, c, u_off, rho, ek):
+            """CxtVLC codeword via the bit-sliced LUT: (bits, len,
+            ek_used).  fam8 = 8 on the initial quad-row pair when two
+            table families are installed (else 0).  When the tables
+            code EMB symbols (HAS_EK), the (eps_k, u_off, rho) entry is
+            tried first and falls back to the always-present eps_k = 0
+            entry — the scalar coder's rule, so streams stay
+            byte-identical."""
+            sym = (u_off << 4) | rho
+            base = ((fam8 + c) << SYMB) | sym
+            entry = lut_lookup(base)
+            ekq = jnp.zeros_like(rho)
+            if HAS_EK:
+                e_ent = lut_lookup(base | (ek << 5))
+                use = (ek > 0) & (e_ent != 0)
+                entry = jnp.where(use, e_ent, entry)
+                ekq = jnp.where(use, ek, 0)
+            return entry & 0x7F, (entry >> 7) & 7, ekq
 
         def ctx_of(left, g, qx):
             top = rho_read(g, qx + 1) & 0xF
@@ -447,16 +512,27 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             sl = jnp.where(u <= 2, 0, jnp.where(u <= 4, 1, 5))
             sb = jnp.where(u <= 2, 0,
                            jnp.where(u <= 4, u - 3, u - 5))
+            if PXOR:
+                pb = pb ^ (PXOR & ((one << pl_) - 1))
             return pl_, pb, sl, sb
 
-        def magsgn_emit(rho, vbits, sig, U, act, Es_unused, ms_bp):
+        def magsgn_emit(rho, vbits, sig, U, act, ek, ms_bp):
             """The quad's four MagSgn fields (<= 100 bits) packed into
-            four 32-bit words and written with ONE window RMW."""
+            four 32-bit words and written with ONE window RMW.  ek:
+            per-sample EMB bits — sample i emits U - ek_i bits (its
+            known MSB at bit U-1 is suppressed; the decoder restores
+            it)."""
             words = [jnp.zeros_like(U) for _ in range(4)]
             total = jnp.zeros_like(U)
             for i in range(4):
                 m_i = act & (sig[i] == 1)
-                vi = jnp.where(m_i, vbits[i], 0)
+                if HAS_EK:
+                    mlen = U - ((ek >> i) & 1)
+                    vi = jnp.where(m_i,
+                                   vbits[i] & ((one << mlen) - 1), 0)
+                else:
+                    mlen = U
+                    vi = jnp.where(m_i, vbits[i], 0)
                 wi = total >> 5
                 sft = total & 31
                 bs = (32 - sft) & 31
@@ -467,7 +543,7 @@ def pallas_ht_encode(mneg, pv, wh, valid,
                     zj = jnp.zeros_like(U)
                     words[j] = words[j] | jnp.where(wi == j, lo, zj) \
                         | jnp.where(wi + 1 == j, hi, zj)
-                total = total + jnp.where(m_i, U, 0)
+                total = total + jnp.where(m_i, mlen, 0)
             or_bits128(ms_st, ms_ba, ms_bp, words, act & (rho != 0))
             return ms_bp + total
 
@@ -487,14 +563,34 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             ms_win_to_mid()
             ms_win_rebase(ms_bp >> 3)
 
-            rho0, vb0, sig0, U0, u0, eb0 = quad_stats(g, qx0, act0)
+            rho0, vb0, sig0, Es0, U0, u0, eb0 = quad_stats(g, qx0,
+                                                           act0)
             left0 = rho_read(g + 1, qx0) & 0xF
             c0 = ctx_of(left0, g, qx0)
             uoff0 = act0 & (u0 > 0)
+            # per-sample EMB bits: significant samples attaining the
+            # exponent bound (E_i == U) have a known MSB
+            if HAS_EK:
+                ek0 = jnp.zeros_like(rho0)
+                for i in range(4):
+                    ek0 = ek0 | jnp.where((sig0[i] == 1)
+                                          & (Es0[i] == U0), 1 << i, 0)
+            else:
+                ek0 = jnp.zeros_like(rho0)
+            fam8 = jnp.where(initial, 8, 0) if NFAM == 2 else 0
             if HAS2:
-                rho1, vb1, sig1, U1, u1, eb1 = quad_stats(g, qx1, act1)
+                rho1, vb1, sig1, Es1, U1, u1, eb1 = quad_stats(g, qx1,
+                                                               act1)
                 c1 = ctx_of(rho0, g, qx1)
                 uoff1 = act1 & (u1 > 0)
+                if HAS_EK:
+                    ek1 = jnp.zeros_like(rho1)
+                    for i in range(4):
+                        ek1 = ek1 | jnp.where((sig1[i] == 1)
+                                              & (Es1[i] == U1),
+                                              1 << i, 0)
+                else:
+                    ek1 = jnp.zeros_like(rho1)
             else:
                 rho1 = jnp.zeros_like(rho0)
                 uoff1 = act1 & False
@@ -522,17 +618,22 @@ def pallas_ht_encode(mneg, pv, wh, valid,
 
             # -- CxtVLC codewords of both quads, ONE window write ---------
             vw0 = (m0 & (rho0 != 0)) | (act0 & (c0 != 0))
-            w_v0, n_v0 = cxt_entry(c0, (u0 > 0).astype(jnp.int32), rho0)
+            w_v0, n_v0, ekq0 = cxt_entry(fam8, c0,
+                                         (u0 > 0).astype(jnp.int32),
+                                         rho0, ek0)
             en0 = jnp.where(vw0, n_v0, 0)
             wv = jnp.where(vw0, w_v0, 0)
             if HAS2:
                 vw1 = (m1 & (rho1 != 0)) | (act1 & (c1 != 0))
-                w_v1, n_v1 = cxt_entry(c1, (u1 > 0).astype(jnp.int32),
-                                       rho1)
+                w_v1, n_v1, ekq1 = cxt_entry(fam8, c1,
+                                             (u1 > 0)
+                                             .astype(jnp.int32),
+                                             rho1, ek1)
                 en1 = jnp.where(vw1, n_v1, 0)
                 wv = wv | (jnp.where(vw1, w_v1, 0) << en0)
             else:
                 en1 = jnp.zeros_like(en0)
+                ekq1 = en1
             or_bits(vlc_st, vlc_ba, vlc_bp, wv, wv != 0)
             vlc_bp = vlc_bp + en0 + en1
 
@@ -565,12 +666,13 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             vlc_bp = vlc_bp + nu
 
             # -- MagSgn + the packed (ebot << 4) | rho state row ----------
-            ms_bp = magsgn_emit(rho0, vb0, sig0, U0, act0, None, ms_bp)
+            ms_bp = magsgn_emit(rho0, vb0, sig0, U0, act0, ekq0,
+                                ms_bp)
             rowr = rho_ref[g + 1]
             rowr = jnp.where((qiota == qx0 + 1) & act0,
                              rho0 | (eb0 << 4), rowr)
             if HAS2:
-                ms_bp = magsgn_emit(rho1, vb1, sig1, U1, act1, None,
+                ms_bp = magsgn_emit(rho1, vb1, sig1, U1, act1, ekq1,
                                     ms_bp)
                 rowr = jnp.where((qiota == qx1 + 1) & act1,
                                  rho1 | (eb1 << 4), rowr)
@@ -704,8 +806,8 @@ def pallas_ht_encode(mneg, pv, wh, valid,
             ns_ref[...] = (sig_ref[1:H + 1, 1:W + 1] == 2) \
                 .astype(jnp.int32)
 
-    lut_in = jnp.asarray(VLC_ENC_PLANES.reshape(
-        (VLC_ENC_PLANES.shape[0], 8, 1, 1)))
+    lut_in = jnp.asarray(ENC_PLANES.reshape(
+        (ENC_PLANES.shape[0], NW, 1, 1)))
     out_shape = [
         jax.ShapeDtypeStruct((LMS // 32, 8) + arr_tail, jnp.int32),
         jax.ShapeDtypeStruct((LMEL // 32, 8) + arr_tail, jnp.int32),
@@ -786,15 +888,6 @@ def encode_ht_blocks(blocks: list[dict], interpret: bool = False,
     staged-window bound (numbps > 24) or with numbps == 0 are handled
     by the caller / scalar path."""
     from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
-
-    from grok_tpu.ops.pallas_ht import VLC_HAS_EK
-    if VLC_HAS_EK:
-        # EMB tables: the device encoder codes eps_k = 0 only (module
-        # docstring) — byte-identity demands the scalar coder
-        from grok_tpu.t1ht.scalar import ht_encode_block
-        return [ht_encode_block(b["mag"], b["neg"], b["orient"],
-                                p=ht_planes)
-                for b in blocks]
 
     results: list = [None] * len(blocks)
     buckets: dict[tuple, list[int]] = {}

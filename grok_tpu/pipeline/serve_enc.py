@@ -887,11 +887,11 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
         # (the host rule).  Needs both kernels, an mq-feasible block
         # grouping, and the untargeted single-layer scope of the MQ
         # path; everything else host-codes.
-        from grok_tpu.ops.pallas_ht import VLC_HAS_EK, ht_pallas_enabled
+        from grok_tpu.ops.pallas_ht import ht_pallas_enabled
         from grok_tpu.ops.pallas_t1 import t1_pallas_enabled
         if (plan.coder != "ht" or plan.mq_sig is None or P
                 or not untargeted or not t1_pallas_enabled()
-                or not ht_pallas_enabled() or VLC_HAS_EK):
+                or not ht_pallas_enabled()):
             return None
         return _encode_serving_batch_mixed(images, hdr, plan, params)
 
@@ -908,10 +908,8 @@ def try_encode_serving_batch(images, hdr, t: int, params, pocs):
                                             targeted=True)
         return _encode_serving_batch_mq(images, hdr, plan, params)
 
-    from grok_tpu.ops.pallas_ht import VLC_HAS_EK, ht_pallas_enabled
-    if not ht_pallas_enabled() or VLC_HAS_EK:
-        # EMB tables: the device encoder codes eps_k = 0 only — fall
-        # back to the host coder until it learns the suppression
+    from grok_tpu.ops.pallas_ht import ht_pallas_enabled
+    if not ht_pallas_enabled():
         return None
     return _encode_serving_batch_ht(images, hdr, plan, params, P)
 

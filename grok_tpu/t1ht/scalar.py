@@ -64,8 +64,9 @@ import numpy as np
 
 from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
 from grok_tpu.t1ht.mel import BitSink, MELDecoder, MELEncoder
-from grok_tpu.t1ht.tables import (VLC_DEC, VLC_ENC, quad_ctx, quad_kappa,
-                                  uvlc_encode, uvlc_parts)
+from grok_tpu.t1ht import tables as _T
+from grok_tpu.t1ht.tables import (quad_ctx, quad_kappa, uvlc_encode,
+                                  uvlc_parts)
 
 # sample offsets within a quad, scan order (dy, dx)
 _QOFF = ((0, 0), (1, 0), (0, 1), (1, 1))
@@ -326,12 +327,14 @@ def _read_u_pair(vlc: "_VLCReader", mel: MELDecoder, initial: bool,
                  off0: bool, off1: bool) -> tuple[int, int]:
     """(u0, u1) — the decode mirror of _emit_u_pair."""
     def pfx():
-        # (is 3-bit prefix, base, suffix length)
-        if vlc.bit() == 0:
+        # (is 3-bit prefix, base, suffix length); UVLC_PXOR flips the
+        # i-th transmitted prefix bit (tables.py polarity knob)
+        x = _T.UVLC_PXOR
+        if vlc.bit() ^ (x & 1) == 0:
             return False, 1, 0
-        if vlc.bit() == 0:
+        if vlc.bit() ^ ((x >> 1) & 1) == 0:
             return False, 2, 0
-        if vlc.bit() == 0:
+        if vlc.bit() ^ ((x >> 2) & 1) == 0:
             return True, 3, 1
         return True, 5, 5
 
@@ -427,6 +430,7 @@ def ht_encode_block(mag: np.ndarray, neg: np.ndarray, orient: int,
         ra = rho_row[g - 1, qx] if g > 0 else 0
         rar = rho_row[g - 1, qx + 1] if (g > 0 and qx + 1 < gw) else 0
         c = quad_ctx(rl, ra, rar)
+        enc_c = (_T.VLC_ENC_INIT if g == 0 else _T.VLC_ENC)[c]
         if c == 0:
             mel.encode(1 if rho else 0)
             if rho == 0:
@@ -435,7 +439,7 @@ def ht_encode_block(mag: np.ndarray, neg: np.ndarray, orient: int,
         if rho == 0:
             if _TRACE_SYMS is not None:
                 _TRACE_SYMS.append((c, 0))
-            ln, code = VLC_ENC[c][0]
+            ln, code = enc_c[0]
             vlc.bits_lsb(code, ln)
             return 0, False
         u_act = max(e for _, e in vals)
@@ -455,7 +459,6 @@ def ht_encode_block(mag: np.ndarray, neg: np.ndarray, orient: int,
                 vi += 1
         if _TRACE_SYMS is not None:
             _TRACE_SYMS.append((c, (ek << 5) | sym))
-        enc_c = VLC_ENC[c]
         if ek and (ek << 5) | sym in enc_c:
             sym |= ek << 5
         else:
@@ -622,7 +625,8 @@ def ht_decode_block(data: bytes, seg_lens: list[int], numpasses: int,
                 if c == 0 and mel.next_event() == 0:
                     qinfo.append((qx, 0))
                     continue
-                sym, ln = VLC_DEC[c][vlc.peek7()]
+                dec_c = (_T.VLC_DEC_INIT if g == 0 else _T.VLC_DEC)[c]
+                sym, ln = dec_c[vlc.peek7()]
                 if sym < 0:
                     if strict:
                         raise ValueError("HT cleanup: bad VLC code")

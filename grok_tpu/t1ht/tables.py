@@ -65,12 +65,20 @@ def quad_kappa(rho: int, e_above: int) -> int:
 
 # --- UVLC ------------------------------------------------------------------
 #
-# Prefix classes (transmitted-first bit at bit 0):
+# Prefix classes (transmitted-first bit at bit 0, shown for the default
+# polarity UVLC_PXOR = 0):
 #   "0"            -> u = 1                    (1-bit prefix, no suffix)
 #   "1 0"          -> u = 2                    (2-bit prefix, no suffix)
 #   "1 1 0" + s1   -> u = 3 + s1               (3-bit prefix, 1 suffix bit)
 #   "1 1 1" + s5   -> u = 5 + s5  (s5 < 31)    (3-bit prefix, 5 suffix bits)
 #                     u = 36 + e5 (s5 == 31)   (+5 extension bits)
+#
+# UVLC_PXOR (WIRE_AUDIT delta #2 knob): bit i of UVLC_PXOR flips the
+# i-th TRANSMITTED prefix bit on the wire (suffix/extension bits are
+# plain binary either way).  The class SHAPE (1/2/3-bit prefixes and
+# suffix lengths) is structural; only the bit polarity is a normative
+# unknown.  Set via install_tables(uvlc_prefix_xor=...); every backend
+# (scalar, C wire, both Pallas kernels) reads it from here.
 #
 # Quads are UVLC-coded in PAIRS along each quad row (ISO/IEC 15444-15
 # structure): when both quads of a pair have u_off = 1 the two PREFIXES
@@ -79,19 +87,25 @@ def quad_kappa(rho: int, e_above: int) -> int:
 # t1ht.scalar._emit_u_pair / _read_u_pair for the initial-row-pair MEL
 # event and the one-bit u1 special case.
 
+UVLC_PXOR = 0
+
+
 def uvlc_parts(u: int) -> tuple[int, int, int, int]:
     """(pfx_len, pfx_bits, sfx_len, sfx_bits) for u >= 1; the suffix
-    carries the 5-bit escape extension for u >= 36 (sfx_len 10)."""
+    carries the 5-bit escape extension for u >= 36 (sfx_len 10).
+    pfx_bits are wire bits (UVLC_PXOR applied)."""
     if u == 1:
-        return 1, 0b0, 0, 0
-    if u == 2:
-        return 2, 0b01, 0, 0
-    if u <= 4:
-        return 3, 0b011, 1, u - 3
-    if u <= 35:
-        return 3, 0b111, 5, u - 5
-    assert u <= 67, "u out of range"
-    return 3, 0b111, 10, 31 | ((u - 36) << 5)
+        pl, pb, sl, sb = 1, 0b0, 0, 0
+    elif u == 2:
+        pl, pb, sl, sb = 2, 0b01, 0, 0
+    elif u <= 4:
+        pl, pb, sl, sb = 3, 0b011, 1, u - 3
+    elif u <= 35:
+        pl, pb, sl, sb = 3, 0b111, 5, u - 5
+    else:
+        assert u <= 67, "u out of range"
+        pl, pb, sl, sb = 3, 0b111, 10, 31 | ((u - 36) << 5)
+    return pl, pb ^ (UVLC_PXOR & ((1 << pl) - 1)), sl, sb
 
 
 def uvlc_encode(u: int) -> tuple[int, int]:
@@ -102,11 +116,12 @@ def uvlc_encode(u: int) -> tuple[int, int]:
 
 
 def uvlc_decode(read_bit) -> int:
-    if read_bit() == 0:
+    x = UVLC_PXOR
+    if read_bit() ^ (x & 1) == 0:
         return 1
-    if read_bit() == 0:
+    if read_bit() ^ ((x >> 1) & 1) == 0:
         return 2
-    if read_bit() == 0:
+    if read_bit() ^ ((x >> 2) & 1) == 0:
         return 3 + read_bit()
     s = 0
     for i in range(5):
@@ -209,34 +224,142 @@ _TRAINED_LENS = {
 }
 
 
+def _dec_from_enc(enc_tables):
+    """Peek-window decode LUTs from canonical encode maps (one list of
+    128-entry (sym, len) tables per context)."""
+    dec_tables = []
+    for enc in enc_tables:
+        dec = [(-1, 0)] * (1 << MAX_CLEN)
+        for sym, (ln, code) in enc.items():
+            for pad in range(1 << (MAX_CLEN - ln)):
+                dec[code | (pad << ln)] = (sym, ln)
+        dec_tables.append(dec)
+    return dec_tables
+
+
+def _repair_lens(lens: dict[int, int]) -> dict[int, int]:
+    """Clamp to MAX_CLEN and repair the Kraft sum by lengthening."""
+    syms = sorted(lens, key=lambda s: (lens[s], s))
+    kraft = sum(2.0 ** -lens[s] for s in syms)
+    i = 0
+    while kraft > 1.0 + 1e-12:
+        s = syms[i % len(syms)]
+        if lens[s] < MAX_CLEN:
+            kraft -= 2.0 ** -lens[s] - 2.0 ** -(lens[s] + 1)
+            lens[s] += 1
+        i += 1
+    return lens
+
+
 def _build(kind: str = "trained"):
     enc_tables = []
-    dec_tables = []
     for c in range(N_CTX):
         if kind == "trained" and _TRAINED_LENS is not None:
             lens = dict(_TRAINED_LENS[c])
             # guarantee every legal symbol has a code (corpus gaps)
             for s in _symbols(c):
                 lens.setdefault(s, MAX_CLEN)
-            syms = sorted(lens, key=lambda s: (lens[s], s))
-            kraft = sum(2.0 ** -lens[s] for s in syms)
-            i = 0
-            while kraft > 1.0 + 1e-12:
-                s = syms[i % len(syms)]
-                if lens[s] < MAX_CLEN:
-                    kraft -= 2.0 ** -lens[s] - 2.0 ** -(lens[s] + 1)
-                    lens[s] += 1
-                i += 1
+            lens = _repair_lens(lens)
         else:
             lens = _huffman_lengths(_heuristic_weights(c))
-        enc = _canonical(lens)
-        enc_tables.append(enc)
-        dec = [(-1, 0)] * (1 << MAX_CLEN)
-        for sym, (ln, code) in enc.items():
-            for pad in range(1 << (MAX_CLEN - ln)):
-                dec[code | (pad << ln)] = (sym, ln)
-        dec_tables.append(dec)
-    return enc_tables, dec_tables
+        enc_tables.append(_canonical(lens))
+    return enc_tables, _dec_from_enc(enc_tables)
 
 
 VLC_ENC, VLC_DEC = _build()
+
+# --- table families + normative drop-in point ------------------------------
+#
+# The spec defines SEPARATE CxtVLC tables for the INITIAL quad-row pair
+# vs the rest (WIRE_AUDIT delta #3).  VLC_ENC/VLC_DEC is the
+# non-initial family; VLC_ENC_INIT/VLC_DEC_INIT is the initial-row
+# family.  By default both names point at the SAME objects (identity
+# `VLC_ENC_INIT is VLC_ENC` is the one-family fast path the kernels
+# key on); install_tables() is where a normative table drop-in lands.
+# VERSION is bumped on every install so trace-time LUT caches
+# (ops/pallas_ht.py, ops/pallas_ht_enc.py) rebuild and re-jit.
+
+VLC_ENC_INIT, VLC_DEC_INIT = VLC_ENC, VLC_DEC
+VERSION = 0
+
+
+def two_families() -> bool:
+    return VLC_ENC_INIT is not VLC_ENC
+
+
+def tables_have_ek() -> bool:
+    """Any installed table family codes an eps_k != 0 symbol (EMB)."""
+    for fam in (VLC_ENC, VLC_ENC_INIT):
+        for enc in fam:
+            for sym in enc:
+                if sym >= 32:
+                    return True
+        if not two_families():
+            break
+    return False
+
+
+def install_tables(*, enc=None, enc_init=None, lens=None, lens_init=None,
+                   uvlc_prefix_xor: int = 0):
+    """Install CxtVLC tables + UVLC polarity (the normative drop-in
+    point — WIRE_AUDIT deltas #1/#2/#3/#5 all land here).
+
+    enc / enc_init: per-context list of {sym: (len, code)} canonical
+    maps (code with the transmitted-first bit at bit 0).  lens /
+    lens_init: per-context {sym: len} maps (canonical codes derived
+    here; Kraft-repaired).  *_init omitted -> the initial-row family
+    aliases the non-initial one (single-family mode).  Symbols may
+    include eps_k bits (sym = eps<<5 | u_off<<4 | rho); every legal
+    eps=0 symbol must be codeable (the encoders' fallback entries).
+
+    Every backend re-derives from here: the scalar coder reads the
+    module attributes per call; both Pallas kernels rebuild their
+    bit-sliced LUTs keyed on VERSION and re-jit.  Serving plan/program
+    caches are cleared."""
+    global VLC_ENC, VLC_DEC, VLC_ENC_INIT, VLC_DEC_INIT
+    global UVLC_PXOR, VERSION
+    if enc is None and lens is not None:
+        enc = [_canonical(_repair_lens(dict(lc))) for lc in lens]
+    if enc_init is None and lens_init is not None:
+        enc_init = [_canonical(_repair_lens(dict(lc)))
+                    for lc in lens_init]
+    if enc is not None:
+        for c in range(N_CTX):
+            for s in _symbols(c):
+                assert s in enc[c], f"ctx {c}: base symbol {s} uncodeable"
+        VLC_ENC = list(enc)
+        VLC_DEC = _dec_from_enc(VLC_ENC)
+    if enc_init is not None:
+        for c in range(N_CTX):
+            for s in _symbols(c):
+                assert s in enc_init[c], \
+                    f"init ctx {c}: base symbol {s} uncodeable"
+        VLC_ENC_INIT = list(enc_init)
+        VLC_DEC_INIT = _dec_from_enc(VLC_ENC_INIT)
+    else:
+        VLC_ENC_INIT, VLC_DEC_INIT = VLC_ENC, VLC_DEC
+    UVLC_PXOR = int(uvlc_prefix_xor) & 7
+    VERSION += 1
+    _clear_downstream_caches()
+
+
+def reset_tables():
+    """Restore the default trained single-family tables."""
+    global VLC_ENC, VLC_DEC, VLC_ENC_INIT, VLC_DEC_INIT
+    global UVLC_PXOR, VERSION
+    VLC_ENC, VLC_DEC = _build()
+    VLC_ENC_INIT, VLC_DEC_INIT = VLC_ENC, VLC_DEC
+    UVLC_PXOR = 0
+    VERSION += 1
+    _clear_downstream_caches()
+
+
+def _clear_downstream_caches():
+    """Serving plans/programs bake staged table state; drop them."""
+    import sys
+    serve = sys.modules.get("grok_tpu.pipeline.serve")
+    if serve is not None:
+        serve._PLANS.clear()
+    serve_enc = sys.modules.get("grok_tpu.pipeline.serve_enc")
+    if serve_enc is not None and hasattr(serve_enc, "_PLANS"):
+        serve_enc._PLANS.clear()

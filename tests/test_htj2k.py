@@ -162,29 +162,32 @@ class TestHTRefinementPasses:
 
 
 class TestTableDropIn:
-    def test_alternate_tables_roundtrip(self, monkeypatch):
-        """The stand-in -> normative swap path: rebuilding the CxtVLC
-        tables from a different length set (here the heuristic model)
-        and patching them into the coder keeps the scalar path
-        self-consistent — the drop-in is a one-file change."""
-        import grok_tpu.t1ht.scalar as sc
+    def test_alternate_tables_roundtrip(self):
+        """The stand-in -> normative swap path: installing a different
+        CxtVLC code set (here the heuristic model) via the round-5
+        install_tables() API keeps the scalar path self-consistent —
+        the drop-in is a one-file change (the full normative-SHAPED
+        sweep incl. EMB/families/polarity lives in
+        tests/test_ht_tables_dropin.py)."""
         from grok_tpu.t1ht import tables
 
-        enc_t, dec_t = tables._build(kind="heuristic")
+        enc_t, _dec_t = tables._build(kind="heuristic")
         assert enc_t != tables.VLC_ENC       # genuinely different codes
-        for mod in (tables, sc):
-            monkeypatch.setattr(mod, "VLC_ENC", enc_t)
-            monkeypatch.setattr(mod, "VLC_DEC", dec_t)
-        rng = np.random.default_rng(4)
-        for _ in range(6):
-            h, w = rng.integers(1, 40, 2)
-            mag, neg = _random_block(rng, h, w, scale=60, density=0.6)
-            mag[0, 0] = max(int(mag[0, 0]), 3)
-            enc = ht_encode_block(mag, neg, 0)
-            m2, ng = ht_decode_block(enc.data, enc.seg_lens, 1,
-                                     enc.numbps, 0, w, h)
-            assert np.array_equal(m2 >> 1, mag)
-            assert np.array_equal(ng[mag > 0], neg[mag > 0])
+        tables.install_tables(enc=enc_t)
+        try:
+            rng = np.random.default_rng(4)
+            for _ in range(6):
+                h, w = rng.integers(1, 40, 2)
+                mag, neg = _random_block(rng, h, w, scale=60,
+                                         density=0.6)
+                mag[0, 0] = max(int(mag[0, 0]), 3)
+                enc = ht_encode_block(mag, neg, 0)
+                m2, ng = ht_decode_block(enc.data, enc.seg_lens, 1,
+                                         enc.numbps, 0, w, h)
+                assert np.array_equal(m2 >> 1, mag)
+                assert np.array_equal(ng[mag > 0], neg[mag > 0])
+        finally:
+            tables.reset_tables()
 
 
 class TestBlockCoder:

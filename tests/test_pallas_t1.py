@@ -26,10 +26,14 @@ _gated = pytest.mark.skipif(
            "set GROK_RUN_PALLAS_TESTS=1 (or run on TPU hardware)")
 
 
+@pytest.mark.slow
 def test_pallas_mq_tiny_default_suite():
-    """Default-suite coverage of the MQ decode kernel: one tiny launch
-    mixing plain + BYPASS + all-switches (0x3F covers TERMALL, RESET,
-    VSC, SEGSYM too), 8x8 / 2-3 bitplanes."""
+    """MQ decode kernel interpret coverage: one tiny launch mixing
+    plain + BYPASS + all-switches (0x3F covers TERMALL, RESET, VSC,
+    SEGSYM too), 8x8 / 2-3 bitplanes.  ~2 min of interpret execution —
+    `slow` since round 5 (VERDICT #6: CI wall time); GROK_RUN_SLOW=1
+    opts in, and the Mosaic path runs on hardware
+    (tools/hw_validate.py)."""
     from grok_tpu.ops.pallas_t1 import decode_bucket_pallas
     from grok_tpu.t1.t1_scalar import decode_block
 
@@ -74,11 +78,12 @@ def test_pallas_interpret_bit_exact(seed):
         assert np.array_equal(neg[m > 0], n[m > 0]), f"lane {j} sign"
 
 
+@pytest.mark.slow
 def test_pallas_mq_enc_tiny_default_suite():
-    """Default-suite coverage of the MQ ENCODE kernel (round 4): one
-    tiny interpret launch, 8x8 / 2 bitplanes / 3 lanes — ~80 s since
-    the quad-packed span writes (the old per-byteout window scans made
-    even this size a >9 min trace, which is why it used to be gated)."""
+    """MQ ENCODE kernel interpret coverage (round 4): one tiny
+    interpret launch, 8x8 / 2 bitplanes / 3 lanes — ~80 s since the
+    quad-packed span writes.  `slow` since round 5 (VERDICT #6);
+    GROK_RUN_SLOW=1 opts in, hardware covers the Mosaic path."""
     import jax.numpy as jnp
 
     from grok_tpu.ops.pallas_t1_enc import (pack_for_pallas_enc,

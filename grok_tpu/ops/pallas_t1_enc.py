@@ -39,6 +39,7 @@ LANES = 128
 CTX_RL = 17
 CTX_UNI = 18
 N_CTX = 19
+NCW = (N_CTX + 3) // 4          # packed context-state rows (4/word)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
@@ -103,6 +104,7 @@ def pallas_t1_encode(mneg, orient, numbps,
         miota = jax.lax.broadcasted_iota(jnp.int32, (MIDG, 1, 1), 0)
         siota = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
         tiota = jax.lax.broadcasted_iota(jnp.int32, (47, 1), 0)
+        ciota_pk = jax.lax.broadcasted_iota(jnp.int32, (NCW, 1), 0)
         riota = jax.lax.broadcasted_iota(jnp.int32, (R8, 1), 0)
         wiota = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
         wiota2 = jax.lax.broadcasted_iota(jnp.int32, (W + 2, 1), 0)
@@ -294,12 +296,21 @@ def pallas_t1_encode(mneg, orient, numbps,
             return (a, c, ct, bp)
 
         def mq_encode(mqs, d, cx, active):
-            (a, c, ct, bp), ctx_st, ctx_mps = mqs
-            oh = (jax.lax.broadcasted_iota(jnp.int32, (N_CTX, LANES), 0)
-                  == cx)
-            i = jnp.sum(jnp.where(oh, ctx_st, 0), axis=0, keepdims=True)
-            mps = jnp.sum(jnp.where(oh, ctx_mps, 0), axis=0,
-                          keepdims=True)
+            # context states live PACKED: 4 contexts per int32 row
+            # (7 bits each: state index | mps << 6), NCW = 5 rows for
+            # 19 contexts — fetch is a 5-row one-hot + one variable
+            # shift instead of two 19-row masked sums, and the update
+            # is one masked row write (round 5: ~2x less per-decision
+            # state traffic; the decisions/slot lever, VERDICT #5)
+            (a, c, ct, bp), ctx_pk = mqs
+            rsel = cx >> 2
+            sh7 = (cx & 3) * 7
+            selw = ciota_pk == rsel
+            w = jnp.sum(jnp.where(selw, ctx_pk, 0), axis=0,
+                        keepdims=True)
+            cell = jax.lax.shift_right_logical(w, sh7) & 0x7F
+            i = cell & 0x3F
+            mps = cell >> 6
             packed = jnp.sum(
                 jnp.where(tiota == i, mqtbl_ref[...], 0), axis=0,
                 keepdims=True)
@@ -325,11 +336,12 @@ def pallas_t1_encode(mneg, orient, numbps,
             new_i = jnp.where(is_mps == 1, nmps, nlps)
             flip = (1 - is_mps) * sw
             new_mps = jnp.where(flip == 1, 1 - mps, mps)
-            updr = oh & (upd == 1)
-            ctx_st = jnp.where(updr, new_i, ctx_st)
-            ctx_mps = jnp.where(updr, new_mps, ctx_mps)
+            new_cell = new_i | (new_mps << 6)
+            m7 = jnp.left_shift(jnp.full_like(sh7, 0x7F), sh7)
+            neww = (w & ~m7) | jnp.left_shift(new_cell, sh7)
+            ctx_pk = jnp.where(selw & (upd == 1), neww, ctx_pk)
             mq = enc_renorm((a, c, ct, bp), upd == 1)
-            return (mq, ctx_st, ctx_mps)
+            return (mq, ctx_pk)
 
         # -- flag helpers (mirror pallas_t1) -------------------------------
         def nbhd(y, x):
@@ -381,12 +393,14 @@ def pallas_t1_encode(mneg, orient, numbps,
         # reconcile with the loop body's tiled values ("Invalid relayout
         # {0,0} -> {*,*}")
         z2 = nbps * 0
-        crow = jax.lax.broadcasted_iota(jnp.int32, (N_CTX, LANES), 0)
-        ctx_st0 = jnp.where(crow == CTX_UNI, 46,
-                            jnp.where(crow == CTX_RL, 3,
-                                      jnp.where(crow == 0, 4, 0)))
-        mqs = ((z2 + 0x8000, z2, z2 + 12, z2), ctx_st0,
-               jnp.zeros((N_CTX, LANES), jnp.int32))
+        # packed initial states: ctx 0 -> 4 (word 0 slot 0), RL=17 -> 3
+        # (word 4 slot 1), UNI=18 -> 46 (word 4 slot 2); mps all 0
+        crow = jax.lax.broadcasted_iota(jnp.int32, (NCW, LANES), 0)
+        ctx_pk0 = jnp.where(crow == CTX_UNI >> 2,
+                            (46 << ((CTX_UNI & 3) * 7))
+                            | (3 << ((CTX_RL & 3) * 7)),
+                            jnp.where(crow == 0, 4, 0))
+        mqs = ((z2 + 0x8000, z2, z2 + 12, z2), ctx_pk0)
 
         def record(passno, mqs):
             # conservative per-pass rate watermark: bytes so far + 5
@@ -574,7 +588,7 @@ def pallas_t1_encode(mneg, orient, numbps,
 
         # -- FLUSH (C.2.9), masked on lanes with data ----------------------
         active = nbps > 0
-        (a, c, ct, bp), _, _ = mqs
+        (a, c, ct, bp), _ = mqs
         tempc = c + a
         c1 = c | 0xFFFF
         c1 = jnp.where(c1 >= tempc, c1 - 0x8000, c1)

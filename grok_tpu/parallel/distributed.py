@@ -166,9 +166,17 @@ def decompress_distributed(data: bytes, dparams=None):
     over processes.
 
     Single-process this equals api.decompress bit-for-bit (tested).
-    Scope: whole-image decode (reduce / max_layers / strict supported;
-    window, tile_index and component subsets are single-stream features
-    — use decompress()).
+    Scope: reduce / max_layers / strict / window supported (round 5);
+    tile_index and component subsets are single-stream features — use
+    decompress().
+
+    Device composition (round 5, SURVEY §7 phase 6): with
+    backend="jax" each process first offers its tile shard to the
+    cached SERVING pipeline (pipeline.serve.try_decode_serving — the
+    Pallas kernel path), falling back to the general tile decode per
+    tile; strict defaults to PERMISSIVE for backend="jax" (the
+    decompress_device contract — serving validates framing via the C
+    scan, not per-pass payloads).
     """
     import struct
     from dataclasses import replace
@@ -182,13 +190,12 @@ def decompress_distributed(data: bytes, dparams=None):
     from grok_tpu.pipeline import tile as tile_pipe
 
     dp = dparams or DecompressParams()
-    if dp.window is not None or dp.tile_index is not None \
-            or dp.components is not None:
-        raise ValueError("distributed decode: window/tile/component "
+    if dp.tile_index is not None or dp.components is not None:
+        raise ValueError("distributed decode: tile/component "
                          "subsets are single-stream features: use "
                          "decompress()")
     if dp.strict is None:
-        dp = replace(dp, strict=True)
+        dp = replace(dp, strict=dp.backend != "jax")
     pid, nprocs = jax.process_index(), jax.process_count()
 
     cs, meta = _locate_codestream(data, permissive=not dp.strict)
@@ -198,9 +205,19 @@ def decompress_distributed(data: bytes, dparams=None):
     for p in parts:
         by_tile.setdefault(p.tile_index, []).append(p)
 
+    tiles = sorted(by_tile)
+    if dp.window is not None:
+        from grok_tpu.core.geometry import Rect
+        win = Rect(*dp.window)
+        tiles = [t for t in tiles
+                 if not hdr.siz.tile_rect(t).intersect(win).empty]
+
+    use_serving = dp.backend == "jax" and not dp.strict \
+        and dp.mesh is None and hdr.ppm is None
+
     # local shard: decode owned tiles, serialize (t, per-comp planes)
     local = bytearray()
-    for t in sorted(by_tile):
+    for t in tiles:
         if t % nprocs != pid:
             continue
         th = TileHeader()
@@ -209,8 +226,15 @@ def decompress_distributed(data: bytes, dparams=None):
             j2k.read_tile_part_header(cs, p, hdr, th)
             chunks.append(cs[p.data_start:p.data_end])
         body = b"".join(chunks)
-        geo = tile_pipe.TileGeometry.build(hdr, t, th)
-        comp_arrays = tile_pipe.decode_tile(body, geo, hdr, th, dp)
+        comp_arrays = None
+        if use_serving:
+            from grok_tpu.pipeline.serve import try_decode_serving
+            served = try_decode_serving(cs, hdr, t, th, body, dp)
+            if served is not None:
+                comp_arrays = [np.asarray(a) for a in served]
+        if comp_arrays is None:
+            geo = tile_pipe.TileGeometry.build(hdr, t, th)
+            comp_arrays = tile_pipe.decode_tile(body, geo, hdr, th, dp)
         rec = bytearray(struct.pack(">I", t))
         for c in range(hdr.numcomps):
             arr = np.ascontiguousarray(comp_arrays[c], np.int32)
@@ -263,16 +287,31 @@ def decompress_distributed(data: bytes, dparams=None):
                 out_arrays[c][rect.y0 - oy:rect.y1 - oy,
                               rect.x0 - ox:rect.x1 - ox] = \
                     arr[:rect.h, :rect.w]
-    missing = [t for t in sorted(by_tile) if t not in seen]
+    missing = [t for t in tiles if t not in seen]
     if missing:
         raise RuntimeError(f"distributed decode lost tiles {missing[:8]}")
 
     from grok_tpu.core.image import ColorSpace, Component, Image
     img_x0, img_y0 = -(-g.xosiz // scale), -(-g.yosiz // scale)
     img_x1, img_y1 = -(-g.xsiz // scale), -(-g.ysiz // scale)
+    if dp.window is not None:
+        # the api.decompress window crop, verbatim (bit-exact parity)
+        wx0, wy0, wx1, wy1 = dp.window
+        img_x0 = max(img_x0, wx0 // scale)
+        img_y0 = max(img_y0, wy0 // scale)
+        img_x1 = min(img_x1, -(-wx1 // scale))
+        img_y1 = min(img_y1, -(-wy1 // scale))
     comps = []
     for c, ci in enumerate(hdr.comps):
-        comps.append(Component(data=out_arrays[c], dx=ci.dx * scale,
+        arr = out_arrays[c]
+        if dp.window is not None:
+            ox, oy = origins[c]
+            cx0 = -(-img_x0 // ci.dx)
+            cy0 = -(-img_y0 // ci.dy)
+            cx1 = -(-img_x1 // ci.dx)
+            cy1 = -(-img_y1 // ci.dy)
+            arr = arr[cy0 - oy:cy1 - oy, cx0 - ox:cx1 - ox]
+        comps.append(Component(data=arr, dx=ci.dx * scale,
                                dy=ci.dy * scale, prec=ci.prec,
                                sgnd=ci.sgnd))
     color = meta.color_space if meta is not None else (

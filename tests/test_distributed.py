@@ -71,11 +71,38 @@ _WORKER = textwrap.dedent("""
     data = gather_bytes_to_host0(data if pid == 0 else b"")[0]
     from grok_tpu.parallel.distributed import decompress_distributed
     out = decompress_distributed(data)
+    import numpy as np
     if pid == 0:
-        import numpy as np
         np.save(outp + ".npy", out.to_array())
     else:
         assert out is None
+    # round 5: process-sharded decode THROUGH THE SERVING PIPELINE
+    # (VERDICT #7) — each process's tiles go through
+    # try_decode_serving (interpret kernels), bit-exact vs host
+    os.environ["GROK_PALLAS_INTERPRET"] = "1"
+    os.environ["GROK_HT_PALLAS"] = "1"
+    from grok_tpu.api import compress as _compress
+    from grok_tpu.core.params import DecompressParams
+    from grok_tpu.pipeline import serve as _serve
+    from grok_tpu.util.oracle import synthetic_image as _syn
+    img2 = _syn(32, 24, 1, seed=9)
+    s2 = _compress(img2, CompressParams(ht=True, num_resolutions=2,
+                                        tile_w=16, tile_h=16,
+                                        cblk_w_exp=3, cblk_h_exp=3))
+    taken = []
+    _orig = _serve.try_decode_serving
+    def _probe(*a, **kw):
+        r = _orig(*a, **kw)
+        taken.append(r is not None)
+        return r
+    _serve.try_decode_serving = _probe
+    out2 = decompress_distributed(s2, DecompressParams(backend="jax"))
+    _serve.try_decode_serving = _orig
+    assert taken and all(taken), ("serving declined", taken)
+    if pid == 0:
+        np.save(outp + ".serve.npy", out2.to_array())
+    else:
+        assert out2 is None
 """)
 
 
@@ -115,6 +142,13 @@ def test_two_process_jax_distributed(tmp_path):
     from grok_tpu import decompress
     got = np.load(str(outp) + ".npy")
     assert np.array_equal(got, decompress(data).to_array()), outs
+    # the serving-path sharded decode too (round 5)
+    img2 = synthetic_image(32, 24, 1, seed=9)
+    s2 = compress(img2, CompressParams(ht=True, num_resolutions=2,
+                                       tile_w=16, tile_h=16,
+                                       cblk_w_exp=3, cblk_h_exp=3))
+    got2 = np.load(str(outp) + ".serve.npy")
+    assert np.array_equal(got2, decompress(s2).to_array()), outs
 
 
 def test_decompress_distributed_single_process_matches():
@@ -138,4 +172,57 @@ def test_decompress_distributed_rejects_subset_modes():
     cs = compress(synthetic_image(64, 64, 1, seed=1),
                   CompressParams(num_resolutions=2))
     with pytest.raises(ValueError):
-        decompress_distributed(cs, DecompressParams(window=(0, 0, 8, 8)))
+        decompress_distributed(cs, DecompressParams(tile_index=0))
+    with pytest.raises(ValueError):
+        decompress_distributed(cs, DecompressParams(components=[0]))
+
+
+def test_decompress_distributed_window_matches():
+    """Round 5: window decode accepted (tile intersection + the
+    api.decompress crop, bit-exact vs the single-stream decoder)."""
+    from grok_tpu import decompress
+    from grok_tpu.core.params import DecompressParams
+    from grok_tpu.parallel.distributed import decompress_distributed
+    img = synthetic_image(160, 128, 1, seed=5)
+    cs = compress(img, CompressParams(num_resolutions=3, tile_w=64,
+                                      tile_h=64))
+    for win in ((10, 20, 100, 90), (64, 0, 160, 64)):
+        dpw = DecompressParams(window=win)
+        assert np.array_equal(
+            decompress_distributed(cs, dpw).to_array(),
+            decompress(cs, dpw).to_array()), win
+
+
+def test_decompress_distributed_serving_path(monkeypatch):
+    """Round 5 (VERDICT #7): with backend="jax" each process's tile
+    shard goes through the cached SERVING pipeline (the device kernel
+    path), bit-exact vs the host decoder.  HT stream, tiny blocks,
+    interpret-mode kernels on CPU."""
+    from grok_tpu import decompress, native
+    if not native.available():
+        import pytest
+        pytest.skip("native runtime unavailable")
+    from grok_tpu.core.params import DecompressParams
+    from grok_tpu.parallel.distributed import decompress_distributed
+    from grok_tpu.pipeline import serve
+
+    monkeypatch.setenv("GROK_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("GROK_HT_PALLAS", "1")
+    img = synthetic_image(32, 24, 1, seed=9)
+    cs = compress(img, CompressParams(ht=True, num_resolutions=2,
+                                      tile_w=16, tile_h=16,
+                                      cblk_w_exp=3, cblk_h_exp=3))
+    taken = []
+    orig = serve.try_decode_serving
+
+    def probe(*a, **kw):
+        r = orig(*a, **kw)
+        taken.append(r is not None)
+        return r
+
+    monkeypatch.setattr(
+        "grok_tpu.pipeline.serve.try_decode_serving", probe)
+    serve._PLANS.clear()
+    out = decompress_distributed(cs, DecompressParams(backend="jax"))
+    assert taken and all(taken), f"serving declined: {taken}"
+    assert np.array_equal(out.to_array(), decompress(cs).to_array())

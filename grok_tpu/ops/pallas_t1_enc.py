@@ -204,32 +204,33 @@ def pallas_t1_encode(mneg, orient, numbps,
         # aligned), mutate it in-register, store it back once — the
         # encode mirror of the decoder's bytein_w quad reads.
         def span_load(bp0):
+            """Load the 4-byte span at bp0 from the staged window;
+            returns (span, ctx) with ctx = (sel0, sel1, sh) reused by
+            span_store — the store targets the SAME rows, so the
+            16-row one-hots are built once per renorm (round 5)."""
             r0 = (bp0 - base_ref[...]) >> 2
             st = stage_ref[...]
-            sel0 = (siota == r0).astype(jnp.int32)
-            sel1 = (siota == (r0 + 1)).astype(jnp.int32)
-            w0 = jnp.sum(st * sel0, axis=0, keepdims=True)
-            w1 = jnp.sum(st * sel1, axis=0, keepdims=True)
+            sel0 = siota == r0
+            sel1 = siota == (r0 + 1)
+            w0 = jnp.sum(jnp.where(sel0, st, 0), axis=0, keepdims=True)
+            w1 = jnp.sum(jnp.where(sel1, st, 0), axis=0, keepdims=True)
             sh = (bp0 & 3) << 3
             lo = jax.lax.shift_right_logical(w0, sh)
             hi = jnp.where(sh == 0, 0,
                            jnp.left_shift(w1, (32 - sh) & 31))
-            return lo | hi
+            return lo | hi, (sel0, sel1, sh)
 
-        def span_store(bp0, span):
-            r0 = (bp0 - base_ref[...]) >> 2
-            sh = (bp0 & 3) << 3
+        def span_store(ctx, span):
+            sel0, sel1, sh = ctx
             ones = jnp.full_like(sh, -1)
             st = stage_ref[...]
             m0 = jnp.left_shift(ones, sh)
             new0 = jnp.left_shift(span, sh)
-            sel0 = siota == r0
             st = jnp.where(sel0, (st & ~m0) | (new0 & m0), st)
             shr = (32 - sh) & 31
             m1 = jnp.where(sh == 0, 0,
                            jax.lax.shift_right_logical(ones, shr))
             new1 = jax.lax.shift_right_logical(span, shr)
-            sel1 = siota == (r0 + 1)
             st = jnp.where(sel1, (st & ~m1) | (new1 & m1), st)
             stage_ref[...] = st
 
@@ -280,7 +281,7 @@ def pallas_t1_encode(mneg, orient, numbps,
         def enc_renorm(st, need):
             a, c, ct, bp = st
             bp0 = bp
-            span = span_load(bp0)
+            span, sctx = span_load(bp0)
             n = jnp.where(need, nbits_to_msb(a), 0)
             for _ in range(3):
                 m = (n > 0).astype(jnp.int32)
@@ -292,7 +293,7 @@ def pallas_t1_encode(mneg, orient, numbps,
                 fire = (m == 1) & (ct == 0)
                 (a, c, ct, bp), span = byteout_span((a, c, ct, bp),
                                                     fire, span, bp0)
-            span_store(bp0, span)
+            span_store(sctx, span)
             return (a, c, ct, bp)
 
         def mq_encode(mqs, d, cx, active):
@@ -594,14 +595,14 @@ def pallas_t1_encode(mneg, orient, numbps,
         c1 = jnp.where(c1 >= tempc, c1 - 0x8000, c1)
         c1 = jnp.where(active, c1, c)
         bp0 = bp
-        span = span_load(bp0)
+        span, sctx = span_load(bp0)
         st = (a, (c1 << ct) & 0xFFFFFFF, ct, bp)
         st, span = byteout_span(st, active, span, bp0)
         a, c2, ct2, bp2 = st
         st = (a, (c2 << ct2) & 0xFFFFFFF, ct2, bp2)
         st, span = byteout_span(st, active, span, bp0)
         a, c3, ct3, bp3 = st
-        span_store(bp0, span)
+        span_store(sctx, span)
         last = out_get(bp3)
         bp4 = jnp.where(active & (last != 0xFF), bp3 + 1, bp3)
         win_to_mid()

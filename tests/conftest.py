@@ -57,22 +57,24 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-# Crash-isolate cache writes: skip persisting the few giant T1-kernel
-# executables whose XLA:CPU serialize() is the segfault site — bounded
-# by serialized-HLO size, the only pre-serialize signal we have.  All
-# other entries persist normally; skipped ones just recompile next run.
+# Crash-isolate cache writes: `executable.serialize()` segfaults
+# deterministically late in the suite when persisting the big
+# XLA-loop T1 kernel programs (reproduced twice at
+# test_t1_vec::test_truncated_passes_match_scalar with 126 GB free —
+# an XLA:CPU serializer state bug, not memory pressure; the same
+# entries serialize fine from a fresh process and are only ~260 KB).
+# Skip persisting that family — they recompile in seconds when cold —
+# and keep everything else cached.
 import jax._src.compilation_cache as _cc
 
 _orig_put = _cc.put_executable_and_time
+_NO_PERSIST = ("jit_t1_decode_batch", "jit_t1_encode_batch",
+               "jit_decode_blocks", "jit_encode_blocks")
 
 
 def _safe_put(cache_key, module_name, executable, backend, compile_time):
-    try:
-        hlo = executable.hlo_modules()[0].to_string()
-        if len(hlo) > 4 * 1024 * 1024:
-            return                      # giant program: do not serialize
-    except Exception:
-        pass
+    if module_name.startswith(_NO_PERSIST):
+        return
     return _orig_put(cache_key, module_name, executable, backend,
                      compile_time)
 

@@ -710,8 +710,13 @@ def _encode_serving_batch_mq(images, hdr, plan, params,
     MB4 = plan.mq_sig[4]
     R8 = -(-3 * MB4 // 8) * 8        # rate watermark rows (kernel R8)
 
-    # phase C: enqueue every launch's compaction + async D2H before
-    # assembling any bytes (device work overlaps the host byte work)
+    # phase C: start every launch's stream download before assembling
+    # any bytes (device work overlaps the host byte work).  Round 5:
+    # the searchsorted+gather compaction program is gone (TPU gathers
+    # — same rework as the HT route): the codeword buffer is sliced on
+    # device to its used rows (the host knows every lane's length from
+    # the stats) and downloaded as-is; the host reads each lane's
+    # column directly (byte 0 is the carry sentinel).
     words_d = []
     li = 0
     for (_bw, _bh, L, idxs) in plan.mq_groups:
@@ -720,16 +725,20 @@ def _encode_serving_batch_mq(images, hdr, plan, params,
             st = stats_h[li]
             if int(st[0].max()) >= L - 64:
                 return None        # output-budget overrun: host coder
-            seg = _np.where(st[1] > 0, st[0], 0)
-            T = max(512, -(-int(seg.sum()) // 512) * 512)
-            w = _build_compact_fn_mq(T)(
-                launches[li][0], launches[li][1][0:1],
-                launches[li][1][1:2])
+            out_w = launches[li][0]
+            G8 = out_w.shape[0] * out_w.shape[1]
+            NLw = out_w.shape[2]
+            need = -(-(int(st[0].max()) + 1) // 4)
+            r = 8
+            while r < need:
+                r *= 2
+            r = min(r, G8)
+            slab = out_w.reshape(G8, NLw)[:r]
             try:
-                w.copy_to_host_async()
+                slab.copy_to_host_async()
             except AttributeError:
                 pass
-            words_d.append(w)
+            words_d.append(slab)
             li += 1
 
     encs = [[EncodedBlock()] * len(plan.lane_block) for _ in range(N)]
@@ -756,16 +765,15 @@ def _encode_serving_batch_mq(images, hdr, plan, params,
                     + 2.0 * (eb[:, 2] * 65536.0 + eb[:, 3]) * 8192.0 \
                     + (eb[:, 4] * 65536.0 + eb[:, 5])
                 dists_l = m2[None, :] - 0.25 * E       # (nrow, LANES)
-            byts = _np.asarray(words_d[li]).astype("<u4").view(_np.uint8)
-            seg = _np.where(nbps > 0, lens, 0)
-            starts = _np.cumsum(seg) - seg
+            lane_b = _np.ascontiguousarray(
+                _np.asarray(words_d[li]).T).view("<u4").view(_np.uint8)
             for lane in range(min(NBg - k * LANES, LANES)):
                 fi, bi = divmod(k * LANES + lane, ng)
                 numbps = int(nbps[lane])
                 if numbps == 0:
                     continue
                 total = int(lens[lane])
-                data = bytes(byts[starts[lane]:starts[lane] + total])
+                data = bytes(lane_b[lane, 1:1 + total])
                 rr = rates_from_watermarks(rates[:, lane], numbps, total)
                 passes = [PassInfo(rate=v,
                                    dist=(float(dists_l[t, lane])

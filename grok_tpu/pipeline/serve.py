@@ -21,8 +21,9 @@ no zero-padded staging buffers ever cross the host link (which is the
 bottleneck on tunneled hosts and still the largest non-kernel cost on
 local-attached TPU).
 
-Scope: single-tile streams with main-header coding styles (no per-tile
-COD/QCD overrides or PPM/PPT), one codeword SEGMENT per block.
+Scope: single-tile streams, one codeword SEGMENT per block; per-tile
+COD/QCD overrides are served (round 5 — they join the plan cache key;
+per-COMPONENT COC/QCC overrides and PPM/PPT fall back).
 Window, reduce, and max_layers ARE served (plans are cached per reduce;
 window/layer caps mask blocks per call).  Round 5 widened the scope:
 main-header POCs are served (the plan's packet order runs
@@ -238,14 +239,27 @@ def _build_plan(hdr, t: int, th, reduce: int) -> ServePlan | None:
                    if canon is not None else None))
 
 
+def _th_ovr_key(th) -> tuple:
+    """Canonical key for the tile-part COD/QCD overrides a plan was
+    built from (dataclass reprs are deterministic); served since
+    round 5 — the overrides change geometry/quant, so they join the
+    plan cache key and must match across a batch."""
+    if th is None:
+        return (None, None)
+    return (repr(th.cod) if th.cod is not None else None,
+            repr(th.qcd) if th.qcd is not None else None)
+
+
 def _plan_for(cs: bytes, hdr, t: int, th,
               reduce: int = 0) -> ServePlan | None:
     # the coder choice depends on the TILE-PART COM bitmap (mixed vs
     # ht), which varies per stream under one main header — fold its
     # presence into the key so an 'ht' plan cached from a bitmap-less
-    # stream never serves a genuine mixed stream (and vice versa)
+    # stream never serves a genuine mixed stream (and vice versa);
+    # per-tile COD/QCD overrides (served round 5) key the same way
     mixed = th is not None and th.ht_mixed_bitmap() is not None
-    key = (bytes(cs[:hdr.main_header_end]), t, reduce, mixed)
+    key = (bytes(cs[:hdr.main_header_end]), t, reduce, mixed,
+           _th_ovr_key(th))
     plan = _PLANS.get(key)
     if plan is None and key not in _PLANS:
         plan = _build_plan(hdr, t, th, reduce)
@@ -397,9 +411,11 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
     of the same program; defaults to `th` for every stream)."""
     if dp.mesh is not None or hdr.ppm is not None:
         return None
-    if (th.cod is not None or th.qcd is not None or th.coc or th.qcc
-            or th.rgn or th.pocs or th.ppt is not None):
-        return None
+    if th.coc or th.qcc or th.rgn or th.pocs or th.ppt is not None:
+        return None    # per-COMPONENT overrides & tile POC: general path
+    if ths is not None and any(_th_ovr_key(q) != _th_ovr_key(th)
+                               for q in ths):
+        return None    # batch streams must share the plan's overrides
     plan = _plan_for(cs, hdr, t, th, int(dp.reduce or 0))
     if plan is None:
         return None

@@ -591,3 +591,62 @@ def test_serving_mq_multilayer_and_poc(monkeypatch):
     got = np.asarray(decompress_device(pc)[0])
     assert taken and all(taken), "POC stream declined serving"
     assert np.array_equal(got, decompress(pc).to_array())
+
+
+def test_serving_per_tile_cod_override(monkeypatch):
+    """Round 5: per-tile COD overrides are SERVED (they join the plan
+    cache key).  A crafted stream whose main-header COD disagrees with
+    the tile-part COD must decode bit-exactly on the serving path, and
+    a same-main-header stream WITHOUT the override must get its own
+    plan (no cache cross-talk)."""
+    import struct
+
+    from grok_tpu.api import decompress_device
+    from grok_tpu.codestream import j2k
+    from grok_tpu.pipeline import serve
+
+    img = synthetic_image(48, 48, 1, seed=31)
+    pa = CompressParams(ht=True, num_resolutions=3, cblk_w_exp=5,
+                        cblk_h_exp=5)
+    pb = CompressParams(ht=True, num_resolutions=3, cblk_w_exp=4,
+                        cblk_h_exp=4)
+    sa = compress(img, pa)
+    sb = compress(img, pb)
+    hdr_a = j2k.read_main_header(sa)
+    hdr_b = j2k.read_main_header(sb)
+    parts_b = j2k.read_tile_parts(sb, hdr_b)
+    body = sb[parts_b[0].data_start:parts_b[0].data_end]
+
+    # main header of A + tile-part COD override carrying B's true style
+    cod_seg = j2k.write_cod(hdr_b.cod)
+    psot = 12 + len(cod_seg) + 2 + len(body)
+    crafted = bytes(sa[:hdr_a.main_header_end]) \
+        + j2k.write_sot(0, psot, 0, 1) + cod_seg \
+        + struct.pack(">H", j2k.SOD) + body \
+        + struct.pack(">H", j2k.EOC)
+
+    # general path sanity
+    assert np.array_equal(
+        decompress(crafted, DecompressParams(strict=False)).to_array(),
+        img)
+
+    taken = []
+    orig = serve.try_decode_serving_batch
+
+    def probe(*a, **kw):
+        r = orig(*a, **kw)
+        taken.append(r is not None)
+        return r
+
+    monkeypatch.setattr(serve, "try_decode_serving_batch", probe)
+    serve._PLANS.clear()
+    out = decompress_device(crafted)
+    assert taken == [True], "override stream declined serving"
+    assert np.array_equal(np.asarray(out[0]), img)
+    # the un-overridden stream under the SAME main header gets its own
+    # plan (override key) and still decodes bit-exactly
+    taken.clear()
+    out2 = decompress_device(sa)
+    assert taken == [True]
+    assert np.array_equal(np.asarray(out2[0]), img)
+    serve._PLANS.clear()

@@ -355,11 +355,18 @@ def reset_tables():
 
 
 def _clear_downstream_caches():
-    """Serving plans/programs bake staged table state; drop them."""
+    """Serving plans AND cached traced programs bake table state (the
+    jitted serving programs close over the kernel wrappers' trace-time
+    table version) — drop them all so the next call re-derives."""
     import sys
     serve = sys.modules.get("grok_tpu.pipeline.serve")
     if serve is not None:
         serve._PLANS.clear()
     serve_enc = sys.modules.get("grok_tpu.pipeline.serve_enc")
-    if serve_enc is not None and hasattr(serve_enc, "_PLANS"):
-        serve_enc._PLANS.clear()
+    if serve_enc is not None:
+        serve_enc._EPLANS.clear()
+        serve_enc._build_encode_fn.cache_clear()
+        serve_enc._build_encode_fn_mq.cache_clear()
+    device = sys.modules.get("grok_tpu.pipeline.device")
+    if device is not None:
+        device._build_decode_fn.cache_clear()

@@ -175,3 +175,43 @@ def test_defaults_are_single_family():
     assert not T.tables_have_ek()
     assert T.UVLC_PXOR == 0
     assert T.VLC_ENC_INIT is T.VLC_ENC
+
+
+def test_serving_paths_rederive_after_install(monkeypatch):
+    """install_tables() must invalidate the serving plans AND the
+    cached traced device programs (they bake the kernel wrappers'
+    trace-time table version): decode a stream under the default
+    tables, install the normative-shaped set, and the serving decode
+    of a new-table stream must be bit-exact — stale programs would
+    mis-decode."""
+    import numpy as np_
+
+    from grok_tpu import CompressParams, compress, native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from grok_tpu.api import decompress_device
+    from grok_tpu.util.oracle import synthetic_image
+
+    monkeypatch.setenv("GROK_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("GROK_HT_PALLAS", "1")
+    img = synthetic_image(24, 24, 1, seed=13)
+    kw = dict(ht=True, num_resolutions=2, cblk_w_exp=3, cblk_h_exp=3,
+              backend="scalar")
+    s0 = compress(img, CompressParams(**kw))
+    out0 = decompress_device(s0)
+    assert np_.array_equal(np_.asarray(out0[0]), img)
+
+    lens_ek, lens_init = _synthetic_normative_tables()
+    T.install_tables(lens=lens_ek, lens_init=lens_init,
+                     uvlc_prefix_xor=0b101)
+    try:
+        s1 = compress(img, CompressParams(**kw))
+        assert s1 != s0, "table swap changed nothing on-wire"
+        out1 = decompress_device(s1)
+        assert np_.array_equal(np_.asarray(out1[0]), img), \
+            "stale serving program survived install_tables"
+    finally:
+        T.reset_tables()
+    out2 = decompress_device(s0)
+    assert np_.array_equal(np_.asarray(out2[0]), img), \
+        "stale program survived reset_tables"

@@ -35,7 +35,7 @@ compress surface [grok: src/lib/core/plugin/, grk_plugin_batch_compress]
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import lru_cache
 
 import numpy as np
@@ -70,6 +70,8 @@ class EncPlan:
     #                         MQ finishes pass style/orient/w/h so the
     #                         minimal-flush truncation refinement runs
     #                         (byte-identity with the host finish)
+    fast: dict = field(default_factory=dict)  # per-launch speculation
+    #                         state (last-seen slab row sizes)
 
 
 def _pow2_at_least(v: int, lo: int = 4) -> int:
@@ -955,6 +957,34 @@ def _encode_serving_batch_ht(images, hdr, plan, params, P,
             b[5].copy_to_host_async()
         except AttributeError:
             pass
+
+    import jax.numpy as jnp
+
+    nbuf_s = 5 if refine else 3
+
+    def _slab_for(li, rows):
+        bufs = launches[li][0:3] + (launches[li][3], launches[li][4])             if refine else launches[li][0:3]
+        sls = [buf[:r] for buf, r in zip(bufs, rows)]
+        slab = jnp.concatenate(sls, axis=0) if len(sls) > 1 else sls[0]
+        try:
+            slab.copy_to_host_async()
+        except AttributeError:
+            pass
+        return slab
+
+    # SPECULATIVE slab downloads from the previous call's row sizes
+    # (interned on the plan): dispatched BEFORE the stats block below
+    # so the stats D2H and the compressed-byte D2H ride one relay
+    # window instead of serializing — in the serving steady state
+    # (same geometry, similar content) the guess is almost always
+    # sufficient; an undersized guess is re-sliced after the stats
+    # arrive
+    _spec = {}
+    for li in range(len(launches)):
+        guess = plan.fast.get(("enc_rows", li, refine))
+        if guess is not None:
+            _spec[li] = (guess, _slab_for(li, guess))
+
     stats_h = [np.asarray(b[5]) for b in launches]
     bits_h = [st[0:nbits] for st in stats_h]
     nbps_h = [st[nbits] for st in stats_h]
@@ -1007,12 +1037,10 @@ def _encode_serving_batch_ht(images, hdr, plan, params, P,
     # downloaded as-is; the host transposes to per-lane-contiguous
     # bytes and feeds the C assembler STRIDED offsets — it never
     # needed a dense layout, only per-lane (offset, bits).
-    import jax.numpy as jnp
     slabs_d = []
     for li, bits in enumerate(bits_h):
         bufs = launches[li][0:3] + (launches[li][3], launches[li][4]) \
             if refine else launches[li][0:3]
-        sls = []
         rows = []
         for i, buf in enumerate(bufs):
             need = -(-((int(bits[i].max()) + 7) >> 3) // 4)
@@ -1020,18 +1048,19 @@ def _encode_serving_batch_ht(images, hdr, plan, params, P,
             while r < need:
                 r *= 2
             r = min(r, int(buf.shape[0]))
-            sls.append(buf[:r])
             rows.append(r)
-        # ONE slab per launch: device-side concat (a copy, no gathers)
-        # keeps the download a single transfer — separate per-stream
-        # D2Hs each pay the relay's per-call overhead, which dominates
-        # single-frame encodes on overhead-bound windows
-        slab = jnp.concatenate(sls, axis=0) if len(sls) > 1 else sls[0]
-        try:
-            slab.copy_to_host_async()
-        except AttributeError:
-            pass
-        slabs_d.append((slab, rows))
+        g = _spec.get(li)
+        if g is not None and all(gr >= r for gr, r in zip(g[0], rows)):
+            # the speculative slab covers the actual sizes: use it
+            # (strides come from ITS rows; extra bytes are ignored)
+            slabs_d.append((g[1], g[0]))
+        else:
+            # cold plan or guess too small: slice with the exact rows
+            # (ONE slab per launch: device-side concat keeps the
+            # download a single transfer — separate per-stream D2Hs
+            # each pay the relay's per-call overhead)
+            slabs_d.append((_slab_for(li, rows), rows))
+        plan.fast[("enc_rows", li, refine)] = rows
 
     encs: list = []
     for li, (bits, nbps) in enumerate(zip(bits_h, nbps_h)):

@@ -591,9 +591,15 @@ def read_main_header(data: bytes, start: int = 0) -> MainHeader:
                     # at 27); found by the fuzz loop as an int64 overflow
                     raise CodestreamError(
                         f"unsupported component precision {prec}")
+                dx, dy = seg.u8(), seg.u8()
+                if dx < 1 or dy < 1:
+                    # A.5.1: XRsiz/YRsiz in [1, 255] — a zero reaches
+                    # the canvas division (fuzz: ZeroDivisionError)
+                    raise CodestreamError(
+                        f"invalid component subsampling {dx}x{dy}")
                 comps.append(CompInfo(prec=prec,
                                       sgnd=bool(ssiz & 0x80),
-                                      dx=seg.u8(), dy=seg.u8()))
+                                      dx=dx, dy=dy))
             # A.5.1 geometry requirements + a decode-size guard (fuzz
             # finding: scrambled Xsiz/Ysiz provoked multi-GiB allocs)
             if not (xo < xs and yo < ys and xt > 0 and yt > 0

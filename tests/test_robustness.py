@@ -167,3 +167,30 @@ def test_dump_packet_index_matches_plt():
     assert [ln for (_, _, _, ln) in idx] == th.plt
     assert sum(ln for (_, _, _, ln) in idx) == \
         parts[0].data_end - parts[0].data_start
+
+
+def test_zero_subsampling_rejected_cleanly():
+    """Round-5 fuzz finding (case 67395): a corrupt SIZ with XRsiz or
+    YRsiz == 0 reached the canvas division (ZeroDivisionError).  A.5.1
+    bounds them to [1, 255]; both modes must raise the sanctioned
+    CodestreamError."""
+    import numpy as np
+    import pytest
+
+    from grok_tpu import CompressParams, DecompressParams, compress, \
+        decompress
+    from grok_tpu.codestream.j2k import CodestreamError
+    from grok_tpu.util.oracle import synthetic_image
+
+    data = bytearray(compress(synthetic_image(32, 32, 1, seed=1),
+                              CompressParams(num_resolutions=2)))
+    # SIZ: FF51 len(2) Rsiz(2) Xsiz(4) Ysiz(4) XOsiz(4) YOsiz(4)
+    # XTsiz(4) YTsiz(4) XTOsiz(4) YTOsiz(4) Csiz(2) then per-comp
+    # Ssiz(1) XRsiz(1) YRsiz(1) — zero the first component's YRsiz
+    pos = bytes(data).find(b"\xff\x51")
+    yr = pos + 4 + 2 + 8 * 4 + 2 + 2
+    assert data[yr] == 1
+    data[yr] = 0
+    for strict in (True, False):
+        with pytest.raises(CodestreamError):
+            decompress(bytes(data), DecompressParams(strict=strict))

@@ -165,7 +165,15 @@ def _build_decode_fn(sig):
     from grok_tpu.ops import mct as jmct
     from grok_tpu.ops.t1_dec import t1_decode_batch
 
-    if len(sig) == 6:
+    meta_tail = False
+    if len(sig) == 7 and sig[6] == "mtail":
+        # round 5: per-bucket meta arrays ride the TAIL of the body
+        # upload (one transfer); shapes are static per sig, offsets
+        # derive from the traced body shape
+        (ncomps, mct_mode, fold, comps_sig, buckets_sig, group,
+         _m) = sig
+        meta_tail = True
+    elif len(sig) == 6:
         # batched serving: comps_sig holds N streams' components
         # back-to-back; `group` components form one stream (MCT groups)
         (ncomps, mct_mode, fold, comps_sig, buckets_sig, group) = sig
@@ -175,6 +183,25 @@ def _build_decode_fn(sig):
 
     @jax.jit
     def run(bucket_arrays, body_d=None):
+        if meta_tail:
+            mshapes = []
+            for bs in buckets_sig:
+                coder, _W, _H, extra, cnt = bs[:5]
+                if coder == "mq3":
+                    mshapes.append((-(-cnt // 128) * 128, 4))
+                else:                       # "ht3"
+                    mshapes.append((extra[0] * 128, 5))
+            mtotal = sum(a * b * 4 for a, b in mshapes)
+            off = body_d.shape[0] - mtotal
+            rebuilt = []
+            for (a, b) in mshapes:
+                nb = a * b * 4
+                sl = jax.lax.slice_in_dim(body_d, off, off + nb)
+                meta = jax.lax.bitcast_convert_type(
+                    sl.reshape(a, b, 4), jnp.int32)
+                rebuilt.append((meta,))
+                off += nb
+            bucket_arrays = tuple(rebuilt)
         # 1. batched T1 per bucket
         bucket_out = []
         for (bs, arrs) in zip(buckets_sig, bucket_arrays):

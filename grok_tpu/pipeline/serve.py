@@ -346,7 +346,7 @@ def _try_stage_fast(plan: ServePlan, per: list, bases: list, N: int,
             meta[:cnt, 3] = bb
             bsig = _fast_blocks_sig(plan, bid, N, ncomps, None)[0]
             bucket_sigs.append(("mq3", W, H, (L, maxbp), cnt, bsig))
-            bucket_arrays.append((jnp.asarray(meta),))
+            bucket_arrays.append(meta)
         return bucket_sigs, bucket_arrays
 
     basearr = np.asarray(bases, np.int64)
@@ -383,7 +383,7 @@ def _try_stage_fast(plan: ServePlan, per: list, bases: list, N: int,
             meta[:ncl, 4] = scc[:, 0]
             bucket_sigs.append(("ht3", W, H, (S, Lms, Lsuf, Dm),
                                 ncl, sigs[ci]))
-            bucket_arrays.append((jnp.asarray(meta),))
+            bucket_arrays.append(meta)
     return bucket_sigs, bucket_arrays
 
 
@@ -639,22 +639,36 @@ def try_decode_serving_batch(cs: bytes, hdr, t: int, th,
     if wmask is None and plan.coder != "mixed":
         staged = _try_stage_fast(plan, per, bases, N, ncomps)
     if staged is not None:
-        bucket_sigs, bucket_arrays = staged
-        body_d = jnp.asarray(body_cat)
+        bucket_sigs, metas = staged
+        # metas ride the TAIL of the single body upload (round 5):
+        # each separate jnp.asarray was its own relay transfer (~4-30
+        # ms/call on overhead-bound windows); the device recovers them
+        # by static slices + a u8->i32 bitcast at offsets derived from
+        # the traced body shape (meta shapes are static per sig)
+        mtotal = sum(m.nbytes for m in metas)
+        blen2 = -(-(body_cat.size + mtotal) // 4096) * 4096
+        buf = np.zeros(blen2, np.uint8)
+        buf[:body_cat.size] = body_cat
+        o = blen2 - mtotal
+        for m in metas:
+            buf[o:o + m.nbytes] = m.view(np.uint8).reshape(-1)
+            o += m.nbytes
+        body_d = jnp.asarray(buf)
         from grok_tpu.ops.t1_dec import default_fold
         from grok_tpu.pipeline.device import _build_decode_fn
         fold = default_fold()
         # cheap fn-cache key: blocks_sig is fully determined by
         # (bucket, count, N) under full inclusion, so only the
         # quantized dims vary — avoid re-hashing the nested sig
-        fnkey = (N, fold, tuple(bs[:5] for bs in bucket_sigs))
+        fnkey = (N, fold, tuple(bs[:5] for bs in bucket_sigs), "mtail")
         fn = plan.fast.get(("fn", fnkey))
         if fn is None:
             sig = (ncomps * N, plan.mct_mode, fold,
-                   plan.comps_sig * N, tuple(bucket_sigs), ncomps)
+                   plan.comps_sig * N, tuple(bucket_sigs), ncomps,
+                   "mtail")
             fn = _build_decode_fn(sig)
             plan.fast[("fn", fnkey)] = fn
-        out = fn(tuple(bucket_arrays), body_d)
+        out = fn((), body_d)
         return [list(out[si * ncomps:(si + 1) * ncomps])
                 for si in range(N)]
 

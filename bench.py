@@ -84,18 +84,6 @@ def main():
     img = synthetic_image(side, side, 1, seed=7)
     mp = side * side / 1e6
 
-    def _amortized(call, barrier, n: int, rounds: int) -> float:
-        """Best-of-rounds per-call seconds for n back-to-back calls."""
-        best = float("inf")
-        for _ in range(rounds):
-            t0 = time.perf_counter()
-            last = None
-            for _ in range(n):
-                last = call()
-            barrier(last)
-            best = min(best, (time.perf_counter() - t0) / n)
-        return best
-
     def _bar_dec(out):
         jax.block_until_ready(out)
         np.asarray(out[0][:1, :1])   # 1-px D2H: completion barrier
@@ -231,12 +219,18 @@ def main():
                     return wrapped
 
                 _dev._build_decode_fn = _tap
-                _serve._PLANS.clear()
-                outs = decompress_device_batch(streams)
-                _dev._build_decode_fn = real_build
-                _serve._PLANS.clear()
+                try:
+                    _serve._PLANS.clear()
+                    outs = decompress_device_batch(streams)
+                finally:
+                    # a relay flake must not leave the tap installed:
+                    # later decodes would repopulate `cap` with the
+                    # WRONG program and mislabel device_program_mps
+                    _dev._build_decode_fn = real_build
+                    _serve._PLANS.clear()
                 jax.block_until_ready(outs[-1])
             except jax.errors.JaxRuntimeError as e:
+                cap.clear()
                 relay_errs.append(f"program: {e}")
 
         best = {}

@@ -303,56 +303,6 @@ def _build_encode_fn(sig):
 
 
 @lru_cache(maxsize=32)
-def _build_compact_fn(T: int, refine: bool = False):
-    """Phase-C program: per-lane word buffers -> one dense byte stream of
-    T bytes (as T//4 int32 LE words).  Lane k contributes its CLEAN
-    sub-streams back-to-back (ms | mel | vlc [| sp | mr], byte-aligned);
-    the host then stuffs/interleaves them into wire segments with the C
-    batch assembler (native.ht_assemble_batch — byte-identical to
-    t1ht.scalar.assemble_cleanup) and, for refine lanes, the C raw
-    stuffer (native.ht_raw_batch).  Lanes with numbps == 0 contribute
-    nothing.  Offsets are recomputed on device from the bit counts, so
-    this program needs NO host inputs beyond the buffers."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def compact(bufs, bits, numbps):
-        NL = bits.shape[1]
-        nbuf = len(bufs)
-        bcnt = [(bits[i] + 7) >> 3 for i in range(nbuf)]
-        nzero = numbps > 0
-        seg = jnp.where(nzero, sum(bcnt), 0)
-        cum = jnp.cumsum(seg)
-        start = cum - seg
-        k = jnp.arange(T, dtype=jnp.int32)
-        lane = jnp.searchsorted(cum, k, side="right").astype(jnp.int32)
-        lane_c = jnp.clip(lane, 0, NL - 1)
-        r = k - start[lane_c]
-
-        def word_byte(wbuf, q):
-            flat = wbuf.reshape(-1)
-            idx = jnp.clip(q >> 2, 0, wbuf.shape[0] - 1) * NL + lane_c
-            w = flat[idx]
-            return (w >> ((q & 3) * 8)) & 0xFF
-
-        val = jnp.zeros((T,), jnp.int32)
-        off = jnp.zeros((NL,), jnp.int32)
-        for i in range(nbuf):
-            q = r - off[lane_c]
-            val = jnp.where((q >= 0) & (q < bcnt[i][lane_c]),
-                            word_byte(bufs[i], jnp.maximum(q, 0)), val)
-            off = off + bcnt[i]
-        val = jnp.where(k < cum[NL - 1], val, 0)
-        w4 = val.reshape(T // 4, 4)
-        words = (w4[:, 0] | (w4[:, 1] << 8) | (w4[:, 2] << 16)
-                 | (w4[:, 3] << 24))
-        return words
-
-    return compact
-
-
-@lru_cache(maxsize=32)
 def _build_encode_fn_mq(sig):
     """Phase-A program, Part-1 coder: pixels -> per-launch (quad-packed
     MQ codeword buffer, stats) — the fused-encode mirror of the serving
@@ -486,38 +436,6 @@ def _mq_dstat(mneg, sigtype, numbps, W: int, H: int, MB4: int):
             hi, lo = exact_sum(x, ch2)
             rows += [hi, lo]
     return jnp.stack(rows, axis=0)
-
-
-@lru_cache(maxsize=32)
-def _build_compact_fn_mq(T: int):
-    """Phase-C, Part-1: per-lane quad-packed MQ codeword buffers -> one
-    dense byte stream of T bytes (T//4 int32 LE words).  MQ bytes are
-    already wire-final (0xFF stuffing is the coder's own byteout rule),
-    so lanes concatenate raw; byte 0 of each lane's buffer is the
-    kernel's carry sentinel and is skipped."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def compact(out_w, lens, numbps):
-        NL = lens.shape[1]
-        G8 = out_w.shape[0] * out_w.shape[1]
-        flat = out_w.reshape(G8 * NL)
-        seg = jnp.where(numbps[0] > 0, lens[0], 0)
-        cum = jnp.cumsum(seg)
-        start = cum - seg
-        k = jnp.arange(T, dtype=jnp.int32)
-        lane = jnp.searchsorted(cum, k, side="right").astype(jnp.int32)
-        lane_c = jnp.clip(lane, 0, NL - 1)
-        q = k - start[lane_c] + 1        # +1 skips the carry sentinel
-        w = flat[jnp.clip(q >> 2, 0, G8 - 1) * NL + lane_c]
-        val = (w >> ((q & 3) * 8)) & 0xFF
-        val = jnp.where(k < cum[NL - 1], val, 0)
-        w4 = val.reshape(T // 4, 4)
-        return (w4[:, 0] | (w4[:, 1] << 8) | (w4[:, 2] << 16)
-                | (w4[:, 3] << 24))
-
-    return compact
 
 
 def _build_plan(hdr, t: int, params) -> EncPlan | None:
@@ -960,8 +878,6 @@ def _encode_serving_batch_ht(images, hdr, plan, params, P,
 
     import jax.numpy as jnp
 
-    nbuf_s = 5 if refine else 3
-
     def _slab_for(li, rows):
         bufs = launches[li][0:3] + (launches[li][3], launches[li][4])             if refine else launches[li][0:3]
         sls = [buf[:r] for buf, r in zip(bufs, rows)]
@@ -1060,7 +976,10 @@ def _encode_serving_batch_ht(images, hdr, plan, params, P,
             # download a single transfer — separate per-stream D2Hs
             # each pay the relay's per-call overhead)
             slabs_d.append((_slab_for(li, rows), rows))
-        plan.fast[("enc_rows", li, refine)] = rows
+        # running MAX so oscillating content converges to permanent
+        # speculation hits instead of re-arming a miss every other call
+        plan.fast[("enc_rows", li, refine)] = rows if g is None else \
+            [max(gr, r) for gr, r in zip(g[0], rows)]
 
     encs: list = []
     for li, (bits, nbps) in enumerate(zip(bits_h, nbps_h)):

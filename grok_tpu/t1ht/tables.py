@@ -304,13 +304,19 @@ def install_tables(*, enc=None, enc_init=None, lens=None, lens_init=None,
     """Install CxtVLC tables + UVLC polarity (the normative drop-in
     point — WIRE_AUDIT deltas #1/#2/#3/#5 all land here).
 
+    This is a FULL install, not a patch: every aspect is set on every
+    call — an omitted enc/lens keeps the CURRENT non-initial family,
+    but an omitted *_init always re-aliases the initial-row family to
+    the non-initial one (single-family mode) and an omitted
+    uvlc_prefix_xor always resets the polarity to 0.  Callers swapping
+    one aspect must re-pass the others.
+
     enc / enc_init: per-context list of {sym: (len, code)} canonical
     maps (code with the transmitted-first bit at bit 0).  lens /
     lens_init: per-context {sym: len} maps (canonical codes derived
-    here; Kraft-repaired).  *_init omitted -> the initial-row family
-    aliases the non-initial one (single-family mode).  Symbols may
-    include eps_k bits (sym = eps<<5 | u_off<<4 | rho); every legal
-    eps=0 symbol must be codeable (the encoders' fallback entries).
+    here; Kraft-repaired).  Symbols may include eps_k bits (sym =
+    eps<<5 | u_off<<4 | rho); every legal eps=0 symbol must be
+    codeable (the encoders' fallback entries).
 
     Every backend re-derives from here: the scalar coder reads the
     module attributes per call; both Pallas kernels rebuild their
